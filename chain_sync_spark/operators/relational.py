@@ -1,0 +1,668 @@
+"""Core relational operator surface (SURVEY.md §2.2–2.6).
+
+Every query here is a (spark, sf_dir) -> DataFrame callable with a
+matching DuckDB oracle SQL string. Cross-engine determinism rules:
+
+  * Money/double aggregates run through DECIMAL (exact, order-
+    independent) and are cast to DOUBLE at the end. Summing raw
+    doubles is order-dependent and never hash-matches across engines.
+  * AVG is computed as exact-decimal SUM cast to double, divided by
+    COUNT — one IEEE double division, identical in both engines.
+  * Every window ORDER BY carries a unique tie-breaker key.
+  * Sums of integers are CAST(... AS BIGINT) in DuckDB (it widens to
+    HUGEINT by default; Spark stays LongType).
+
+Scale notes (100 TB design): all joins here are either broadcastable
+dimension joins (region/nation/supplier/part are tiny relative to the
+facts — Spark's AQE converts them to broadcast-hash automatically and
+we hint the unambiguous ones), or key-partitioned fact joins that
+sort-merge/shuffle-hash on the join key. Filters are expressed on
+base columns before joins so Catalyst pushes them into the parquet
+scan.
+
+Reference parity (SURVEY.md §2 operator ids are noted per query):
+filters/projections P1–P11, joins J1–J6, aggregations A1–A7,
+windows/sorts/limits/set-ops §2.5, scalar functions §2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chain_sync_spark.tables import table
+
+
+def _dec(c: Column, prec: str = "18,2") -> Column:
+    """Exact-decimal view of a money column (see module docstring)."""
+    return c.cast(f"decimal({prec})")
+
+
+def _sum_money(c: Column, alias: str) -> Column:
+    return F.sum(_dec(c)).cast("double").alias(alias)
+
+
+def _avg_money(c: Column, alias: str) -> Column:
+    return (F.sum(_dec(c)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the "sync digest" (SURVEY.md §7 step 1).
+# Per-account activity rollup: the Spark-native analog of the
+# reference's per-account last_active/upsert accounting
+# (handlers/comments.js:179-180, handlers/votes.js:26-27) widened to
+# a per-user/type/day aggregate with a ranking window.
+# ---------------------------------------------------------------------------
+
+def flagship_sync_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_money(F.col("value"), "sum_value"),
+            F.max("ts").alias("last_active"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.desc("n_events"), F.asc("user_id"), F.asc("event_type")
+    )
+    return daily.withColumn("day_rank", F.row_number().over(w))
+
+
+FLAGSHIP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_active
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, day, n_events, sum_value, last_active,
+       ROW_NUMBER() OVER (PARTITION BY day
+                          ORDER BY n_events DESC, user_id, event_type) AS day_rank
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (P1–P11)
+# ---------------------------------------------------------------------------
+
+def filter_project_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 type-partition filter + P2 projection: one op-type sub-stream.
+
+    Mirrors listener.js:148-155 `filterOperation` — a typed filtered
+    projection of the op stream. Filter + projection reach the
+    parquet scan (PushedFilters / ReadSchema).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            _dec(F.col("value")).cast("double").alias("amount"),
+            F.to_date("ts").alias("day"),
+        )
+    )
+
+
+def case_when_sign_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 vote-sign branch (handlers/votes.js:17): weight>0 routes to
+    upvotes/downvotes — here value>=100 routes events to hi/lo buckets."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.when(F.col("value") >= 100, F.lit("hi")).otherwise(F.lit("lo")).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def isin_allowlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7 membership predicates (comments.js:66,85-91): isin allow-list."""
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1–A7)
+# ---------------------------------------------------------------------------
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 hash aggregate, partial+final (Catalyst does the map-side
+    combine automatically). TPC-H Q1 shape over lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount")))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec(F.col("l_tax")))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            _sum_money(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            _avg_money(F.col("l_quantity"), "avg_qty"),
+            _avg_money(F.col("l_extendedprice"), "avg_price"),
+            _avg_money(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 count-distinct."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 rollup: subtotal lattice over (nation, mktsegment)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _sum_money(F.col("c_acctbal"), "sum_acctbal"),
+        )
+    )
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 cube over (orderstatus, orderpriority)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum_money(F.col("o_totalprice"), "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1–J6)
+# ---------------------------------------------------------------------------
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 dimension join chain customer⋈nation⋈region with broadcast
+    hints: dims are orders of magnitude smaller than facts, so at
+    100 TB these stay broadcast-hash (no shuffle of the fact side)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _avg_money(F.col("c_acctbal"), "avg_acctbal"),
+        )
+    )
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S5 existence semi-join (handlers/votes.js:31-47): keep only
+    rows whose key exists in the other relation — left_semi, no
+    payload columns from the right side are materialized."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 anti probe (comments.js:118-142 else-branch): rows with no
+    match — left_anti."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 fact-fact + dims: lineitem⋈orders shuffles on orderkey
+    (sort-merge at scale, AQE may pick shuffle-hash); customer/nation
+    broadcast. Revenue per nation per order-year."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    revenue = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name"), F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 range (theta) join: events joined to a small literal band
+    relation on value BETWEEN lo AND hi. The band side is tiny →
+    broadcast nested-loop, which is the correct physical plan at any
+    scale when one side is O(10) rows."""
+    ev = table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), _sum_money(F.col("value"), "sum_value"))
+    )
+
+
+def join_asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕J6 as-of join: for each purchase, the most recent prior 'view'
+    by the same user. Implemented scalably as a single shuffle on
+    user_id: union both sides, one pass of last(ignorenulls) over an
+    ordered window — no per-row lookups, no range explosion.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    tagged = ev.withColumn(
+        "view_ts", F.when(F.col("event_type") == "view", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn("prior_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prior_view_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / limits / set ops (§2.5)
+# ---------------------------------------------------------------------------
+
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number ≤ k — the scalable top-k
+    (partial top-k per partition, no global sort)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregate: running sum of order totals per customer over
+    time. Exact-decimal running sum cast to double per row."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+    )
+
+
+def window_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag: seconds since the user's previous event."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # Exact integer microsecond arithmetic — cross-engine deterministic
+    # (seconds-level truncation semantics differ between engines).
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) / F.lit(1000000))
+        .cast("double")
+        .alias("gap_seconds"),
+    )
+
+
+def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by totalprice with deterministic tie-break.
+    Spark plans limit+sort as TakeOrderedAndProject (no full sort)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/intersect/except surface: classify customer keys by
+    membership in two derived sets (big spenders ∩/∖ building
+    segment), tagged and unioned into one relation."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    big_spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec(F.col("o_totalprice"))).alias("s"))
+        .filter(F.col("s") > 500000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    both = big_spenders.intersect(building).withColumn("tag", F.lit("both"))
+    only_spender = big_spenders.exceptAll(building).withColumn("tag", F.lit("spender_only"))
+    only_building = building.exceptAll(big_spenders).withColumn("tag", F.lit("building_only"))
+    return both.unionByName(only_spender).unionByName(only_building)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function layer (§2.6)
+# ---------------------------------------------------------------------------
+
+def json_extract_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 JSON field extraction (account_updates.js:2-6): pull a typed
+    field out of a JSON string column and aggregate on it."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def surrogate_key_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 surrogate-key hash (comments.js:14-17 uses
+    base64(xxhash64(author + "/" + permlink))). We key on
+    md5(concat_ws('/', ...)) because md5 is bit-identical across
+    Spark and DuckDB; xxhash64 variants (Spark seed 42, reference
+    seed 0xCAFEBABE) are provided in functions.hashing for the sync
+    engine, where only stability matters, not cross-engine equality."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.md5(F.concat_ws("/", F.col("c_name"), F.col("c_mktsegment"))).alias("surrogate_id"),
+    )
+
+
+def date_partition_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 calendar bucketing (comments.js:169-170 month/year index
+    routing): year/month partition columns + per-bucket counts."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), _sum_money(F.col("o_totalprice"), "sum_price"))
+    )
+
+
+def string_funcs_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 standard scalar surface: substr/upper/trim/concat/like
+    over part names."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_up"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.concat_ws(":", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+def higher_order_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 hashtag-extraction shape (comments.js:71-73) as pure
+    higher-order functions: split → filter → transform → array_join.
+    Here: tokens starting with 's' from document text."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    s_toks = F.filter(toks, lambda t: t.startswith("s"))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t != "")).alias("n_tokens"),
+        F.size(s_toks).alias("n_s_tokens"),
+        # DuckDB's array_to_string returns NULL for an empty list; match it.
+        F.when(F.size(s_toks) > 0,
+               F.array_join(F.transform(s_toks, lambda t: F.upper(t)), " ")).alias("s_tokens_up"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "flagship_sync_digest": flagship_sync_digest,
+    "filter_project_events": filter_project_events,
+    "case_when_sign_branch": case_when_sign_branch,
+    "isin_allowlist_filter": isin_allowlist_filter,
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "distinct_users_per_type": distinct_users_per_type,
+    "rollup_nation_segment": rollup_nation_segment,
+    "cube_status_priority": cube_status_priority,
+    "join_broadcast_dims": join_broadcast_dims,
+    "join_semi_customers_with_orders": join_semi_customers_with_orders,
+    "join_anti_customers_without_orders": join_anti_customers_without_orders,
+    "join_multiway_revenue": join_multiway_revenue,
+    "join_range_value_bands": join_range_value_bands,
+    "join_asof_purchase_prior_view": join_asof_purchase_prior_view,
+    "window_topk_orders_per_customer": window_topk_orders_per_customer,
+    "window_running_revenue": window_running_revenue,
+    "window_lag_event_gap": window_lag_event_gap,
+    "sort_limit_top_orders": sort_limit_top_orders,
+    "set_ops_segments": set_ops_segments,
+    "json_extract_events_props": json_extract_events_props,
+    "surrogate_key_md5": surrogate_key_md5,
+    "date_partition_buckets": date_partition_buckets,
+    "string_funcs_projection": string_funcs_projection,
+    "higher_order_token_filter": higher_order_token_filter,
+}
+
+ORACLE = {
+    "flagship_sync_digest": FLAGSHIP_ORACLE,
+    "filter_project_events": """
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+               CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "case_when_sign_branch": """
+        SELECT event_type,
+               CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "isin_allowlist_filter": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 0
+    """,
+    "tpch_q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "distinct_users_per_type": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "rollup_nation_segment": """
+        SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    "cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "join_broadcast_dims": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    """,
+    "join_semi_customers_with_orders": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+    "join_anti_customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_multiway_revenue": """
+        SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    """,
+    "join_range_value_bands": """
+        WITH bands(band, lo, hi) AS (
+          VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e18)
+        )
+        SELECT band, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY 1
+    """,
+    "join_asof_purchase_prior_view": """
+        WITH tagged AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                 CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END AS view_ts
+          FROM events WHERE event_type IN ('view', 'purchase')
+        ), filled AS (
+          SELECT event_id, user_id, ts, event_type,
+                 LAST_VALUE(view_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view_ts
+          FROM tagged
+        )
+        SELECT event_id, user_id, ts, prior_view_ts
+        FROM filled WHERE event_type = 'purchase'
+    """,
+    "window_topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+    """,
+    "window_running_revenue": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders
+    """,
+    "window_lag_event_gap": """
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               (epoch_us(CAST(ts AS TIMESTAMP))
+                 - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000 AS gap_seconds
+        FROM events
+    """,
+    "sort_limit_top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "set_ops_segments": """
+        WITH big_spenders AS (
+          SELECT o_custkey AS k FROM orders
+          GROUP BY 1 HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 500000
+        ), building AS (
+          SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT k, 'both' AS tag FROM (SELECT k FROM big_spenders INTERSECT SELECT k FROM building)
+        UNION ALL
+        SELECT k, 'spender_only' AS tag FROM (SELECT k FROM big_spenders EXCEPT ALL SELECT k FROM building)
+        UNION ALL
+        SELECT k, 'building_only' AS tag FROM (SELECT k FROM building EXCEPT ALL SELECT k FROM big_spenders)
+    """,
+    "json_extract_events_props": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "surrogate_key_md5": """
+        SELECT c_custkey, md5(c_name || '/' || c_mktsegment) AS surrogate_id
+        FROM customer
+    """,
+    "date_partition_buckets": """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1, 2
+    """,
+    "string_funcs_projection": """
+        SELECT p_partkey, UPPER(p_brand) AS brand_up,
+               substr(p_name, 1, 8) AS name_prefix,
+               CAST(length(p_name) AS INT) AS name_len,
+               p_type LIKE '%BRASS%' AS is_brass,
+               p_brand || ':' || p_type AS brand_type
+        FROM part
+    """,
+    "higher_order_token_filter": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '), t -> t LIKE 's%')) AS INT) AS n_s_tokens,
+               array_to_string(list_transform(list_filter(string_split(text, ' '), t -> t LIKE 's%'), t -> UPPER(t)), ' ') AS s_tokens_up
+        FROM documents
+    """,
+}

@@ -1,0 +1,58 @@
+"""Named-table loader over the testdata parquet layout.
+
+The testdata directory (TESTDATA.md) holds one parquet file per
+table. At the 100 TB design point each of these becomes a
+partitioned/bucketed table root; readers here only ever name
+columns they need so Catalyst prunes the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one named table. Plain parquet scan — filters/projections
+    applied by callers are pushed down by Catalyst.
+
+    The events table is written with TIMESTAMP(NANOS) which Spark's
+    parquet reader rejects; read nanos as long
+    (spark.sql.legacy.parquet.nanosAsLong) and convert to a
+    microsecond timestamp (truncation — matches DuckDB's ns→µs cast).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each table as a temp view so spark.sql() queries work."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
