@@ -1,0 +1,70 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style action that forces full
+evaluation of the plan (collect for small results) after a warm-up of
+the session (JVM + parquet footer caches). Wall-clock per query is
+measured on the second run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from chain_sync_spark.registry import all_queries  # noqa: E402
+from chain_sync_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_sync_digest",
+    "tpch_q1_pricing_summary",
+    "join_multiway_revenue",
+    "join_broadcast_dims",
+    "join_asof_purchase_prior_view",
+    "window_topk_orders_per_customer",
+    "window_running_revenue",
+    "set_ops_segments",
+    "json_extract_events_props",
+    "date_partition_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm-up: JIT, codegen, parquet footers.
+    for n in names[:2]:
+        queries[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        df = queries[n](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[n] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
