@@ -1,0 +1,58 @@
+"""Text/markdown functions (reference F3–F8).
+
+The reference pipeline (handlers/comments.js:20-59) is:
+markdown→HTML (markdown-it), <img src> extraction, double tag-strip
+to plain text, newline spacing, hashtag extraction. Everything except
+the full markdown renderer is pure column expressions; the renderer
+is approximated with regex stripping (builtin, vectorized) — the
+semantic goal is plain text + image URLs, not HTML fidelity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# <img ... src="..."> — reference uses an HTML parser
+# (handlers/comments.js:44-51); a regex over the rendered body
+# captures the same src set for well-formed tags.
+_IMG_SRC_RE = r'<img[^>]*src\s*=\s*["\']([^"\']+)["\']'
+# Markdown image/link syntax: ![alt](url) and [text](url)
+_MD_IMG_RE = r"!\[[^\]]*\]\(([^)\s]+)[^)]*\)"
+
+
+def extract_image_srcs(body: Column) -> Column:
+    """F4: all image URLs in a post body — HTML <img src> plus
+    markdown image syntax, deduplicated, order of first appearance
+    per source kind."""
+    html_srcs = F.regexp_extract_all(body, F.lit(_IMG_SRC_RE), 1)
+    md_srcs = F.regexp_extract_all(body, F.lit(_MD_IMG_RE), 1)
+    return F.array_distinct(F.concat(html_srcs, md_srcs))
+
+
+def markdown_to_text(body: Column) -> Column:
+    """F3+F5: approximate markdown→plain-text. Strips HTML tags twice
+    (the reference strips twice to catch markdown-escaped HTML,
+    handlers/comments.js:53-55), then markdown syntax markers."""
+    t = F.regexp_replace(body, r"<[^>]+>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")          # second pass, as in reference
+    t = F.regexp_replace(t, _MD_IMG_RE, " ")           # images
+    t = F.regexp_replace(t, r"\[([^\]]*)\]\([^)]*\)", r"$1")  # links → text
+    t = F.regexp_replace(t, r"[*_`#>~]+", " ")         # emphasis/heading markers
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def space_newlines(body: Column) -> Column:
+    """F6: body.replace(/\n/g, " \n ") (handlers/comments.js:56) —
+    guarantees newline-delimited tokens split on whitespace."""
+    return F.regexp_replace(body, r"\n", " \n ")
+
+
+def extract_hashtags(body: Column) -> Column:
+    """F7 (handlers/comments.js:71-73,94-96): split on spaces, keep
+    tokens starting '#', strip the '#'. Pure higher-order functions —
+    no UDF, stays in codegen."""
+    toks = F.split(space_newlines(body), " ")
+    tags = F.filter(toks, lambda t: t.startswith("#") & (F.length(t) > 1))
+    return F.transform(tags, lambda t: F.lower(F.substring(t, 2, 1000)))

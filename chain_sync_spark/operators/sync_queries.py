@@ -1,0 +1,170 @@
+"""Oracle-checked queries for the sync-engine handler semantics.
+
+The sync engine itself runs against op streams (tested in
+tests/test_sync_engine.py); the driver's DuckDB oracle only sees the
+testdata tables, so these queries embed the reference edge-case rows
+as identical VALUES literals on both sides:
+
+  * double-encoded / invalid json_metadata (comments.js:21-40)
+  * reply filtering (comments.js:113)
+  * vote sign routing + distinct-set accumulation (votes.js:11-28)
+  * existence semi-join dropping votes on missing posts (votes.js:43)
+  * last-active max across op kinds (A2)
+  * hashtag extraction for stock-image posts (comments.js:71-96)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chain_sync_spark.functions.hashing import surrogate_id_md5
+from chain_sync_spark.functions.json_utils import double_decode_json
+from chain_sync_spark.functions.text_funcs import extract_hashtags
+
+# ---- shared literal fixtures (kept in python so both sides agree) ----
+
+_META_ROWS = [
+    ("alice", "p1", '{"tags": ["a", "b"], "image": []}'),
+    ("carol", "p2", '"{\\"tags\\": [\\"x\\"], \\"image\\": [\\"http://i/1\\"]}"'),  # double-encoded
+    ("dave", "p3", "{not json"),  # invalid → defaults
+    ("erin", "p4", None),  # missing → defaults
+]
+
+_VOTE_ROWS = [
+    ("v1", "alice", "p1", 100),
+    ("v1", "alice", "p1", 100),   # duplicate → set semantics
+    ("v2", "alice", "p1", -50),
+    ("v3", "ghost", "nope", 10),  # missing post → dropped
+    ("v2", "carol", "p2", 70),
+]
+
+_POST_ROWS = [("alice", "p1"), ("carol", "p2")]
+
+_ACTIVITY_ROWS = [
+    ("alice", "2024-03-05 12:00:00", "comment"),
+    ("alice", "2024-03-06 08:00:00", "vote"),
+    ("bob", "2024-03-04 10:00:00", "vote"),
+    ("bob", "2024-03-07 09:30:00", "account_update"),
+]
+
+_BODY_ROWS = [
+    (1, "selling photos !update-stock-image-tags #Sunset #beach-life ok"),
+    (2, "no command here #ignored"),
+    (3, "!update-stock-image-tags no tags present"),
+]
+
+
+def _sql_values(rows) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    return ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+
+
+# ---- queries ----
+
+def sync_metadata_double_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_META_ROWS, "author string, permlink string, raw string")
+    meta = double_decode_json(F.col("raw"), "tags array<string>, image array<string>")
+    return df.select(
+        surrogate_id_md5("author", "permlink").alias("doc_key"),
+        F.coalesce(F.to_json(meta.getField("tags")), F.lit("[]")).alias("tags_json"),
+        F.coalesce(F.to_json(meta.getField("image")), F.lit("[]")).alias("image_json"),
+    )
+
+
+def sync_vote_set_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    votes = spark.createDataFrame(_VOTE_ROWS, "voter string, author string, permlink string, weight int")
+    posts = spark.createDataFrame(_POST_ROWS, "author string, permlink string")
+    keyed = votes.withColumn("doc_key", surrogate_id_md5("author", "permlink"))
+    existing = keyed.join(
+        posts.select(surrogate_id_md5("author", "permlink").alias("doc_key")),
+        "doc_key",
+        "left_semi",
+    )
+    return existing.groupBy("doc_key").agg(
+        F.array_join(
+            F.sort_array(F.collect_set(F.when(F.col("weight") > 0, F.col("voter")))), ","
+        ).alias("upvotes"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.when(F.col("weight") <= 0, F.col("voter")))), ","
+        ).alias("downvotes"),
+    )
+
+
+def sync_account_last_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_ACTIVITY_ROWS, "name string, ts string, kind string")
+    return (
+        df.withColumn("ts", F.to_timestamp("ts"))
+        .groupBy("name")
+        .agg(F.max("ts").alias("last_active"), F.count(F.lit(1)).alias("n_ops"))
+    )
+
+
+def sync_stock_image_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_BODY_ROWS, "id int, body string")
+    has_cmd = F.col("body").contains("!update-stock-image-tags")
+    return df.select(
+        "id",
+        F.when(has_cmd, F.array_join(extract_hashtags(F.col("body")), " ")).alias("stock_tags"),
+    )
+
+
+QUERIES = {
+    "sync_metadata_double_decode": sync_metadata_double_decode,
+    "sync_vote_set_accumulation": sync_vote_set_accumulation,
+    "sync_account_last_active": sync_account_last_active,
+    "sync_stock_image_hashtags": sync_stock_image_hashtags,
+}
+
+ORACLE = {
+    "sync_metadata_double_decode": f"""
+        WITH t(author, permlink, raw) AS (VALUES {_sql_values(_META_ROWS)}),
+        u AS (
+          SELECT author, permlink,
+                 CASE WHEN raw IS NOT NULL AND json_valid(raw) AND json_type(raw::JSON) = 'VARCHAR'
+                      THEN raw->>'$' ELSE raw END AS unwrapped
+          FROM t
+        )
+        SELECT md5(author || '/' || permlink) AS doc_key,
+               COALESCE(CASE WHEN json_valid(unwrapped) THEN json_extract(unwrapped, '$.tags')::VARCHAR END, '[]') AS tags_json,
+               COALESCE(CASE WHEN json_valid(unwrapped) THEN json_extract(unwrapped, '$.image')::VARCHAR END, '[]') AS image_json
+        FROM u
+    """,
+    "sync_vote_set_accumulation": f"""
+        WITH votes(voter, author, permlink, weight) AS (VALUES {_sql_values(_VOTE_ROWS)}),
+        posts(author, permlink) AS (VALUES {_sql_values(_POST_ROWS)}),
+        keyed AS (
+          SELECT md5(v.author || '/' || v.permlink) AS doc_key, voter, weight
+          FROM votes v
+          WHERE EXISTS (SELECT 1 FROM posts p
+                        WHERE p.author = v.author AND p.permlink = v.permlink)
+        )
+        SELECT doc_key,
+               COALESCE(array_to_string(list(DISTINCT voter ORDER BY voter) FILTER (WHERE weight > 0), ','), '') AS upvotes,
+               COALESCE(array_to_string(list(DISTINCT voter ORDER BY voter) FILTER (WHERE weight <= 0), ','), '') AS downvotes
+        FROM keyed GROUP BY doc_key
+    """,
+    "sync_account_last_active": f"""
+        WITH t(name, ts, kind) AS (VALUES {_sql_values(_ACTIVITY_ROWS)})
+        SELECT name, MAX(CAST(ts AS TIMESTAMP)) AS last_active, COUNT(*) AS n_ops
+        FROM t GROUP BY name
+    """,
+    "sync_stock_image_hashtags": f"""
+        WITH t(id, body) AS (VALUES {_sql_values(_BODY_ROWS)})
+        SELECT id,
+               CASE WHEN contains(body, '!update-stock-image-tags') THEN
+                 array_to_string(
+                   list_transform(
+                     list_filter(string_split(replace(body, chr(10), ' ' || chr(10) || ' '), ' '),
+                                 tok -> tok LIKE '#_%'),
+                     tok -> lower(substr(tok, 2, 1000))), ' ')
+               END AS stock_tags
+        FROM t
+    """,
+}

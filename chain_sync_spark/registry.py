@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = [
     "chain_sync_spark.operators.relational",
+    "chain_sync_spark.operators.sync_queries",
 ]
 
 

