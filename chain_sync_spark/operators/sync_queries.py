@@ -109,9 +109,12 @@ def sync_account_last_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sync_stock_image_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(_BODY_ROWS, "id int, body string")
     has_cmd = F.col("body").contains("!update-stock-image-tags")
+    tags = extract_hashtags(F.col("body"))
+    # DuckDB's array_to_string over an empty list yields NULL; match it
+    # by only joining when at least one hashtag exists.
     return df.select(
         "id",
-        F.when(has_cmd, F.array_join(extract_hashtags(F.col("body")), " ")).alias("stock_tags"),
+        F.when(has_cmd & (F.size(tags) > 0), F.array_join(tags, " ")).alias("stock_tags"),
     )
 
 

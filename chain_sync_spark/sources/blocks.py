@@ -28,6 +28,15 @@ def _h(salt: str, m: int):
     return F.pmod(F.xxhash64(F.col("id"), F.lit(salt)), F.lit(m))
 
 
+def _json_quote(c):
+    """JSON-string-encode an existing STRING column (escapes + outer
+    quotes). to_json only accepts containers, so serialize a 1-element
+    array and slice off the brackets — yields the double-encoded
+    json_metadata shape of the reference (comments.js:28-29)."""
+    arr = F.to_json(F.array(c))
+    return arr.substr(F.lit(2), F.length(arr) - 2)
+
+
 def ops_from_json(spark: SparkSession, path: str) -> DataFrame:
     """Load an op stream from JSON lines files (the shape an RPC
     fetch step would write)."""
@@ -66,7 +75,7 @@ def synthesize_ops(
     )
     # ~20% double-encoded, ~10% invalid — reference F2 fallback cases.
     meta = (
-        F.when(_h("enc", 10) < 2, F.to_json(meta_tags))
+        F.when(_h("enc", 10) < 2, _json_quote(meta_tags))
         .when(_h("enc", 10) == 2, F.lit("{not json"))
         .otherwise(meta_tags)
     )

@@ -26,8 +26,21 @@ from chain_sync_spark.sync.merge import (
     keep_target,
     max_of,
     merge_parquet,
+    recover_table,
     set_union,
     take_source,
+)
+
+
+# Full posts-table schema (comments.js:150-160 upsert doc + the
+# mutable fields added by later merges) so an engine that has not yet
+# written any posts still exposes a typed empty relation — the
+# reference tolerates votes arriving before any post exists.
+POSTS_SCHEMA = (
+    "post_id long, author string, permlink string, text_title string,"
+    " text_body string, parent_permlink string, tags array<string>,"
+    " image array<string>, stockimage_tags string, timestamp timestamp,"
+    " year int, month int, upvotes array<string>, downvotes array<string>"
 )
 
 
@@ -50,9 +63,10 @@ class SyncEngine:
         return os.path.join(self.store_dir, "checkpoint")
 
     def existing_posts(self) -> DataFrame:
+        recover_table(self.posts_dir)
         if os.path.exists(self.posts_dir):
             return self.spark.read.parquet(self.posts_dir)
-        return self.spark.createDataFrame([], "post_id long")
+        return self.spark.createDataFrame([], POSTS_SCHEMA)
 
     def process_batch(self, ops: DataFrame) -> None:
         """One sync round over an op-stream micro-batch."""

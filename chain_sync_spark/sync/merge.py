@@ -53,6 +53,19 @@ def set_union(t: Column, s: Column) -> Column:
     )
 
 
+def recover_table(target_dir: str) -> None:
+    """Crash recovery for `_atomic_overwrite`'s swap window: if a
+    crash left the table absent but a `.old` backup present, restore
+    the backup; stale `.staging` output is always discarded."""
+    staging = target_dir.rstrip("/") + ".staging"
+    backup = target_dir.rstrip("/") + ".old"
+    if not os.path.exists(target_dir) and os.path.exists(backup):
+        os.rename(backup, target_dir)
+    for leftover in (staging, backup):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+
 def merge_parquet(
     spark: SparkSession,
     target_dir: str,
@@ -60,16 +73,28 @@ def merge_parquet(
     key_cols: list[str],
     merge_exprs: dict[str, MergeExpr] | None = None,
     partition_cols: list[str] | None = None,
+    partition_source: DataFrame | None = None,
 ) -> None:
     """MERGE `updates` into the parquet table at `target_dir`.
 
     Columns present in target but not in updates are preserved;
     columns in updates but not target are added (NULL for old rows).
+
+    `partition_source` (optional): a slim (key_cols + partition_cols)
+    mapping of where each existing key currently lives — e.g. a
+    maintained index table. When omitted it is derived from the
+    target (column-pruned scan).
     """
     merge_exprs = merge_exprs or {}
     partition_cols = partition_cols or []
+    recover_table(target_dir)
 
     if not os.path.exists(target_dir):
+        if updates.isEmpty():
+            # Never materialize a zero-row table: a partitioned
+            # overwrite of 0 rows writes only _SUCCESS and later
+            # reads fail with UNABLE_TO_INFER_SCHEMA.
+            return
         writer = updates.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
@@ -80,6 +105,25 @@ def merge_parquet(
 
     untouched = None
     if partition_cols:
+        # An update for an existing key must land in the partition
+        # the key currently lives in — otherwise a post edited in a
+        # later month would be merged only into the new partition and
+        # the stale copy in the old one would survive (duplicate key).
+        part_map = (
+            partition_source
+            if partition_source is not None
+            else target.select(*key_cols, *partition_cols)
+        ).alias("pm")
+        u = updates.alias("u")
+        cond = [F.col(f"u.{k}").eqNullSafe(F.col(f"pm.{k}")) for k in key_cols]
+        updates = u.join(part_map, cond, "left").select(
+            *[
+                F.coalesce(F.col(f"pm.{c}"), F.col(f"u.{c}")).alias(c)
+                if c in partition_cols
+                else F.col(f"u.{c}").alias(c)
+                for c in updates.columns
+            ]
+        )
         # Partition-pruned merge: only read/rewrite touched partitions.
         touched = [r.asDict() for r in updates.select(*partition_cols).distinct().collect()]
         if not touched:

@@ -125,6 +125,86 @@ def test_cross_batch_vote_accumulation_and_last_active(spark, tmp_path, ops_batc
     assert read_cursor(spark, f"{tmp_path}/checkpoint") == 12
 
 
+def test_vote_only_first_round(spark, tmp_path):
+    """Votes arriving before any post exists must be dropped without
+    crashing, and no zero-row posts table may be materialized."""
+    import os
+    eng = SyncEngine(spark, str(tmp_path))
+    ops = spark.createDataFrame(
+        [_op(1, TS, "vote", _vote("v1", "alice", "p1", 100))], OP_STREAM_SCHEMA
+    )
+    eng.run(ops, batch_size=10)
+    assert not os.path.exists(f"{tmp_path}/posts")
+    # the voter's last_active still lands in accounts
+    assert _accounts(spark, tmp_path).filter(F.col("name") == "v1").count() == 1
+    # a later round with a real post works against the absent table
+    ops2 = spark.createDataFrame(
+        [_op(2, TS, "comment", _comment("alice", "p1"))], OP_STREAM_SCHEMA
+    )
+    eng.run(ops2, batch_size=10)
+    assert _posts(spark, tmp_path).count() == 1
+
+
+def test_cross_partition_edit_keeps_single_row(spark, tmp_path, ops_batch1):
+    """An edit whose timestamp falls in a later month must land in the
+    partition the post already lives in — one row per post_id."""
+    eng = SyncEngine(spark, str(tmp_path))
+    eng.run(ops_batch1, batch_size=10)
+    batch2 = spark.createDataFrame(
+        [_op(20, "2024-05-02 09:00:00", "comment", _comment("alice", "p1", body="moved"))],
+        OP_STREAM_SCHEMA,
+    )
+    eng.run(batch2, batch_size=10)
+    p1 = _posts(spark, tmp_path).filter(F.col("permlink") == "p1").collect()
+    assert len(p1) == 1
+    assert p1[0]["text_body"] == "moved"
+    # stays in the original (2024, 3) partition; votes preserved
+    assert (p1[0]["year"], p1[0]["month"]) == (2024, 3)
+    assert p1[0]["upvotes"] == ["v1"]
+
+
+def test_crash_recovery_restores_backup(spark, tmp_path, ops_batch1):
+    """A crash between the two renames of _atomic_overwrite leaves
+    only the .old backup; the next round must restore and proceed."""
+    import os
+    import shutil
+    eng = SyncEngine(spark, str(tmp_path))
+    eng.run(ops_batch1, batch_size=10)
+    posts_dir = f"{tmp_path}/posts"
+    os.rename(posts_dir, posts_dir + ".old")       # simulate mid-swap crash
+    os.makedirs(posts_dir + ".staging/garbage")    # stale staging output
+    batch2 = spark.createDataFrame(
+        [_op(20, TS, "vote", _vote("v9", "alice", "p1", 100))], OP_STREAM_SCHEMA
+    )
+    eng.run(batch2, batch_size=10)
+    assert not os.path.exists(posts_dir + ".old")
+    assert not os.path.exists(posts_dir + ".staging")
+    p1 = _posts(spark, tmp_path).filter(F.col("permlink") == "p1").first()
+    assert "v9" in p1["upvotes"]
+    shutil.rmtree(posts_dir + ".staging", ignore_errors=True)
+
+
+def test_synthesize_ops_smoke(spark):
+    """The demo op-stream source must produce parseable payloads of
+    every type, including double-encoded metadata (reference F2)."""
+    import json as _json
+    from chain_sync_spark.sources.blocks import synthesize_ops
+    from chain_sync_spark.sync.classify import classify
+    ops = synthesize_ops(spark, n_blocks=20, ops_per_block=10)
+    rows = ops.collect()
+    assert len(rows) == 200
+    kinds = {r["op_type"] for r in rows}
+    assert kinds == {"comment", "vote", "account_update", "custom_json"}
+    typed = classify(ops)
+    comments = typed["comment"].collect()
+    assert comments and all(c["author"] for c in comments)
+    metas = [c["json_metadata"] for c in comments]
+    double_encoded = [m for m in metas if m and m.startswith('"')]
+    assert double_encoded, "expected some double-encoded json_metadata"
+    inner = _json.loads(_json.loads(double_encoded[0]))
+    assert "tags" in inner and "image" in inner
+
+
 def test_mutings(spark, tmp_path):
     eng = SyncEngine(spark, str(tmp_path))
     ops = spark.createDataFrame(
