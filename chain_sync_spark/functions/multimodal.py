@@ -1,0 +1,111 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as `binary` columns with
+a typed metadata struct — the lakehouse-standard layout (content
+column + sidecar metadata), so Spark never interprets the bytes until
+an explicit decode step. The decode itself is a `mapInPandas` stage:
+Arrow-batched, schema-stable, partition-parallel. The actual codec
+libraries (PIL / torchaudio / av) are NOT present in this
+environment, so the codec call is isolated behind `decode_media`:
+real decoding raises NotImplementedError with a clear message, and a
+deterministic fake decoder (md5-seeded) stands in so the Spark-side
+plumbing — schema, batching, UDF signature, partitioning — is real
+and tested end to end.
+
+Scale notes: payload bytes never shuffle (decode happens where the
+row lives, mapInPandas preserves partitioning); feature extraction
+emits fixed-width float vectors so downstream similarity ops (see
+operators/llm_pipeline.py) apply unchanged; Arrow batch size bounds
+executor memory per batch regardless of payload size distribution.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary,"
+    " meta struct<width:int, height:int, format:string>"
+)
+
+FEATURE_DIM = 8
+FEATURES_SCHEMA = f"media_id long, n_bytes int, features array<float>"
+
+_FAKE_DECODE = True  # no codec libs in this container — see module docstring
+
+
+def decode_media(payload: bytes, kind: str) -> list[float]:
+    """Decode one payload into a fixed-width feature vector.
+
+    Real implementation would dispatch on `kind` to PIL (image),
+    soundfile (audio), or av (video frame sampling). Those libraries
+    are unavailable here, so the deterministic fake derives features
+    from the md5 digest — stable across runs and engines, preserving
+    testability of everything around the codec."""
+    if not _FAKE_DECODE:  # pragma: no cover — flipped on real deployments
+        raise NotImplementedError(
+            f"real {kind} decoding requires codec libraries (PIL/soundfile/av) "
+            "not present in this environment"
+        )
+    digest = hashlib.md5(payload or b"").digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """View the documents table through the media layout: UTF-8 bytes
+    as the payload, metadata derived from document properties. This is
+    the ingestion shape a real image/audio table would have."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit("utf-8").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature-extraction stage: (media_id, kind, payload)
+    → (media_id, n_bytes, features[FEATURE_DIM]). Arrow-batched; one
+    python process per partition, no shuffle."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decode_media(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _batches, schema=FEATURES_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stub for video payloads: emits one row per
+    sampled "frame" offset (1→N fan-out via posexplode over an offset
+    sequence — pure column ops; the per-frame decode would plug into
+    decode_media). Demonstrates the explode-shaped multimodal op."""
+    n = F.length(F.col("payload"))
+    offsets = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes)
+    )
+    return media.select(
+        "media_id",
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )

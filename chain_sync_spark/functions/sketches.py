@@ -1,0 +1,231 @@
+"""Sketch / fingerprint primitives for the LLM-data-pipeline operators.
+
+Everything here is pure Catalyst column expressions (no Python UDFs):
+normalization, shingling, MinHash signatures, SimHash fingerprints,
+and a portable 60-bit hash that produces bit-identical values in
+Spark and DuckDB — the cross-engine contract the oracle checks rely
+on:
+
+    Spark :  conv(substr(md5(x), 1, 15), 16, 10)   (cast to long)
+    DuckDB:  ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+Both take the top 60 bits of the md5 hex digest, so minima, band
+buckets and bit arithmetic agree across engines. For MinHash we go
+one step simpler: the *hex digest string itself* is uniform and
+totally ordered, so per-seed minima over md5 strings are engine-
+independent without any numeric conversion.
+
+Design for 100 TB: every function here is embarrassingly parallel
+per-row column work (whole-stage codegen, no shuffle). The shuffles
+happen only in the candidate-pair joins built on top (band-bucket
+self-joins — never all-pairs), see operators/llm_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Portable hashing
+# ---------------------------------------------------------------------------
+
+HASH_BITS = 60  # 15 hex chars of md5 — fits a BIGINT in both engines
+
+
+def hash60(c: Column) -> Column:
+    """Portable 60-bit integer hash of a string column."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB rendering of the same 60-bit hash."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Text normalization / tokenization
+# ---------------------------------------------------------------------------
+
+def normalize_text(c: Column) -> Column:
+    """lowercase, strip non-alphanumerics, collapse runs of spaces."""
+    t = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(t, " +", " "))
+
+
+NORMALIZE_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def words(c: Column) -> Column:
+    """Whitespace tokens of a normalized text column (no empties)."""
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+WORDS_SQL = "list_filter(string_split({c}, ' '), t -> t <> '')"
+
+
+def word_shingles(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; empty array when < n words.
+    1-based indices to mirror the DuckDB rendering exactly."""
+    gram = lambda j: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, j + i) for i in range(n)]
+    )
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), gram)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles_sql(w: str, n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"{w}[j + {i}]" for i in range(n))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({w}) - {n - 2}), j -> {gram})) "
+        f"ELSE [] END"
+    )
+
+
+def char_ngrams(t: Column, n: int = 4) -> Column:
+    """Distinct character n-grams of a normalized text column."""
+    return F.when(
+        F.length(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: F.substring(t, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams_sql(t: str, n: int = 4) -> str:
+    return (
+        f"CASE WHEN length({t}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, length({t}) - {n - 2}), i -> substr({t}, i, {n}))) "
+        f"ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash (string-minimum variant — portable with zero numeric casts)
+# ---------------------------------------------------------------------------
+
+def minhash_sig(shingles: Column, seed: int) -> Column:
+    """One MinHash signature: min md5-hex over salted shingles."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+    )
+
+
+def minhash_sig_sql(shingles: str, seed: int) -> str:
+    return f"list_min(list_transform({shingles}, s -> md5(s || '#{seed}')))"
+
+
+def band_key(sigs: list[Column]) -> Column:
+    """Collapse one band's signatures into a single join key."""
+    return F.md5(F.concat_ws("|", *sigs))
+
+
+def band_key_sql(sigs: list[str]) -> str:
+    return "md5(" + " || '|' || ".join(sigs) + ")"
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, term-frequency weighted)
+# ---------------------------------------------------------------------------
+# The bit-shift-by-lambda-variable forms only exist in SQL (the Python
+# wrappers take int shift amounts), so the fingerprint is authored as
+# a SQL expression over a named tokens column — still a single
+# codegen'd Catalyst expression, no UDF, no shuffle.
+
+_SIMHASH_EXPR = f"""
+aggregate(
+  zip_with(
+    aggregate(
+      {{toks}},
+      array_repeat(0L, {HASH_BITS}),
+      (acc, t) -> zip_with(
+        acc,
+        transform(
+          sequence(0, {HASH_BITS - 1}),
+          b -> IF((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) >> b) & 1 = 1, 1L, -1L)
+        ),
+        (x, y) -> x + y
+      )
+    ),
+    sequence(0, {HASH_BITS - 1}),
+    (c, b) -> IF(c > 0, shiftleft(1L, cast(b as int)), 0L)
+  ),
+  0L,
+  (s, v) -> s + v
+)
+"""
+
+
+def simhash60(toks_col_name: str) -> Column:
+    """60-bit SimHash fingerprint of a tokens (array<string>) column:
+    per token, each hash bit votes +1/-1; positive bit-sums set the
+    fingerprint bit. Token multiplicity counts (tf-weighted)."""
+    return F.expr(_SIMHASH_EXPR.format(toks=toks_col_name))
+
+
+def simhash60_sql(docs_cte: str, toks: str) -> str:
+    """DuckDB rendering via explode + two grouped aggregations (the
+    set semantics match the Spark fold exactly)."""
+    return f"""
+    sh_toks AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM {docs_cte}
+    ),
+    sh_hashed AS (
+      SELECT doc_id, {hash60_sql('tok')} AS h FROM sh_toks
+    ),
+    sh_bits AS (
+      SELECT doc_id, bb.b AS b,
+             SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM sh_hashed, (SELECT unnest(range(0, {HASH_BITS})) AS b) bb
+      GROUP BY 1, 2
+    ),
+    sh_fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS fingerprint
+      FROM sh_bits GROUP BY 1
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding vector math
+# ---------------------------------------------------------------------------
+
+def vec_double(c: Column) -> Column:
+    """array<float> → array<double> (all math runs in double)."""
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold — same order DuckDB's
+    list_sum uses, so rounded results agree cross-engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    norm = lambda v: f"sqrt(list_sum(list_transform({v}, x -> x::DOUBLE * x::DOUBLE)))"  # noqa: E731
+    return f"({dot_sql(a, b)} / ({norm(a)} * {norm(b)}))"

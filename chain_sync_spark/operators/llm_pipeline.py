@@ -1,0 +1,745 @@
+"""LLM-training-data pipeline operators (north-star ⊕ family).
+
+Deduplication, near-duplicate detection, embedding similarity search,
+and text analysis over the `documents` / `embeddings` tables — the
+operator family a 100 TB training-data pipeline needs on top of the
+relational surface. Reference parity: the reference engine
+(hive-discover/chain-sync) has no analog; these are mandated by the
+north star (BASELINE.json) and SURVEY.md §2.8 ⊕.
+
+Scale design (the whole point of this family):
+
+* Candidate generation is ALWAYS bucketed — MinHash band-bucket
+  self-join, SimHash band buckets, LSH hyperplane buckets, df-capped
+  inverted lists. Never an all-pairs cartesian: at N documents the
+  candidate join is O(N · bucket_width), not O(N²).
+* Per-document sketches (MinHash sigs, SimHash fingerprints, n-gram
+  sets, quality stats) are pure column expressions — embarrassingly
+  parallel, whole-stage codegen, zero shuffle.
+* The only shuffles are the bucket joins and final aggregations, all
+  on high-cardinality keys (band hash, bucket id) that distribute
+  evenly by construction (they are hashes).
+
+Cross-engine determinism: every constant (seeds, band layout,
+stopword sets, hyperplanes) lives in this module and is rendered into
+BOTH the Spark plan and the DuckDB oracle SQL, and all hashing goes
+through the portable md5-based primitives in functions/sketches.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chain_sync_spark.functions import multimodal as mm
+from chain_sync_spark.functions import sketches as sk
+from chain_sync_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Shared constants (rendered into both engines)
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 16          # MinHash signatures
+N_BANDS = 4             # LSH bands (rows per band = N_MINHASH / N_BANDS)
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+SIMHASH_BAND_BITS = 15  # 60-bit fingerprint → 4 bands of 15 bits
+SIMHASH_BANDS = sk.HASH_BITS // SIMHASH_BAND_BITS
+
+NGRAM_N = 4             # char n-gram size
+NGRAM_DF_CAP = 50       # drop n-grams appearing in more docs (stop-grams)
+NGRAM_MIN_JACCARD = 0.5
+
+ANN_QUERIES = 10        # vec_id < ANN_QUERIES form the query set
+ANN_TOPK = 5
+LSH_PLANES = 12         # random-hyperplane bits → 4096 buckets
+EMB_DIM = 64
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "des", "un"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr")  # deterministic tie-break order
+
+
+def _hyperplane(h: int, d: int) -> int:
+    """Deterministic ±1 hyperplane entry from md5 — the same literal
+    matrix is embedded in the Spark plan and the oracle SQL."""
+    return 1 if hashlib.md5(f"hp{h}:{d}".encode()).digest()[0] & 1 else -1
+
+
+HYPERPLANES = [[_hyperplane(h, d) for d in range(EMB_DIM)] for h in range(LSH_PLANES)]
+
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + normalized text + word tokens."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.withColumn("t", sk.normalize_text(F.col("text"))).withColumn(
+        "w", sk.words(F.col("t"))
+    )
+
+
+_NORM_CTE = f"""
+docs_norm AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         {sk.NORMALIZE_SQL.format(c='text')} AS t
+  FROM documents
+),
+docs_words AS (
+  SELECT *, {sk.WORDS_SQL.format(c='t')} AS w FROM docs_norm
+)"""
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct word-trigram shingle set (docs with ≥ 3 words)."""
+    d = _docs_norm(spark, sf_dir).withColumn("sh", sk.word_shingles(F.col("w"), 3))
+    return d.filter(F.size("sh") > 0).select("doc_id", "sh")
+
+
+_SHINGLE_CTE = (
+    _NORM_CTE
+    + f""",
+docs_sh AS (
+  SELECT doc_id, {sk.word_shingles_sql('w', 3)} AS sh FROM docs_words
+),
+sh AS (
+  SELECT doc_id, sh FROM docs_sh WHERE len(sh) > 0
+)"""
+)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 over normalized text groups byte-identical
+    documents; keep the lowest doc_id per group, report group size.
+
+    Scale: one hash-partitioned groupBy on a 128-bit key — partial
+    aggregation map-side, shuffle carries (key, min, count) only.
+    """
+    d = _docs_norm(spark, sf_dir).withColumn("dup_key", F.md5(F.col("t")))
+    w = Window.partitionBy("dup_key")
+    return (
+        d.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dup_key", "n_copies", "lang", "source")
+    )
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH {_NORM_CTE.lstrip()}
+SELECT doc_id, md5(t) AS dup_key,
+       COUNT(*) OVER (PARTITION BY md5(t)) AS n_copies, lang, source
+FROM docs_norm
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Near-dup: MinHash + LSH band-bucket join
+# ---------------------------------------------------------------------------
+
+def neardup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
+    verification: shingle → {N_MINHASH} md5-min signatures → {N_BANDS}
+    band keys → band-bucket self-join (candidates = docs sharing a
+    band) → exact Jaccard over the shingle sets.
+
+    Scale: the self-join key is (band_idx, band_hash) — uniformly
+    distributed; candidate volume is O(N · collisions), never O(N²).
+    The exact-Jaccard verify re-joins the (doc_id, shingles) relation
+    only for candidate ids (a semi-join-sized input at scale).
+    """
+    shingled = _docs_shingled(spark, sf_dir)
+    sigs = shingled.select(
+        "doc_id",
+        "sh",
+        *[sk.minhash_sig(F.col("sh"), i).alias(f"sig_{i}") for i in range(N_MINHASH)],
+    )
+    band_cols = [
+        sk.band_key(
+            [F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = shingled.alias("sa"), shingled.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n         ".join(
+        f"{sk.minhash_sig_sql('sh', i)} AS sig_{i}" for i in range(N_MINHASH)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        + sk.band_key_sql(
+            [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        )
+        + " AS bkey FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLE_CTE.lstrip()},
+sigs AS (
+  SELECT doc_id, sh,
+         {sig_exprs}
+  FROM sh
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+FROM cand
+JOIN sh sa ON cand.doc_a = sa.doc_id
+JOIN sh sb ON cand.doc_b = sb.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Near-dup: SimHash band buckets + Hamming distance
+# ---------------------------------------------------------------------------
+
+def neardup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit tf-weighted fingerprint per document
+    (pure column fold, no shuffle), split into {SIMHASH_BANDS} bands of
+    {SIMHASH_BAND_BITS} bits; documents sharing any band are candidate
+    pairs, scored by Hamming distance (bit_count of xor).
+
+    Scale: identical shape to MinHash-LSH — banded bucket join. The
+    fingerprint computation itself is one codegen'd expression.
+    """
+    d = _docs_norm(spark, sf_dir).select(
+        "doc_id", sk.simhash60("w").alias("fp")
+    )
+    band_cols = [
+        (F.shiftright(F.col("fp"), b * SIMHASH_BAND_BITS).bitwiseAND(
+            F.lit((1 << SIMHASH_BAND_BITS) - 1)
+        )).alias(f"band_{b}")
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = d.select("doc_id", "fp", *band_cols).select(
+        "doc_id",
+        "fp",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(SIMHASH_BANDS)])).alias(
+            "band_idx", "bval"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _simhash_oracle() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, fingerprint, {b} AS band_idx,"
+        f" (fingerprint >> {b * SIMHASH_BAND_BITS}) & {mask} AS bval FROM sh_fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH {_NORM_CTE.lstrip()},
+{sk.simhash60_sql('docs_words', 'w').lstrip()},
+bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.bval = b.bval AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Near-dup: char n-gram Jaccard via df-capped inverted index
+# ---------------------------------------------------------------------------
+
+def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-{NGRAM_N}-gram Jaccard similarity join: distinct
+    n-gram sets per doc; candidate pairs from an inverted index with a
+    document-frequency cap (n-grams in > {NGRAM_DF_CAP} docs are
+    stop-grams and generate no candidates — the classic posting-list
+    prefilter); exact Jaccard over the full sets; keep pairs ≥
+    {NGRAM_MIN_JACCARD}.
+
+    Scale: candidate volume is Σ_g C(df_g, 2) with df_g ≤ cap, i.e.
+    bounded per posting list; the full-set verify joins only candidate
+    ids. All-pairs never materializes.
+    """
+    d = _docs_norm(spark, sf_dir).select(
+        "doc_id", sk.char_ngrams(F.col("t"), NGRAM_N).alias("g")
+    ).filter(F.size("g") > 0)
+    posting = d.select("doc_id", F.explode("g").alias("gram"))
+    rare = (
+        posting.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("gram")
+    )
+    rare_posting = posting.join(rare, "gram", "left_semi")
+    a, b = rare_posting.alias("a"), rare_posting.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga, gb = d.alias("ga"), d.alias("gb")
+    inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
+    union = F.size(F.col("ga.g")) + F.size(F.col("gb.g")) - inter
+    return (
+        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH {_NORM_CTE.lstrip()},
+grams AS (
+  SELECT doc_id, {sk.char_ngrams_sql('t', NGRAM_N)} AS g FROM docs_norm
+),
+g_ok AS (SELECT doc_id, g FROM grams WHERE len(g) > 0),
+posting AS (SELECT doc_id, unnest(g) AS gram FROM g_ok),
+rare AS (
+  SELECT gram FROM posting GROUP BY gram HAVING COUNT(*) <= {NGRAM_DF_CAP}
+),
+rare_posting AS (
+  SELECT p.doc_id, p.gram FROM posting p JOIN rare r ON p.gram = r.gram
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare_posting a JOIN rare_posting b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
+  FROM cand
+  JOIN g_ok ga ON cand.doc_a = ga.doc_id
+  JOIN g_ok gb ON cand.doc_b = gb.doc_id
+)
+SELECT * FROM scored WHERE jaccard >= {NGRAM_MIN_JACCARD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Similarity search: brute-force cosine top-k (baseline)
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{ANN_TOPK}: vectors with vec_id <
+    {ANN_QUERIES} are the query set, scanned against the full
+    embeddings table. Cosine runs in double via zip_with + sequential
+    fold; ranking uses the ROUNDED score (4 dp) with vec_id
+    tie-break so ordering is engine-independent.
+
+    Scale: the query side is broadcast (bounded), the corpus side is
+    a single pass — the correct baseline plan at any corpus size.
+    For large query sets, switch to the LSH variant below.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sk.cosine(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANN_TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+_COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {ANN_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({sk.cosine_sql('q.qe', 'e.embedding')}, 4) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {ANN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Similarity search: random-hyperplane LSH buckets (scale path)
+# ---------------------------------------------------------------------------
+
+def embedding_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: {LSH_PLANES} deterministic ±1
+    hyperplanes → sign bits → bucket id; candidate pairs only within
+    a bucket, scored with exact cosine. This is the embedding
+    near-duplicate / ANN scale path: bucket count grows 2^planes, the
+    per-bucket join is tiny, and no all-pairs product ever forms.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    bucket = F.lit(0)
+    for h in range(LSH_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[h]])
+        bucket = bucket + F.when(sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)).otherwise(
+            F.lit(0)
+        )
+    bucketed = emb.withColumn("bucket", bucket)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sk.cosine(F.col("a.e"), F.col("b.e")), 4).alias("cos_sim"),
+        )
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    bits = " + ".join(
+        f"CASE WHEN {sk.dot_sql('embedding', f'({HYPERPLANES[h]}::DOUBLE[])')} > 0"
+        f" THEN {1 << h} ELSE 0 END"
+        for h in range(LSH_PLANES)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+)
+SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7–11. Text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): doc counts, char and token
+    statistics. Single hash aggregate with map-side partials."""
+    d = _docs_norm(spark, sf_dir).withColumn("n_tokens", F.size("w"))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+_TEXT_STATS_ORACLE = f"""
+WITH {_NORM_CTE.lstrip()},
+d AS (SELECT *, CAST(len(w) AS INT) AS n_tokens FROM docs_words)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM d GROUP BY 1, 2
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, type-token ratio,
+    stopword ratio, average token length, and a composite score —
+    the standard pre-training corpus filters, all builtin columns."""
+    stop = STOPWORDS["en"]
+    d = _docs_norm(spark, sf_dir)
+    n_tok = F.size("w")
+    n_uniq = F.size(F.array_distinct("w"))
+    n_stop = F.size(F.filter(F.col("w"), lambda t: t.isin(*stop)))
+    # normalized text has single spaces: chars = length - (n_tok - 1)
+    avg_len = (F.length("t") - (n_tok - 1)) / n_tok
+    stop_ratio = n_stop / n_tok
+    score = F.round(
+        F.least(n_tok.cast("double") / 400.0, F.lit(1.0)) * (F.lit(1.0) - stop_ratio), 4
+    )
+    return d.filter(n_tok > 0).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (n_uniq / n_tok).alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH {_NORM_CTE.lstrip()},
+d AS (
+  SELECT doc_id, t, w, len(w) AS n_tok,
+         len(list_distinct(w)) AS n_uniq,
+         len(list_filter(w, x -> x IN {STOPWORDS['en']!r})) AS n_stop
+  FROM docs_words
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       CAST(n_uniq AS DOUBLE) / n_tok AS type_token_ratio,
+       CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+       CAST(length(t) - (n_tok - 1) AS DOUBLE) / n_tok AS avg_token_len,
+       round(least(CAST(n_tok AS DOUBLE) / 400.0, 1.0)
+             * (1.0 - CAST(n_stop AS DOUBLE) / n_tok), 4) AS quality_score
+FROM d WHERE n_tok > 0
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-profile hit counts per language
+    with a fixed priority tie-break; output is the (labelled lang ×
+    predicted lang) confusion matrix. Integer hit counts share one
+    denominator, so the argmax is exact — no float comparisons."""
+    d = _docs_norm(spark, sf_dir)
+
+    def _hits(st: tuple[str, ...]):
+        # single-arg lambda: F.filter treats 2-arg lambdas as (elem, idx)
+        return F.size(F.filter(F.col("w"), lambda t: t.isin(*st)))
+
+    hits = {lang: _hits(st) for lang, st in STOPWORDS.items()}
+    pred = F.lit("und")
+    # build CASE from lowest to highest priority
+    for i, lang in enumerate(reversed(LANG_PRIORITY)):
+        later = list(LANG_PRIORITY)[len(LANG_PRIORITY) - i:]
+        cond = (hits[lang] > 0)
+        for other in later:
+            cond = cond & (hits[lang] >= hits[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    # highest priority wins ties because it is applied last (outermost)
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n         ".join(
+        f"len(list_filter(w, x -> x IN {st!r})) AS hits_{lang}"
+        for lang, st in STOPWORDS.items()
+    )
+    cases = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        others = [o for o in LANG_PRIORITY[i + 1:]]
+        conds = [f"hits_{lang} > 0"] + [f"hits_{lang} >= hits_{o}" for o in others]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH {_NORM_CTE.lstrip()},
+h AS (
+  SELECT lang, w,
+         {hit_cols}
+  FROM docs_words
+)
+SELECT lang, {case_sql} AS pred_lang, COUNT(*) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per document: whitespace tokens and a
+    BPE-style regex tokenization (letter runs / digit runs / single
+    other symbols) — the cheap proxy for tokenizer budgeting."""
+    pattern = r"[a-z0-9]+|[^a-z0-9\s]"
+    docs = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    re_toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(pattern), 0)
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(re_toks).alias("n_re_tokens"),
+    )
+
+
+_TOKEN_COUNT_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS n_re_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: bottom-4 sketch of word-trigram shingle
+    hashes (the order-statistics variant of winnowing fingerprints) —
+    a compact, mergeable identity for near-dup indexing."""
+    d = _docs_norm(spark, sf_dir).withColumn("sh", sk.word_shingles(F.col("w"), 3))
+    hashes = F.sort_array(F.transform(F.col("sh"), lambda s: F.md5(s)))
+    return d.select(
+        "doc_id",
+        F.when(
+            F.size("sh") > 0, F.array_join(F.slice(hashes, 1, 4), "|")
+        ).alias("fingerprint"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH {_NORM_CTE.lstrip()},
+s AS (
+  SELECT doc_id, {sk.word_shingles_sql('w', 3)} AS sh FROM docs_words
+)
+SELECT doc_id,
+       CASE WHEN len(sh) > 0 THEN
+         array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:4], '|')
+       END AS fingerprint
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12–13. Multimodal columns (binary payload + typed metadata)
+# ---------------------------------------------------------------------------
+
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, fully engine-side: documents viewed
+    through the media layout (payload = UTF-8 bytes + metadata
+    struct), with byte length, content hash, and metadata projection.
+    Binary payloads stay opaque — no shuffle touches their content."""
+    media = mm.documents_as_media(table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("int").alias("size_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("meta_width"),
+        F.col("meta.format").alias("meta_format"),
+    )
+
+
+_MM_STATS_ORACLE = """
+SELECT doc_id AS media_id, 'text' AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS size_bytes,
+       md5(text) AS payload_md5,
+       CAST(n_chars AS INT) AS meta_width,
+       'utf-8' AS meta_format
+FROM documents
+"""
+
+
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract stage: Arrow-batched mapInPandas
+    over (media_id, kind, payload) emitting fixed-width float feature
+    vectors (functions/multimodal.py — the codec call is stubbed with
+    a deterministic md5-based fake, so this exact pipeline is
+    oracle-checkable while the real codec slots in unchanged)."""
+    media = mm.documents_as_media(table(spark, sf_dir, "documents"))
+    return mm.extract_features(media)
+
+
+_MM_FEATURES_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       list_transform(range(0, {mm.FEATURE_DIM}),
+                      i -> (('0x' || substr(md5(text), i*2 + 1, 2))::INT / 255.0)::FLOAT) AS features
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "dedup_exact_documents": dedup_exact_documents,
+    "neardup_minhash_bands": neardup_minhash_bands,
+    "neardup_simhash_pairs": neardup_simhash_pairs,
+    "neardup_ngram_jaccard": neardup_ngram_jaccard,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_ann_lsh_pairs": embedding_ann_lsh_pairs,
+    "text_stats_profile": text_stats_profile,
+    "text_quality_score": text_quality_score,
+    "lang_id_confusion": lang_id_confusion,
+    "token_count_regex": token_count_regex,
+    "doc_fingerprint_bottomk": doc_fingerprint_bottomk,
+    "multimodal_binary_stats": multimodal_binary_stats,
+    "multimodal_media_features": multimodal_media_features,
+}
+
+ORACLE = {
+    "dedup_exact_documents": _DEDUP_EXACT_SQL,
+    "neardup_minhash_bands": _minhash_oracle(),
+    "neardup_simhash_pairs": _simhash_oracle(),
+    "neardup_ngram_jaccard": _NGRAM_ORACLE,
+    "embedding_cosine_topk": _COSINE_TOPK_ORACLE,
+    "embedding_ann_lsh_pairs": _ann_lsh_oracle(),
+    "text_stats_profile": _TEXT_STATS_ORACLE,
+    "text_quality_score": _QUALITY_ORACLE,
+    "lang_id_confusion": _lang_id_oracle(),
+    "token_count_regex": _TOKEN_COUNT_ORACLE,
+    "doc_fingerprint_bottomk": _FINGERPRINT_ORACLE,
+    "multimodal_binary_stats": _MM_STATS_ORACLE,
+    "multimodal_media_features": _MM_FEATURES_ORACLE,
+}

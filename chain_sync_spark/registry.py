@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = [
     "chain_sync_spark.operators.relational",
     "chain_sync_spark.operators.sync_queries",
+    "chain_sync_spark.operators.llm_pipeline",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Known-answer tests for the LLM-pipeline operator family.
+
+The oracle gate (tools/oracle_check.py) proves Spark==DuckDB on the
+testdata; these tests pin the *semantics* on tiny literal fixtures:
+exact duplicates collapse, identical docs are perfect near-dup pairs,
+disjoint docs produce no candidates, cosine ranks are correct, and
+the multimodal mapInPandas plumbing is deterministic and shape-stable.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chain_sync_spark.functions import multimodal as mm
+from chain_sync_spark.functions import sketches as sk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@pytest.fixture()
+def doc_dir(spark, tmp_path):
+    """Write a tiny documents.parquet so (spark, sf_dir) queries run."""
+    rows = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact dup of 0
+        "the quick brown fox jumps over the lazy cat again and again",  # near dup of 0
+        "completely different words about spark shuffles and parquet files",
+        "Tiny",  # < 3 words → no shingles
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_dedup_exact_collapses_duplicates(spark, doc_dir):
+    from chain_sync_spark.operators.llm_pipeline import dedup_exact_documents
+    out = {r["doc_id"]: r for r in dedup_exact_documents(spark, doc_dir).collect()}
+    assert 1 not in out          # dup of 0 dropped
+    assert out[0]["n_copies"] == 2
+    assert out[3]["n_copies"] == 1
+    assert len(out) == 4
+
+
+def test_minhash_finds_near_dup_not_disjoint(spark, doc_dir):
+    from chain_sync_spark.operators.llm_pipeline import neardup_minhash_bands
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in neardup_minhash_bands(spark, doc_dir).collect()}
+    assert pairs[(0, 1)] == 1.0              # identical → jaccard 1
+    assert (0, 3) not in pairs               # disjoint docs never collide
+    for (a, b), j in pairs.items():
+        assert 0.0 < j <= 1.0 and a < b
+
+
+def test_simhash_identical_docs_hamming_zero(spark, doc_dir):
+    from chain_sync_spark.operators.llm_pipeline import neardup_simhash_pairs
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in neardup_simhash_pairs(spark, doc_dir).collect()}
+    assert pairs[(0, 1)] == 0                # identical text → identical fingerprint
+    if (0, 2) in pairs:                      # near dup, small distance when bucketed
+        assert pairs[(0, 2)] < 20
+
+
+def test_ngram_jaccard_threshold(spark, doc_dir):
+    from chain_sync_spark.operators.llm_pipeline import neardup_ngram_jaccard
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in neardup_ngram_jaccard(spark, doc_dir).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert all(j >= 0.5 for j in pairs.values())
+    assert (0, 3) not in pairs
+
+
+def test_cosine_topk_ranks_self_neighbors(spark, tmp_path):
+    from chain_sync_spark.operators.llm_pipeline import embedding_cosine_topk
+    # vec 0 ∥ vec 10 (scaled copy → cos 1), vec 0 ⟂ vec 11
+    dim = 64
+    def v(*pairs):
+        out = [0.0] * dim
+        for i, x in pairs:
+            out[i] = x
+        return out
+    rows = [(0, v((0, 1.0)), 0), (10, v((0, 2.0)), 0), (11, v((1, 1.0)), 0),
+            (12, v((0, 1.0), (1, 1.0)), 0)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = embedding_cosine_topk(spark, str(tmp_path)).collect()
+    q0 = sorted([r for r in out if r["query_id"] == 0], key=lambda r: r["rk"])
+    assert q0[0]["neighbor_id"] == 10 and q0[0]["cos_sim"] == 1.0
+    assert q0[1]["neighbor_id"] == 12 and abs(q0[1]["cos_sim"] - 0.7071) < 1e-9
+    assert q0[2]["neighbor_id"] == 11 and q0[2]["cos_sim"] == 0.0
+
+
+def test_multimodal_features_deterministic_and_shaped(spark, doc_dir):
+    from chain_sync_spark.operators.llm_pipeline import multimodal_media_features
+    a = multimodal_media_features(spark, doc_dir).collect()
+    b = multimodal_media_features(spark, doc_dir).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))  # deterministic
+    for r in a:
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_frame_sampling_fanout(spark, doc_dir):
+    docs = spark.read.parquet(f"{doc_dir}/documents.parquet")
+    media = mm.documents_as_media(docs)
+    frames = mm.sample_frames(media, every_n_bytes=16).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["byte_offset"])
+    # one frame per 16 bytes, offsets are the arithmetic sequence
+    sizes = {r["media_id"]: len(r["payload"]) for r in media.collect()}
+    for mid, offs in by_media.items():
+        assert offs == list(range(0, sizes[mid], 16))
+
+
+def test_decode_media_stub_contract():
+    f1 = mm.decode_media(b"payload-bytes", "image")
+    f2 = mm.decode_media(b"payload-bytes", "image")
+    assert f1 == f2 and len(f1) == mm.FEATURE_DIM
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """The cross-engine contract every sketch relies on."""
+    import duckdb
+    vals = ["hello", "spark", "a b c", ""]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in sdf.select("s", sk.hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        expect = con.execute(
+            f"SELECT {sk.hash60_sql('?')}", [v]
+        ).fetchone()[0]
+        assert got[v] == expect, v
