@@ -1,0 +1,122 @@
+"""Scalar-surface queries closing SURVEY.md §2.6 ⊕ holes: explode,
+map functions, and math functions. (String functions, JSON
+extraction, higher-order array functions, and date bucketing are
+covered in operators/relational.py; calendar arithmetic in
+operators/temporal.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chain_sync_spark.tables import table
+
+
+def explode_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (the #1 nested-data verb): token frequency and document
+    frequency across the corpus. explode → two-level aggregate;
+    map-side partial aggregation keeps the shuffle to (token,
+    partial) pairs."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+_EXPLODE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks GROUP BY 1
+"""
+
+
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions over the JSON props column decoded to
+    map<string,int>: map_keys / element_at / contains, aggregated per
+    event type."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    proj = ev.select(
+        "event_type",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+    return proj.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("k_val").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
+        F.sum("k_val").alias("sum_k"),
+        F.max("n_keys").alias("max_keys"),
+    )
+
+
+_MAP_FUNCS_ORACLE = """
+WITH proj AS (
+  SELECT event_type,
+         CAST(len(json_keys(props)) AS INT) AS n_keys,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN k_val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(SUM(k_val) AS BIGINT) AS sum_k,
+       MAX(n_keys) AS max_keys
+FROM proj GROUP BY 1
+"""
+
+
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface: round/abs/floor/ceil/pow/sqrt/pmod.
+    Money math routes through DECIMAL (exact) before rounding; the
+    IEEE functions (pow/sqrt) are bit-identical across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_amt = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(18,2)")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(disc_amt, 2).cast("double").alias("discount_amount"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor(F.col("l_quantity") / 7).cast("long").alias("qty_bucket"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        F.pow(F.col("l_quantity"), 2).alias("qty_sq"),
+        F.sqrt(F.col("l_extendedprice")).alias("price_sqrt"),
+        F.pmod(F.col("l_orderkey"), 97).alias("key_mod"),
+    )
+
+
+_MATH_FUNCS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS discount_amount,
+       abs(l_quantity - 25) AS qty_dev,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS qty_bucket,
+       CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+       pow(l_quantity, 2) AS qty_sq,
+       sqrt(l_extendedprice) AS price_sqrt,
+       CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "explode_token_frequency": explode_token_frequency,
+    "map_funcs_events": map_funcs_events,
+    "math_funcs_lineitem": math_funcs_lineitem,
+}
+
+ORACLE = {
+    "explode_token_frequency": _EXPLODE_ORACLE,
+    "map_funcs_events": _MAP_FUNCS_ORACLE,
+    "math_funcs_lineitem": _MATH_FUNCS_ORACLE,
+}

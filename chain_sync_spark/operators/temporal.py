@@ -1,0 +1,174 @@
+"""Event-time windows + calendar arithmetic (SURVEY.md §2.7 ⊕, §2.6 ⊕).
+
+Tumbling / sliding / session windows over the `events` stream table —
+the batch expression of Structured Streaming's window semantics (the
+same `window()` / `session_window()` functions drive the streaming
+path in chain_sync_spark.streaming). DuckDB oracles reconstruct each
+window assignment explicitly (time_bucket for fixed windows,
+gaps-and-islands for sessions), which also documents the exact
+semantics we guarantee:
+
+  * fixed windows are epoch-aligned, [start, end)
+  * a (10 min, 5 min) sliding window assigns each event to exactly 2
+    windows: the 5-min bucket and its predecessor
+  * a session extends while the gap to the previous event is < the
+    gap duration; session end = last event + gap
+
+Scale: window aggregation is a single hash aggregate on (window,
+keys) — map-side partials, no skew (time buckets distribute), and at
+100 TB the events scan prunes on any date-range predicate first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chain_sync_spark.tables import table
+
+
+def _dec(c) -> F.Column:
+    return c.cast("decimal(18,2)")
+
+
+def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type."""
+    ev = table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes")
+    return (
+        ev.groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
+       time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '10 minutes' AS win_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in
+    exactly two windows)."""
+    ev = table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, value FROM e
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS win_start, value FROM e
+)
+SELECT win_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY 1
+"""
+
+
+def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user: a session extends while
+    consecutive events are < 30 minutes apart; end = last + gap."""
+    ev = table(spark, sf_dir, "events")
+    w = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(w.alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+def date_math_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface (§2.6 ⊕): date_add / datediff /
+    trunc / last_day over order dates."""
+    orders = table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_ref"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+_DATE_MATH_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(DATE '1998-12-31' - CAST(o_orderdate AS DATE) AS INT) AS days_to_ref,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+"""
+
+
+QUERIES = {
+    "window_tumbling_events": window_tumbling_events,
+    "window_sliding_events": window_sliding_events,
+    "window_session_events": window_session_events,
+    "date_math_orders": date_math_orders,
+}
+
+ORACLE = {
+    "window_tumbling_events": _TUMBLING_ORACLE,
+    "window_sliding_events": _SLIDING_ORACLE,
+    "window_session_events": _SESSION_ORACLE,
+    "date_math_orders": _DATE_MATH_ORACLE,
+}

@@ -11,6 +11,8 @@ _MODULES = [
     "chain_sync_spark.operators.relational",
     "chain_sync_spark.operators.sync_queries",
     "chain_sync_spark.operators.llm_pipeline",
+    "chain_sync_spark.operators.temporal",
+    "chain_sync_spark.operators.scalars",
 ]
 
 
