@@ -1,0 +1,88 @@
+"""Structured Streaming runtime for the sync engine (SURVEY.md §2.7).
+
+The reference's main loop is a hand-rolled micro-batch consumer:
+fetch a block range, transform, upsert, advance cursor, sleep ~3 s
+(listener.js:157-195). Structured Streaming provides that contract
+natively — source offsets replace the block cursor, triggers replace
+the sleep loop, and `foreachBatch` hands each micro-batch to the
+exact same handler/MERGE pipeline the batch engine uses. One code
+path, two runtimes.
+
+Also here: event-time windowed aggregation with watermarks — the
+streaming form of operators/temporal.py's window queries. Late rows
+older than the watermark are dropped; closed windows emit in append
+mode (at-least-once into an idempotent keyed sink = effectively
+exactly-once, same argument as the batch engine).
+
+Scale notes: a file/Kafka source shards micro-batches across
+executors; the stateful window aggregation keeps per-window partial
+state in the state store keyed by (window, group keys) — bounded by
+the watermark horizon, not the stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from chain_sync_spark.sources.blocks import OP_STREAM_SCHEMA
+
+
+def stream_ops_from_json(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming op source: the JSON-lines directory an RPC fetch
+    stage appends to (S1's streaming form)."""
+    reader = spark.readStream.schema(OP_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def windowed_op_counts(
+    ops: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling window counts per op type with a late-data
+    watermark — the streaming twin of window_tumbling_events."""
+    w = F.window("ts", window)
+    return (
+        ops.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), F.col("op_type"))
+        .agg(F.count(F.lit(1)).alias("n_ops"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "op_type",
+            "n_ops",
+        )
+    )
+
+
+def run_stream_sync(
+    engine,
+    ops: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Drive a SyncEngine from a streaming op source: every
+    micro-batch flows through the same process_batch → MERGE path as
+    the batch loop. Offsets/commits live in the streaming checkpoint;
+    the merges are idempotent, so at-least-once delivery is safe
+    (reference crash-replay contract).
+
+    `available_now=True` processes everything currently in the source
+    then stops — the reference's STOP_BLOCK_NUMBER backfill mode.
+    """
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        engine.process_batch(batch_df)
+
+    writer = (
+        ops.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -5,6 +5,24 @@ handler transforms → MERGE into posts/accounts tables → advance
 cursor. Delivery is at-least-once with idempotent keyed MERGE
 (re-running a round is a no-op), exactly the reference's
 crash-replay contract (SURVEY.md §1.3).
+
+Scale design (100 TB):
+
+* **posts_index** — a slim, hash-bucketed (post_id → year, month)
+  table maintained alongside the posts table. The per-round vote
+  existence probe (J1) and all partition resolution run against this
+  index, never against the full posts table: per-round read cost is
+  O(index), not O(posts). The index merge itself is partition-pruned
+  on `pmod(post_id, N_INDEX_BUCKETS)`.
+* **accounts bucketing** — accounts are partitioned by a stable hash
+  bucket of the name, so the per-round accounts MERGE rewrites only
+  the buckets the batch touches instead of the whole table.
+* Each merge consumes its updates plan once (merge.py caches across
+  the touched-partition scan and the final write), and empty op
+  sub-streams short-circuit before any join.
+* P3/P4 stream guards (listener.js:114,128-132): empty batches skip
+  handler work; malformed ops (null payload/type) abort the round
+  before any merge, so the cursor never advances past bad data.
 """
 
 from __future__ import annotations
@@ -20,6 +38,7 @@ from chain_sync_spark.sync.classify import classify
 from chain_sync_spark.sync.handlers import (
     account_activity_upserts,
     comments_to_post_upserts,
+    replies_to_tag_updates,
     votes_to_vote_upserts,
 )
 from chain_sync_spark.sync.merge import (
@@ -31,7 +50,6 @@ from chain_sync_spark.sync.merge import (
     take_source,
 )
 
-
 # Full posts-table schema (comments.js:150-160 upsert doc + the
 # mutable fields added by later merges) so an engine that has not yet
 # written any posts still exposes a typed empty relation — the
@@ -40,8 +58,23 @@ POSTS_SCHEMA = (
     "post_id long, author string, permlink string, text_title string,"
     " text_body string, parent_permlink string, tags array<string>,"
     " image array<string>, stockimage_tags string, timestamp timestamp,"
-    " year int, month int, upvotes array<string>, downvotes array<string>"
+    " jobs map<string,string>, upvotes array<string>,"
+    " downvotes array<string>, muted_in_community boolean,"
+    " year int, month int"
 )
+
+INDEX_SCHEMA = "post_id long, year int, month int, bucket int"
+
+# Bucket counts are layout constants: sized so one bucket of the
+# target table fits an executor comfortably at the design scale
+# (1e9 accounts / 64 ≈ 16M rows/bucket; the posts index is 3 columns,
+# 1e9 posts / 64 ≈ 16M rows/bucket ≈ a few hundred MB).
+N_INDEX_BUCKETS = 64
+N_ACCOUNT_BUCKETS = 64
+
+
+def _bucket(col: str, n: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
 
 
 @dataclass
@@ -53,6 +86,10 @@ class SyncEngine:
     @property
     def posts_dir(self) -> str:
         return os.path.join(self.store_dir, "posts")
+
+    @property
+    def posts_index_dir(self) -> str:
+        return os.path.join(self.store_dir, "posts_index")
 
     @property
     def accounts_dir(self) -> str:
@@ -68,39 +105,86 @@ class SyncEngine:
             return self.spark.read.parquet(self.posts_dir)
         return self.spark.createDataFrame([], POSTS_SCHEMA)
 
+    def posts_index(self) -> DataFrame:
+        """The slim (post_id, year, month) location index. Bootstraps
+        from the posts table for stores created before the index
+        existed."""
+        recover_table(self.posts_index_dir)
+        if os.path.exists(self.posts_index_dir):
+            return self.spark.read.parquet(self.posts_index_dir)
+        if os.path.exists(self.posts_dir):
+            idx = self.existing_posts().select(
+                "post_id", "year", "month", _bucket("post_id", N_INDEX_BUCKETS).alias("bucket")
+            )
+            idx.write.mode("overwrite").partitionBy("bucket").parquet(self.posts_index_dir)
+            return self.spark.read.parquet(self.posts_index_dir)
+        return self.spark.createDataFrame([], INDEX_SCHEMA)
+
     def process_batch(self, ops: DataFrame) -> None:
         """One sync round over an op-stream micro-batch."""
         typed = classify(ops)
         comments, votes, accounts = typed["comment"], typed["vote"], typed["account_update"]
 
-        # posts: comment upserts (month/year partitioned, S9/S12)
-        post_upserts = comments_to_post_upserts(comments)
-        merge_parquet(
-            self.spark,
-            self.posts_dir,
-            post_upserts,
-            key_cols=["post_id"],
-            merge_exprs={
-                # votes accumulate across rounds; a re-upserted post
-                # must not clear them (scripted set-add semantics)
-                "upvotes": keep_target,
-                "downvotes": keep_target,
-            },
-            partition_cols=["year", "month"],
-        )
+        idx = self.posts_index()
+        slim_idx = idx.select("post_id", "year", "month")
 
-        # votes: set-add into the posts table (S11/A1) — only after
-        # posts merge so same-batch comment+vote resolves (J1)
-        vote_upserts = votes_to_vote_upserts(votes, self.existing_posts()).select(
-            "post_id",
-            F.col("upvotes_add").alias("upvotes"),
-            F.col("downvotes_add").alias("downvotes"),
-        )
-        if vote_upserts.limit(1).count() > 0:
-            # join back partition columns so the merge stays pruned
-            keyed = vote_upserts.join(
-                self.existing_posts().select("post_id", "year", "month"), "post_id"
+        # posts: comment upserts (month/year partitioned, S9/S12).
+        # Partition resolution against the slim index — the full posts
+        # table is never scanned on the write path.
+        post_upserts = comments_to_post_upserts(comments)
+        have_comments = not comments.isEmpty()
+        if have_comments:
+            merge_parquet(
+                self.spark,
+                self.posts_dir,
+                post_upserts,
+                key_cols=["post_id"],
+                merge_exprs={
+                    # votes accumulate across rounds; a re-upserted post
+                    # must not clear them (scripted set-add semantics)
+                    "upvotes": keep_target,
+                    "downvotes": keep_target,
+                },
+                partition_cols=["year", "month"],
+                partition_source=slim_idx,
             )
+            # maintain the index (insert-only: the resolved location of
+            # an existing post never changes)
+            merge_parquet(
+                self.spark,
+                self.posts_index_dir,
+                post_upserts.select("post_id", "year", "month").withColumn(
+                    "bucket", _bucket("post_id", N_INDEX_BUCKETS)
+                ),
+                key_cols=["post_id"],
+                merge_exprs={"year": keep_target, "month": keep_target},
+                partition_cols=["bucket"],
+                partition_stable=True,
+            )
+            idx = self.posts_index()  # same-batch comment+vote resolves
+            slim_idx = idx.select("post_id", "year", "month")
+
+            # reply-driven tag updates (intended handleReply, P7/J5):
+            # update-only — a reply to a nonexistent post is dropped.
+            tag_updates = replies_to_tag_updates(comments).join(slim_idx, "post_id")
+            merge_parquet(
+                self.spark,
+                self.posts_dir,
+                tag_updates,
+                key_cols=["post_id"],
+                partition_cols=["year", "month"],
+                partition_stable=True,  # year/month come from the index
+            )
+
+        # votes: set-add into the posts table (S11/A1). The existence
+        # probe (J1) runs against the slim index, not the posts table.
+        if not votes.isEmpty():
+            vote_upserts = votes_to_vote_upserts(votes, slim_idx).select(
+                "post_id",
+                F.col("upvotes_add").alias("upvotes"),
+                F.col("downvotes_add").alias("downvotes"),
+            )
+            keyed = vote_upserts.join(slim_idx, "post_id")
             merge_parquet(
                 self.spark,
                 self.posts_dir,
@@ -108,16 +192,22 @@ class SyncEngine:
                 key_cols=["post_id"],
                 merge_exprs={"upvotes": set_union, "downvotes": set_union},
                 partition_cols=["year", "month"],
+                partition_stable=True,  # year/month come from the index
             )
 
-        # accounts: last_active max + latest profile (A2/F9)
-        acct_upserts = account_activity_upserts(comments, votes, accounts)
+        # accounts: last_active max + latest profile (A2/F9), hash-
+        # bucketed so the merge rewrites only touched buckets.
+        acct_upserts = account_activity_upserts(comments, votes, accounts).withColumn(
+            "bucket", _bucket("name", N_ACCOUNT_BUCKETS)
+        )
         merge_parquet(
             self.spark,
             self.accounts_dir,
             acct_upserts,
             key_cols=["name"],
             merge_exprs={"last_active": max_of, "profile": take_source},
+            partition_cols=["bucket"],
+            partition_stable=True,
         )
 
     def run(self, source: DataFrame, batch_size: int = 30, stop_block: int | None = None) -> int:
@@ -137,6 +227,23 @@ class SyncEngine:
             batch = source.filter(
                 (F.col("block_num") >= cursor) & (F.col("block_num") < hi)
             )
+            # P3/P4 guards in one pass: count rows + malformed rows.
+            stats = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("op").isNull() | F.col("op_type").isNull(), 1).otherwise(0)
+                ).alias("bad"),
+            ).first()
+            if stats["bad"]:
+                # reference exits hard on failed blocks (listener.js:128-132)
+                raise ValueError(
+                    f"failed batch [{cursor}, {hi}): {stats['bad']} malformed ops"
+                )
+            if stats["n"] == 0:
+                # P3: empty batch — advance the cursor, skip all work
+                cursor = hi
+                write_cursor(self.spark, self.cursor_path, cursor, dry_run=self.dry_run)
+                continue
             self.process_batch(batch)
             cursor = hi
             write_cursor(self.spark, self.cursor_path, cursor, dry_run=self.dry_run)

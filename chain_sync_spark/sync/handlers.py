@@ -26,6 +26,18 @@ PROFILE_SCHEMA = "profile struct<name string, about string>"
 
 STOCK_COMMUNITIES = ("hive-118554", "hivestockimages")
 
+# P7 author allow-list for reply-driven tag updates. The reference's
+# check (comments.js:66) includes `comment.author` itself — a
+# tautology bug; we implement the intended literal list.
+TAG_UPDATE_ALLOWLIST = (
+    "hive-118554",
+    "minismallholding",
+    "crosheille",
+    "kattycrochet",
+)
+
+TAG_UPDATE_COMMAND = "!update-stock-image-tags"
+
 
 def comments_to_post_upserts(comments: DataFrame) -> DataFrame:
     """Comment pipeline (handlers/comments.js:100-183).
@@ -52,15 +64,17 @@ def comments_to_post_upserts(comments: DataFrame) -> DataFrame:
         )
         .withColumn("text_body", markdown_to_text(F.col("body")))
     )
-    # P6 stock-image predicate + P8 command predicate → F7 hashtag tags
+    # P6 stock-image predicate → F7 hashtag tags. The reference runs
+    # handleStockImagePost unconditionally on every top-level post
+    # (comments.js:146): stock posts get their hashtags extracted
+    # ('' when none, like [].join(' ')), non-stock posts get null.
     is_stock = (
         F.arrays_overlap(F.col("tags"), F.array(*[F.lit(c) for c in STOCK_COMMUNITIES]))
         | F.col("parent_permlink").isin(*STOCK_COMMUNITIES)
     )
-    has_cmd = F.col("body").contains("!update-stock-image-tags")
     base = base.withColumn(
         "stockimage_tags",
-        F.when(is_stock & has_cmd, F.array_join(extract_hashtags(F.col("body")), " ")),
+        F.when(is_stock, F.array_join(extract_hashtags(F.col("body")), " ")),
     )
     # within-batch dedup: last op per post id wins (block order)
     w = Window.partitionBy("post_id").orderBy(F.desc("block_num"), F.desc("timestamp"))
@@ -78,9 +92,53 @@ def comments_to_post_upserts(comments: DataFrame) -> DataFrame:
             "image",
             "stockimage_tags",
             "timestamp",
+            # S12 jobs reset (comments.js:163-166 `ctx._source.jobs
+            # = [:]`): every post upsert clears the jobs map.
+            F.create_map().cast("map<string,string>").alias("jobs"),
+            # Mutable columns later merges fill in (vote set-adds,
+            # muting flags) ride along as typed nulls so every
+            # partition is written with the complete posts schema —
+            # the partition-level merge never mixes file schemas.
+            F.lit(None).cast("array<string>").alias("upvotes"),
+            F.lit(None).cast("array<string>").alias("downvotes"),
+            F.lit(None).cast("boolean").alias("muted_in_community"),
             F.year("timestamp").alias("year"),
             F.month("timestamp").alias("month"),
         )
+    )
+
+
+def replies_to_tag_updates(comments: DataFrame) -> DataFrame:
+    """Reply-driven stock-image tag updates — the *intended*
+    handleReply semantics (comments.js:61-82; the call site is
+    commented out in the shipped revision, comments.js:115):
+
+    a reply whose body contains the update command (P8), authored by
+    an allow-listed account (P7), replaces the PARENT post's
+    stockimage_tags with the reply's hashtags (F7/F8). The parent key
+    is the J5 parent-reference hash — the reference hashes the reply's
+    own id there (a latent bug); we key on (parent_author,
+    parent_permlink) as intended.
+
+    Output: (post_id, stockimage_tags) update rows, last reply per
+    parent wins within a batch.
+    """
+    replies = comments.filter(F.col("parent_author") != "")
+    eligible = replies.filter(
+        F.col("body").contains(TAG_UPDATE_COMMAND)
+        & F.col("author").isin(*TAG_UPDATE_ALLOWLIST)
+    )
+    keyed = eligible.select(
+        surrogate_id("parent_author", "parent_permlink").alias("post_id"),
+        F.array_join(extract_hashtags(F.col("body")), " ").alias("stockimage_tags"),
+        "block_num",
+        "timestamp",
+    )
+    w = Window.partitionBy("post_id").orderBy(F.desc("block_num"), F.desc("timestamp"))
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("post_id", "stockimage_tags")
     )
 
 

@@ -54,9 +54,10 @@ def set_union(t: Column, s: Column) -> Column:
 
 
 def recover_table(target_dir: str) -> None:
-    """Crash recovery for `_atomic_overwrite`'s swap window: if a
-    crash left the table absent but a `.old` backup present, restore
-    the backup; stale `.staging` output is always discarded."""
+    """Crash recovery for the swap windows: restore a whole-table
+    `.old` backup if the table itself is absent, restore any
+    partition-level `<dir>.old` backups whose live dir is absent
+    (partition-swap crash), and discard stale staging output."""
     staging = target_dir.rstrip("/") + ".staging"
     backup = target_dir.rstrip("/") + ".old"
     if not os.path.exists(target_dir) and os.path.exists(backup):
@@ -64,6 +65,17 @@ def recover_table(target_dir: str) -> None:
     for leftover in (staging, backup):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
+    if os.path.exists(target_dir):
+        for root, dirs, _files in os.walk(target_dir, topdown=False):
+            for d in dirs:
+                if not d.endswith(".old"):
+                    continue
+                bak = os.path.join(root, d)
+                live = bak[: -len(".old")]
+                if os.path.exists(live):
+                    shutil.rmtree(bak)
+                else:
+                    os.rename(bak, live)
 
 
 def merge_parquet(
@@ -74,6 +86,7 @@ def merge_parquet(
     merge_exprs: dict[str, MergeExpr] | None = None,
     partition_cols: list[str] | None = None,
     partition_source: DataFrame | None = None,
+    partition_stable: bool = False,
 ) -> None:
     """MERGE `updates` into the parquet table at `target_dir`.
 
@@ -84,6 +97,16 @@ def merge_parquet(
     mapping of where each existing key currently lives — e.g. a
     maintained index table. When omitted it is derived from the
     target (column-pruned scan).
+
+    `partition_stable`: set when the partition columns are a pure
+    function of the key (e.g. a hash bucket) — an update can never
+    move a key across partitions, so the resolution join is skipped.
+
+    NB (partitioned targets): merges rewrite only touched partition
+    directories, so a column added by a later merge would reach only
+    those partitions. Writers must emit the complete table schema
+    from the first write (typed nulls for not-yet-filled columns) —
+    the sync handlers do (see comments_to_post_upserts).
     """
     merge_exprs = merge_exprs or {}
     partition_cols = partition_cols or []
@@ -103,30 +126,38 @@ def merge_parquet(
 
     target = spark.read.parquet(target_dir)
 
-    untouched = None
+    cached = None
     if partition_cols:
-        # An update for an existing key must land in the partition
-        # the key currently lives in — otherwise a post edited in a
-        # later month would be merged only into the new partition and
-        # the stale copy in the old one would survive (duplicate key).
-        part_map = (
-            partition_source
-            if partition_source is not None
-            else target.select(*key_cols, *partition_cols)
-        ).alias("pm")
-        u = updates.alias("u")
-        cond = [F.col(f"u.{k}").eqNullSafe(F.col(f"pm.{k}")) for k in key_cols]
-        updates = u.join(part_map, cond, "left").select(
-            *[
-                F.coalesce(F.col(f"pm.{c}"), F.col(f"u.{c}")).alias(c)
-                if c in partition_cols
-                else F.col(f"u.{c}").alias(c)
-                for c in updates.columns
-            ]
-        )
+        if not partition_stable:
+            # An update for an existing key must land in the partition
+            # the key currently lives in — otherwise a post edited in a
+            # later month would be merged only into the new partition
+            # and the stale copy in the old one would survive
+            # (duplicate key).
+            part_map = (
+                partition_source
+                if partition_source is not None
+                else target.select(*key_cols, *partition_cols)
+            ).alias("pm")
+            u = updates.alias("u")
+            cond = [F.col(f"u.{k}").eqNullSafe(F.col(f"pm.{k}")) for k in key_cols]
+            updates = u.join(part_map, cond, "left").select(
+                *[
+                    F.coalesce(F.col(f"pm.{c}"), F.col(f"u.{c}")).alias(c)
+                    if c in partition_cols
+                    else F.col(f"u.{c}").alias(c)
+                    for c in updates.columns
+                ]
+            )
+        # The updates plan is consumed twice (touched-partition scan +
+        # final merge write): cache it so handler pipelines upstream
+        # run once per round.
+        cached = updates.persist()
+        updates = cached
         # Partition-pruned merge: only read/rewrite touched partitions.
         touched = [r.asDict() for r in updates.select(*partition_cols).distinct().collect()]
         if not touched:
+            cached.unpersist()
             return
         pred = None
         for vals in touched:
@@ -134,7 +165,10 @@ def merge_parquet(
             for c in partition_cols:
                 clause = clause & (F.col(c) == F.lit(vals[c]))
             pred = clause if pred is None else (pred | clause)
-        untouched = target.filter(~pred)
+        # Only touched partitions are read AND written: the merged
+        # rows for touched partitions are staged and their partition
+        # directories swapped in place; untouched partitions are never
+        # opened. Per-round cost is O(touched), not O(table).
         target = target.filter(pred)
 
     t_cols = set(target.columns)
@@ -155,14 +189,15 @@ def merge_parquet(
         return expr(tc, sc).alias(c)
 
     merged = joined.select(*[pick(c) for c in all_cols])
-    if untouched is not None:
-        # align schemas (updates may add new columns)
-        for c in all_cols:
-            if c not in untouched.columns:
-                untouched = untouched.withColumn(c, F.lit(None).cast(merged.schema[c].dataType))
-        merged = merged.unionByName(untouched.select(*all_cols))
 
-    _atomic_overwrite(spark, target_dir, merged, partition_cols)
+    try:
+        if partition_cols:
+            _swap_touched_partitions(spark, target_dir, merged, partition_cols)
+        else:
+            _atomic_overwrite(spark, target_dir, merged, partition_cols)
+    finally:
+        if cached is not None:
+            cached.unpersist()
 
 
 def _atomic_overwrite(
@@ -182,3 +217,38 @@ def _atomic_overwrite(
     os.rename(target_dir, backup)
     os.rename(staging, target_dir)
     shutil.rmtree(backup)
+
+
+def _swap_touched_partitions(
+    spark: SparkSession, target_dir: str, merged: DataFrame, partition_cols: list[str]
+) -> None:
+    """Write only the merged (touched) partitions to staging, then
+    swap each partition directory into the live table with a
+    per-partition backup. Untouched partition directories are never
+    opened, so write cost is proportional to the update batch, not
+    the table. A crash mid-swap leaves `<partition>.old` backups that
+    recover_table restores. On Delta/Iceberg this is MERGE INTO with
+    dynamic partition overwrite."""
+    staging = target_dir.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    # leaf partition dirs, relative to the staging root
+    leaves: list[str] = []
+    for root, dirs, _files in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        depth = 0 if rel == "." else rel.count(os.sep) + 1
+        if depth == len(partition_cols):
+            leaves.append(rel)
+            dirs[:] = []  # don't descend into data files
+    for rel in leaves:
+        src = os.path.join(staging, rel)
+        dst = os.path.join(target_dir, rel)
+        bak = dst + ".old"
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.exists(dst):
+            os.rename(dst, bak)
+        os.rename(src, dst)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+    shutil.rmtree(staging)

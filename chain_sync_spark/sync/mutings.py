@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chain_sync_spark.sync.merge import merge_parquet, take_source
+from chain_sync_spark.sync.merge import merge_parquet, recover_table, take_source
 
 
 def muted_accounts(roles: DataFrame) -> DataFrame:
@@ -30,6 +30,7 @@ def apply_community_mutings(
 ) -> None:
     """J4/S10: flag posts by muted authors in `community`."""
     muted = muted_accounts(roles)
+    recover_table(posts_dir)
     posts = spark.read.parquet(posts_dir)
     flagged = (
         posts.filter(F.col("parent_permlink") == community)
@@ -43,4 +44,5 @@ def apply_community_mutings(
         key_cols=["post_id"],
         merge_exprs={"muted_in_community": take_source},
         partition_cols=["year", "month"],
+        partition_stable=True,  # year/month read from the target rows
     )

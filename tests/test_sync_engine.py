@@ -205,6 +205,143 @@ def test_synthesize_ops_smoke(spark):
     assert "tags" in inner and "image" in inner
 
 
+def _file_states(root):
+    import os
+    out = {}
+    for r, _d, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_bounded_rewrite_touched_partitions_only(spark, tmp_path, ops_batch1):
+    """The 100 TB contract: a merge rewrites only the partition
+    directories its batch touches — posts in other months and account
+    buckets of other users keep their exact files."""
+    eng = SyncEngine(spark, str(tmp_path))
+    eng.run(ops_batch1, batch_size=10)
+    # second round: one post in a different month, one vote by a new voter
+    batch2 = spark.createDataFrame(
+        [
+            _op(20, "2024-07-01 10:00:00", "comment", _comment("zed", "zp1")),
+            _op(20, "2024-07-01 10:00:01", "vote", _vote("newvoter", "zed", "zp1", 10)),
+        ],
+        OP_STREAM_SCHEMA,
+    )
+    posts_before = _file_states(f"{tmp_path}/posts")
+    accounts_before = _file_states(f"{tmp_path}/accounts")
+    eng.run(batch2, batch_size=10)
+    posts_after = _file_states(f"{tmp_path}/posts")
+    accounts_after = _file_states(f"{tmp_path}/accounts")
+
+    # all March post files are bit-for-bit untouched (same path+mtime)
+    for p, mt in posts_before.items():
+        if "year=2024/month=3" in p:
+            assert posts_after.get(p) == mt, f"untouched partition rewritten: {p}"
+    # the new July partition exists
+    assert any("year=2024/month=7" in p for p in posts_after)
+
+    # accounts: only the buckets of {zed, newvoter} changed
+    from chain_sync_spark.sync.engine import N_ACCOUNT_BUCKETS, _bucket
+    touched = {
+        r["b"]
+        for r in spark.createDataFrame([("zed",), ("newvoter",)], "name string")
+        .select(_bucket("name", N_ACCOUNT_BUCKETS).alias("b"))
+        .collect()
+    }
+    changed = {
+        p for p in set(accounts_before) | set(accounts_after)
+        if accounts_before.get(p) != accounts_after.get(p)
+    }
+    for p in changed:
+        assert any(f"bucket={b}/" in p or p.endswith(f"bucket={b}") for b in touched), (
+            f"file outside touched buckets changed: {p} (touched {touched})"
+        )
+
+
+def test_reply_tag_update_allowlist(spark, tmp_path):
+    """Intended handleReply semantics (P7/J5): an allow-listed reply
+    with the command updates the parent's stockimage_tags; replies
+    from other authors, or to missing posts, are dropped."""
+    eng = SyncEngine(spark, str(tmp_path))
+    ops = spark.createDataFrame(
+        [
+            _op(1, TS, "comment", _comment("alice", "p1", body="photo #original",
+                                           parent_permlink="hive-118554")),
+            # allow-listed reply → replaces parent tags
+            _op(2, TS, "comment", _comment("crosheille", "r1", parent_author="alice",
+                                           parent_permlink="p1",
+                                           body="!update-stock-image-tags #Fixed #Tags")),
+            # non-allow-listed reply → ignored
+            _op(3, TS, "comment", _comment("rando", "r2", parent_author="alice",
+                                           parent_permlink="p1",
+                                           body="!update-stock-image-tags #evil")),
+            # allow-listed reply to a missing post → dropped
+            _op(3, TS, "comment", _comment("kattycrochet", "r3", parent_author="ghost",
+                                           parent_permlink="nope",
+                                           body="!update-stock-image-tags #lost")),
+        ],
+        OP_STREAM_SCHEMA,
+    )
+    eng.run(ops, batch_size=10)
+    posts = {r["permlink"]: r for r in _posts(spark, tmp_path).collect()}
+    assert set(posts) == {"p1"}  # replies never become posts
+    assert posts["p1"]["stockimage_tags"] == "fixed tags"
+    # S12: jobs map reset present and empty
+    assert posts["p1"]["jobs"] == {}
+
+
+def test_stock_post_tags_without_command(spark, tmp_path):
+    """handleStockImagePost runs unconditionally on top-level stock
+    posts (comments.js:146) — no command required."""
+    eng = SyncEngine(spark, str(tmp_path))
+    ops = spark.createDataFrame(
+        [
+            _op(1, TS, "comment", _comment("bob", "s1", body="pic #Sea #sky",
+                                           parent_permlink="hivestockimages")),
+            _op(1, TS, "comment", _comment("bob", "n1", body="pic #Sea",
+                                           parent_permlink="cat1")),
+        ],
+        OP_STREAM_SCHEMA,
+    )
+    eng.run(ops, batch_size=10)
+    posts = {r["permlink"]: r for r in _posts(spark, tmp_path).collect()}
+    assert posts["s1"]["stockimage_tags"] == "sea sky"
+    assert posts["n1"]["stockimage_tags"] is None
+
+
+def test_stream_guards_and_stop_block(spark, tmp_path):
+    """P3 empty batches advance the cursor without work; P4 malformed
+    ops abort before any merge; stop_block bounds the replay."""
+    import os
+    eng = SyncEngine(spark, str(tmp_path))
+    # blocks 0-1 have ops, 2-9 empty (absent), 10 has ops
+    rows = [
+        _op(0, TS, "comment", _comment("alice", "p1")),
+        _op(1, TS, "vote", _vote("v1", "alice", "p1", 5)),
+        _op(10, TS, "comment", _comment("bob", "p2")),
+    ]
+    ops = spark.createDataFrame(rows, OP_STREAM_SCHEMA)
+    # stop_block=5: only blocks < 5 processed
+    cur = eng.run(ops, batch_size=2, stop_block=5)
+    assert cur == 5
+    assert {r["permlink"] for r in _posts(spark, tmp_path).collect()} == {"p1"}
+    # resume without stop: processes block 10
+    cur = eng.run(ops, batch_size=4)
+    assert cur == 11
+    assert {r["permlink"] for r in _posts(spark, tmp_path).collect()} == {"p1", "p2"}
+    # P4: malformed op (null payload) aborts and leaves cursor put
+    bad = spark.createDataFrame(
+        [(12, None, "comment", None)], OP_STREAM_SCHEMA
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="malformed"):
+        eng.run(bad, batch_size=4)
+    from chain_sync_spark.sources.checkpoint import read_cursor
+    assert read_cursor(spark, f"{tmp_path}/checkpoint") == 11
+
+
 def test_mutings(spark, tmp_path):
     eng = SyncEngine(spark, str(tmp_path))
     ops = spark.createDataFrame(
