@@ -369,22 +369,33 @@ def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union/intersect/except surface: classify customer keys by
     membership in two derived sets (big spenders ∩/∖ building
-    segment), tagged and unioned into one relation."""
+    segment), tagged and unioned into one relation.
+
+    Planned as ONE full-outer join of the two (distinct-key) sets
+    with a membership CASE — the naive intersect/exceptAll form
+    re-scans and re-aggregates orders once per branch (3×); this
+    computes the expensive orders aggregation exactly once. Results
+    are identical because both inputs are key-distinct.
+    """
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     big_spenders = (
         orders.groupBy("o_custkey")
         .agg(F.sum(_dec(F.col("o_totalprice"))).alias("s"))
         .filter(F.col("s") > 500000)
-        .select(F.col("o_custkey").alias("k"))
+        .select(F.col("o_custkey").alias("k"), F.lit(True).alias("is_spender"))
     )
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("k")
+        F.col("c_custkey").alias("k"), F.lit(True).alias("is_building")
     )
-    both = big_spenders.intersect(building).withColumn("tag", F.lit("both"))
-    only_spender = big_spenders.exceptAll(building).withColumn("tag", F.lit("spender_only"))
-    only_building = building.exceptAll(big_spenders).withColumn("tag", F.lit("building_only"))
-    return both.unionByName(only_spender).unionByName(only_building)
+    joined = big_spenders.join(building, "k", "full_outer")
+    return joined.select(
+        "k",
+        F.when(F.col("is_spender") & F.col("is_building"), F.lit("both"))
+        .when(F.col("is_spender").isNotNull(), F.lit("spender_only"))
+        .otherwise(F.lit("building_only"))
+        .alias("tag"),
+    )
 
 
 # ---------------------------------------------------------------------------
