@@ -22,7 +22,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from chain_sync_spark.registry import all_queries  # noqa: E402
 from chain_sync_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# The set BENCH_r01 recorded: `value` stays the total over exactly
+# these queries so the 2x-of-baseline comparison is apples-to-apples
+# across rounds (BASELINE.md).
+BASELINE_SET = [
     "flagship_sync_digest",
     "tpch_q1_pricing_summary",
     "join_multiway_revenue",
@@ -30,15 +33,22 @@ HEADLINE = [
     "join_asof_purchase_prior_view",
     "window_topk_orders_per_customer",
     "window_running_revenue",
-    "window_session_events",
     "set_ops_segments",
     "json_extract_events_props",
     "date_partition_buckets",
+]
+
+# Operators added after the baseline was recorded — timed and
+# reported alongside, summed separately.
+EXTENDED_SET = [
+    "window_session_events",
     "dedup_exact_documents",
     "neardup_minhash_bands",
     "embedding_cosine_topk",
     "embedding_ann_lsh_pairs",
 ]
+
+HEADLINE = BASELINE_SET + EXTENDED_SET
 
 
 def main() -> None:
@@ -61,12 +71,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[n] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for n, t in timings.items() if n in BASELINE_SET), 3)
+    extended = round(sum(t for n, t in timings.items() if n in EXTENDED_SET), 3)
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "baseline_set_total": total,
+        "extended_set_total": extended,
+        "note": "value covers the BENCH_r01 baseline query set; extended_set_total times operators added later (see BENCH.md)",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -112,27 +112,69 @@ def char_ngrams_sql(t: str, n: int = 4) -> str:
 
 
 # ---------------------------------------------------------------------------
-# MinHash (string-minimum variant — portable with zero numeric casts)
+# MinHash — numeric, one md5 per shingle
 # ---------------------------------------------------------------------------
+# One portable 31-bit base hash per shingle; the k signatures are
+# affine transforms (a_i·h + b_i) mod M of that base hash (the
+# standard universal-hash family), so signature cost is k multiply-
+# adds per shingle instead of k md5 calls. All arithmetic stays below
+# 2^62, so BIGINT math agrees across engines.
 
-def minhash_sig(shingles: Column, seed: int) -> Column:
-    """One MinHash signature: min md5-hex over salted shingles."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+_MASK31 = 0x7FFFFFFF
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs derived from md5 — shared by
+    the Spark plan and the oracle SQL."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int.from_bytes(hashlib.md5(f"mh-a{i}".encode()).digest()[:4], "big")
+        b = int.from_bytes(hashlib.md5(f"mh-b{i}".encode()).digest()[:4], "big")
+        out.append((a % (MINHASH_MOD - 1) + 1, b % MINHASH_MOD))
+    return out
+
+
+def base_hash31(shingles: Column) -> Column:
+    """array<string> shingles → array<long> 31-bit base hashes."""
+    return F.transform(shingles, lambda s: hash60(s).bitwiseAND(F.lit(_MASK31)))
+
+
+def base_hash31_sql(shingles: str) -> str:
+    return f"list_transform({shingles}, s -> {hash60_sql('s')} & {_MASK31})"
+
+
+def minhash_sigs(shingles: Column, k: int) -> Column:
+    """All k MinHash signatures in ONE fold over the shingle array:
+    the accumulator is the array of running minima, updated per
+    shingle with the k affine hashes. Single pass, single base-hash
+    evaluation, pure codegen."""
+    coeffs = minhash_coeffs(k)
+    a_lit = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_lit = F.array(*[F.lit(b) for _, b in coeffs])
+
+    def merge(acc: Column, h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.least(
+                F.element_at(acc, i),
+                (h * F.element_at(a_lit, i) + F.element_at(b_lit, i)) % F.lit(MINHASH_MOD),
+            ),
+        )
+
+    init = F.array_repeat(F.lit(MINHASH_MOD).cast("long"), k)
+    return F.aggregate(base_hash31(shingles), init, merge)
+
+
+def minhash_sig_sql(shingles: str, a: int, b: int) -> str:
+    """One signature's oracle rendering (DuckDB recomputes the base
+    hashes per signature — fine at oracle scale)."""
+    return (
+        f"list_min(list_transform({base_hash31_sql(shingles)},"
+        f" x -> (x * {a} + {b}) % {MINHASH_MOD}))"
     )
-
-
-def minhash_sig_sql(shingles: str, seed: int) -> str:
-    return f"list_min(list_transform({shingles}, s -> md5(s || '#{seed}')))"
-
-
-def band_key(sigs: list[Column]) -> Column:
-    """Collapse one band's signatures into a single join key."""
-    return F.md5(F.concat_ws("|", *sigs))
-
-
-def band_key_sql(sigs: list[str]) -> str:
-    return "md5(" + " || '|' || ".join(sigs) + ")"
 
 
 # ---------------------------------------------------------------------------

@@ -99,9 +99,14 @@ docs_words AS (
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct word-trigram shingle set (docs with ≥ 3 words)."""
-    d = _docs_norm(spark, sf_dir).withColumn("sh", sk.word_shingles(F.col("w"), 3))
-    return d.filter(F.size("sh") > 0).select("doc_id", "sh")
+    """doc_id + distinct word-trigram shingle set (docs with ≥ 3 words).
+
+    The eligibility filter runs on the cheap precondition (word
+    count), NOT on the shingle array: filtering on size(sh) makes
+    Catalyst evaluate the whole shingle expression once for the
+    predicate and again for the projection (measured 10× slower)."""
+    d = _docs_norm(spark, sf_dir).filter(F.size("w") >= 3)
+    return d.select("doc_id", sk.word_shingles(F.col("w"), 3).alias("sh"))
 
 
 _SHINGLE_CTE = (
@@ -161,15 +166,20 @@ def neardup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-Jaccard verify re-joins the (doc_id, shingles) relation
     only for candidate ids (a semi-join-sized input at scale).
     """
-    shingled = _docs_shingled(spark, sf_dir)
+    # persisted: feeds the signature pipeline and both verify sides
+    shingled = _docs_shingled(spark, sf_dir).persist()
     sigs = shingled.select(
-        "doc_id",
-        "sh",
-        *[sk.minhash_sig(F.col("sh"), i).alias(f"sig_{i}") for i in range(N_MINHASH)],
+        "doc_id", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
     )
     band_cols = [
-        sk.band_key(
-            [F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
         )
         for b in range(N_BANDS)
     ]
@@ -198,15 +208,17 @@ def neardup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    coeffs = sk.minhash_coeffs(N_MINHASH)
     sig_exprs = ",\n         ".join(
-        f"{sk.minhash_sig_sql('sh', i)} AS sig_{i}" for i in range(N_MINHASH)
+        f"{sk.minhash_sig_sql('sh', a, b)} AS sig_{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_idx, "
-        + sk.band_key_sql(
-            [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        f"  SELECT doc_id, {b} AS band_idx, md5("
+        + " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
         )
-        + " AS bkey FROM sigs"
+        + ") AS bkey FROM sigs"
         for b in range(N_BANDS)
     )
     return f"""
@@ -246,9 +258,11 @@ def neardup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical shape to MinHash-LSH — banded bucket join. The
     fingerprint computation itself is one codegen'd expression.
     """
+    # persisted: the fingerprint fold would otherwise run once per
+    # side of the band self-join
     d = _docs_norm(spark, sf_dir).select(
         "doc_id", sk.simhash60("w").alias("fp")
-    )
+    ).persist()
     band_cols = [
         (F.shiftright(F.col("fp"), b * SIMHASH_BAND_BITS).bitwiseAND(
             F.lit((1 << SIMHASH_BAND_BITS) - 1)
@@ -313,11 +327,17 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidate volume is Σ_g C(df_g, 2) with df_g ≤ cap, i.e.
     bounded per posting list; the full-set verify joins only candidate
-    ids. All-pairs never materializes.
+    ids. All-pairs never materializes. The gram relation is persisted:
+    it feeds four consumers (df counts, the capped posting join, both
+    verify sides), and exploding an unpersisted derived array makes
+    the generator re-evaluate the whole array expression per output
+    row (measured 40× slower).
     """
-    d = _docs_norm(spark, sf_dir).select(
+    # filter on the cheap precondition, not on the built array (see
+    # _docs_shingled)
+    d = _docs_norm(spark, sf_dir).filter(F.length("t") >= NGRAM_N).select(
         "doc_id", sk.char_ngrams(F.col("t"), NGRAM_N).alias("g")
-    ).filter(F.size("g") > 0)
+    ).persist()
     posting = d.select("doc_id", F.explode("g").alias("gram"))
     rare = (
         posting.groupBy("gram")

@@ -109,14 +109,41 @@ FROM lineitem
 """
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 approx_count_distinct (HLL++). The sketch estimates differ
+    between engines by design, so the cross-engine contract is: each
+    engine's estimate must fall within 5% of the exact distinct count
+    — a boolean that hash-matches when both sketches are sane. At
+    100 TB the approx variant is the only affordable distinct count:
+    fixed-size sketch per group, no distinct shuffle."""
+    ev = table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id")
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= exact * F.lit(0.05)).alias("approx_within_5pct"),
+    )
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= COUNT(DISTINCT user_id) * 0.05 AS approx_within_5pct
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "explode_token_frequency": explode_token_frequency,
     "map_funcs_events": map_funcs_events,
     "math_funcs_lineitem": math_funcs_lineitem,
+    "approx_distinct_users": approx_distinct_users,
 }
 
 ORACLE = {
     "explode_token_frequency": _EXPLODE_ORACLE,
     "map_funcs_events": _MAP_FUNCS_ORACLE,
     "math_funcs_lineitem": _MATH_FUNCS_ORACLE,
+    "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
 }

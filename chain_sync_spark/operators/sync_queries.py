@@ -118,11 +118,38 @@ def sync_stock_image_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKDOWN_ROWS = [
+    (1, "# Title\nSome **bold** and *em* text with [a link](http://l/1)."),
+    (2, 'Photo: ![cat](http://i/cat.png) and <img src="http://i/dog.png">'),
+    (3, "code `inline` and\n```\nfenced block\n```\ndone"),
+    (4, 'escaped &lt;img src="http://i/esc.png"&gt; markup'),
+    (5, None),
+]
+
+
+def sync_markdown_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3–F5 high-fidelity path: markdown render → img-src collection
+    → double tag-strip, as one Arrow-batched pandas_udf
+    (functions/markdown_udf.py). Genuinely non-SQL (no markdown
+    renderer in DuckDB) → rows-only driver check; semantics are pinned
+    by tests/test_markdown.py against reference-behavior fixtures."""
+    from chain_sync_spark.functions.markdown_udf import parse_post
+
+    df = spark.createDataFrame(_MARKDOWN_ROWS, "id int, body string")
+    p = parse_post(F.col("body"))
+    return df.select(
+        "id",
+        p.getField("text").alias("text"),
+        F.to_json(p.getField("images")).alias("images_json"),
+    )
+
+
 QUERIES = {
     "sync_metadata_double_decode": sync_metadata_double_decode,
     "sync_vote_set_accumulation": sync_vote_set_accumulation,
     "sync_account_last_active": sync_account_last_active,
     "sync_stock_image_hashtags": sync_stock_image_hashtags,
+    "sync_markdown_parse": sync_markdown_parse,
 }
 
 ORACLE = {

@@ -44,9 +44,18 @@ def comments_to_post_upserts(comments: DataFrame) -> DataFrame:
 
     filter replies (P5) → surrogate key (F1) → metadata decode with
     double-decode fallback (F2) → text/image extraction (F3–F6) →
-    stock-image tagging (P6/P8 + F7) → month/year partition columns
+    stock-image tagging (P6 + F7) → month/year partition columns
     (F10). Within-batch dedup keeps the latest op per post id
     (re-delivered ops are idempotent in the reference via upserts).
+
+    J3 divergence (documented): for an already-existing post the
+    reference re-fetches the authoritative content via getContent and
+    indexes THAT (comments.js:123-142) — "authoritative store wins".
+    We apply the op's own content with last-op-wins MERGE semantics
+    ("latest op wins"). The two differ only when the chain op stream
+    and the authoritative store disagree (e.g. a missed edit); with a
+    complete op stream they converge. An authoritative-snapshot join
+    drops into merge_parquet unchanged if such a source exists.
     """
     meta = double_decode_json(F.col("json_metadata"), METADATA_SCHEMA)
     base = (
