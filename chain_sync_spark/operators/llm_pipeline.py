@@ -680,6 +680,78 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# Sampling / vector aggregation
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_STRATUM = 20
+
+
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: {SAMPLE_PER_STRATUM} docs
+    per language, selected by a hash-derived sample key — the
+    reproducible alternative to rand() for training-data splits
+    (same rows on every run, every engine, any partitioning).
+
+    Scale: one window top-k per stratum — partial top-k per partition
+    before the shuffle; the hash key is uniform so strata don't skew.
+    """
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "sample_key", sk.hash60(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    )
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select("doc_id", "lang", "source", "rk")
+    )
+
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source, rk FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {sk.hash60_sql("'smp:' || doc_id::VARCHAR")}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {SAMPLE_PER_STRATUM}
+"""
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors — the training
+    step of an IVF index (and the reduce shape of any vector
+    aggregation): posexplode to (label, dim) cells, exact-decimal
+    mean per cell. Sums run in DECIMAL so the result is independent
+    of aggregation order (cross-engine and cross-partitioning
+    deterministic); one shuffle on (label, dim)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return cells.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+_CENTROID_ORACLE = """
+WITH cells AS (
+  SELECT label, t.i - 1 AS dim, embedding[t.i] AS x
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+       COUNT(*) AS n_vectors
+FROM cells GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # 12–13. Multimodal columns (binary payload + typed metadata)
 # ---------------------------------------------------------------------------
 
@@ -746,6 +818,8 @@ QUERIES = {
     "doc_fingerprint_bottomk": doc_fingerprint_bottomk,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_media_features": multimodal_media_features,
+    "sample_stratified_documents": sample_stratified_documents,
+    "embedding_label_centroids": embedding_label_centroids,
 }
 
 ORACLE = {
@@ -762,4 +836,6 @@ ORACLE = {
     "doc_fingerprint_bottomk": _FINGERPRINT_ORACLE,
     "multimodal_binary_stats": _MM_STATS_ORACLE,
     "multimodal_media_features": _MM_FEATURES_ORACLE,
+    "sample_stratified_documents": _SAMPLE_ORACLE,
+    "embedding_label_centroids": _CENTROID_ORACLE,
 }

@@ -398,6 +398,62 @@ def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: orders above the global average price.
+    The 1-row aggregate is broadcast against the fact scan — the plan
+    a correlated `> (SELECT AVG(...))` compiles to, with no
+    re-aggregation per row."""
+    orders = table(spark, sf_dir, "orders")
+    avg_price = orders.agg(
+        (F.sum(_dec(F.col("o_totalprice"))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    return (
+        orders.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey",
+                _dec(F.col("o_totalprice")).cast("double").alias("totalprice"))
+    )
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer⋈orders⋈lineitem with
+    date predicates on both fact scans (pushed to parquet), revenue
+    aggregation, top-10 by revenue. The customer side broadcasts;
+    orders⋈lineitem shuffles on orderkey."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread across one column per
+    event type (explicit value list → deterministic schema, one
+    aggregation pass)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = table(spark, sf_dir, "events")
+    pivoted = ev.groupBy("user_id").pivot("event_type", types).count()
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function layer (§2.6)
 # ---------------------------------------------------------------------------
@@ -500,6 +556,9 @@ QUERIES = {
     "window_lag_event_gap": window_lag_event_gap,
     "sort_limit_top_orders": sort_limit_top_orders,
     "set_ops_segments": set_ops_segments,
+    "scalar_subquery_above_avg": scalar_subquery_above_avg,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "pivot_events_by_type": pivot_events_by_type,
     "json_extract_events_props": json_extract_events_props,
     "surrogate_key_md5": surrogate_key_md5,
     "date_partition_buckets": date_partition_buckets,
@@ -642,6 +701,38 @@ ORACLE = {
         SELECT k, 'spender_only' AS tag FROM (SELECT k FROM big_spenders EXCEPT ALL SELECT k FROM building)
         UNION ALL
         SELECT k, 'building_only' AS tag FROM (SELECT k FROM building EXCEPT ALL SELECT k FROM big_spenders)
+    """,
+    "scalar_subquery_above_avg": """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders
+        )
+    """,
+    "tpch_q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "pivot_events_by_type": """
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events GROUP BY 1
     """,
     "json_extract_events_props": """
         SELECT event_type,
