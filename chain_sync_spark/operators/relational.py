@@ -441,6 +441,29 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_salted_status_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated hot-key join: o_orderstatus has 3 distinct
+    values — joined naively, each status is one key-group on one
+    task. salted_join (operators/skew.py) spreads every status over 8
+    deterministic sub-keys and replicates the 3-row dim 8×; the
+    result is identical to the plain join, which is exactly what the
+    oracle checks."""
+    from chain_sync_spark.operators.skew import salted_join
+
+    orders = table(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), ("P", "partial")],
+        "o_orderstatus string, status_name string",
+    )
+    joined = salted_join(
+        orders, dim, ["o_orderstatus"], F.col("o_orderkey"), n_salts=8
+    )
+    return joined.groupBy("status_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice"), "sum_price"),
+    )
+
+
 def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts spread across one column per
     event type (explicit value list → deterministic schema, one
@@ -559,6 +582,7 @@ QUERIES = {
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "pivot_events_by_type": pivot_events_by_type,
+    "join_salted_status_dim": join_salted_status_dim,
     "json_extract_events_props": json_extract_events_props,
     "surrogate_key_md5": surrogate_key_md5,
     "date_partition_buckets": date_partition_buckets,
@@ -724,6 +748,15 @@ ORACLE = {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
+    """,
+    "join_salted_status_dim": """
+        WITH dim(o_orderstatus, status_name) AS (
+          VALUES ('O', 'open'), ('F', 'filled'), ('P', 'partial')
+        )
+        SELECT status_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN dim USING (o_orderstatus)
+        GROUP BY 1
     """,
     "pivot_events_by_type": """
         SELECT user_id,
