@@ -219,6 +219,52 @@ def _atomic_overwrite(
     shutil.rmtree(backup)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    partition_cols: list[str],
+    max_files_per_partition: int = 8,
+) -> int:
+    """Small-file maintenance for merge-heavy tables: every sync
+    round rewrites its touched partitions with fresh files, so hot
+    partitions accumulate file counts over time. This rewrites each
+    partition whose file count exceeds the threshold into a single
+    coalesced file (same per-partition swap machinery as the merge —
+    untouched partitions are never opened). Returns the number of
+    partitions compacted. The reference has no analog (OpenSearch
+    segment merging does this implicitly); on Delta/Iceberg this is
+    OPTIMIZE / rewrite_data_files."""
+    recover_table(target_dir)
+    if not os.path.exists(target_dir):
+        return 0
+    # find leaf partition dirs with too many data files
+    crowded: list[str] = []
+    for root, dirs, files in os.walk(target_dir):
+        rel = os.path.relpath(root, target_dir)
+        depth = 0 if rel == "." else rel.count(os.sep) + 1
+        if depth == len(partition_cols):
+            dirs[:] = []
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n > max_files_per_partition:
+                crowded.append(rel)
+    staging_root = target_dir.rstrip("/") + ".staging"
+    for rel in crowded:
+        live = os.path.join(target_dir, rel)
+        # staging lives OUTSIDE the table root — a sibling dir inside
+        # the table would be picked up by partition discovery
+        staging = os.path.join(staging_root, rel)
+        spark.read.parquet(live).coalesce(1).write.mode("overwrite").parquet(staging)
+        bak = live + ".old"
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        os.rename(live, bak)
+        os.rename(staging, live)
+        shutil.rmtree(bak)
+    if os.path.exists(staging_root):
+        shutil.rmtree(staging_root)
+    return len(crowded)
+
+
 def _swap_touched_partitions(
     spark: SparkSession, target_dir: str, merged: DataFrame, partition_cols: list[str]
 ) -> None:

@@ -1,0 +1,89 @@
+"""Property-based tests (SURVEY §5.4, hypothesis): the resilient
+decode paths never throw on arbitrary input, extraction outputs stay
+within their input domains, and the portable hash layer keeps its
+cross-engine invariants. Spark-side properties batch all generated
+examples into one DataFrame per property, so each property costs a
+handful of Spark jobs, not one per example."""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from chain_sync_spark.functions.json_utils import double_decode_json
+from chain_sync_spark.functions.markdown_udf import parse_post_py
+from chain_sync_spark.functions.sketches import hash60, minhash_coeffs, MINHASH_MOD
+from chain_sync_spark.functions.text_funcs import extract_hashtags
+
+TEXTY = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=200
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTY)
+def test_markdown_parse_never_throws(body):
+    text, images = parse_post_py(body)
+    assert text is None or isinstance(text, str)
+    assert isinstance(images, list)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.one_of(TEXTY, st.none(), st.builds(json.dumps, st.dictionaries(st.text(max_size=8), st.integers(), max_size=3))))
+def test_markdown_roundtrip_types(body):
+    text, images = parse_post_py(body)
+    if body is None:
+        assert text is None and images == []
+
+
+def test_json_double_decode_never_throws_batch(spark):
+    """Arbitrary garbage through the F2 decode path: always a struct
+    or NULL, never an exception (reference falls back to defaults)."""
+    samples = (
+        ["", "{", "[1,2", "null", "0", '"\\"', '"{}"', "{}",
+         '{"tags": 1}', '{"tags": ["a"], "image": "x"}',
+         json.dumps(json.dumps({"tags": ["t"], "image": []})),
+         json.dumps(json.dumps(json.dumps({"tags": []}))),  # triple-encoded
+         "\x00bad", "ÿÿÿ", "[]", '"just a string"', None]
+    )
+    df = spark.createDataFrame([(s,) for s in samples], "raw string")
+    out = df.select(
+        double_decode_json(F.col("raw"), "tags array<string>, image array<string>").alias("m")
+    ).collect()
+    assert len(out) == len(samples)  # no exception = pass; values may be NULL
+
+
+def test_hashtags_subset_of_tokens_batch(spark):
+    """F7 invariant: every extracted hashtag is a lowercased suffix
+    of some whitespace token of the body that started with '#'."""
+    bodies = [
+        "a #B c", "#x#y", "no tags", "#", "##double", "#tag\n#Two",
+        "#MiXeD ok #1 #末尾", "   ", "#a #a #a",
+    ]
+    df = spark.createDataFrame([(b,) for b in bodies], "body string")
+    rows = df.select("body", extract_hashtags(F.col("body")).alias("tags")).collect()
+    for r in rows:
+        toks = [t for t in r["body"].replace("\n", " \n ").split(" ")]
+        candidates = {t[1:].lower() for t in toks if t.startswith("#") and len(t) > 1}
+        for tag in r["tags"]:
+            assert tag in candidates, (r["body"], tag)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_minhash_affine_family_in_range(h):
+    for a, b in minhash_coeffs(16):
+        v = (h * a + b) % MINHASH_MOD
+        assert 0 <= v < MINHASH_MOD
+        assert h * a + b < 2**63  # no BIGINT overflow in either engine
+
+
+def test_hash60_range_batch(spark):
+    """Portable hash invariant: non-negative, < 2^60, stable."""
+    vals = ["", "a", "ÿ", "hello world", "\n", "0", "#tag"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select("s", hash60(F.col("s")).alias("h")).collect()
+    for r in rows:
+        assert 0 <= r["h"] < 2**60
+    again = {r["s"]: r["h"] for r in df.select("s", hash60(F.col("s")).alias("h")).collect()}
+    assert {r["s"]: r["h"] for r in rows} == again

@@ -7,10 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from chain_sync_spark.operators.skew import salted_join
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from chain_sync_spark.plans.audit import executed_plan as _plan
+from chain_sync_spark.plans.audit import has_pushed_filter
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -67,7 +65,7 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 def test_filter_pushdown_reaches_scan(spark):
     from chain_sync_spark.operators.relational import filter_project_events
     df = filter_project_events(spark, "/root/testdata/sf0.001")
-    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in _plan(df)
+    assert has_pushed_filter(df, "EqualTo(event_type,purchase)")
 
 
 def test_dimension_join_broadcasts(spark):

@@ -342,6 +342,41 @@ def test_stream_guards_and_stop_block(spark, tmp_path):
     assert read_cursor(spark, f"{tmp_path}/checkpoint") == 11
 
 
+def test_compaction_bounds_file_counts(spark, tmp_path, ops_batch1):
+    """Merge-heavy partitions accumulate files; compact_partitions
+    rewrites crowded partitions only, preserving every row."""
+    import os
+    from chain_sync_spark.sync.merge import compact_partitions
+    eng = SyncEngine(spark, str(tmp_path))
+    eng.run(ops_batch1, batch_size=10)
+    posts_dir = f"{tmp_path}/posts"
+    # crowd the (2024, 3) partition: at cluster scale each merge can
+    # leave one file per shuffle partition (appends simulate that)
+    part = f"{posts_dir}/year=2024/month=3"
+    # materialize on the driver first — appending to a path while
+    # lazily reading from it is the read-overwrite hazard
+    src = spark.read.parquet(part)
+    pdf = spark.createDataFrame(src.collect(), src.schema)
+    for _ in range(3):
+        pdf.write.mode("append").parquet(part)
+    before_rows = sorted(map(str, _posts(spark, tmp_path).collect()))
+
+    def _files(d):
+        return [
+            os.path.join(r, f)
+            for r, _dd, ff in os.walk(d)
+            for f in ff
+            if f.endswith(".parquet")
+        ]
+
+    assert len(_files(part)) > 2
+    n = compact_partitions(spark, posts_dir, ["year", "month"], max_files_per_partition=1)
+    assert n >= 1
+    part_files = [p for p in _files(posts_dir) if "year=2024/month=3" in p]
+    assert len(part_files) == 1                   # coalesced
+    assert sorted(map(str, _posts(spark, tmp_path).collect())) == before_rows
+
+
 def test_mutings(spark, tmp_path):
     eng = SyncEngine(spark, str(tmp_path))
     ops = spark.createDataFrame(
