@@ -679,6 +679,40 @@ FROM s
 """
 
 
+def neardup_levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string dedup via edit distance: part names compared
+    pairwise WITHIN (brand, type) blocks — classic blocking: the
+    quadratic comparison runs only inside small buckets, never across
+    the whole relation. levenshtein is built-in (and definitionally
+    identical) in both engines."""
+    parts = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_name")
+    a, b = parts.alias("a"), parts.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 10)
+    )
+
+
+_LEVENSHTEIN_ORACLE = """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sampling / vector aggregation
 # ---------------------------------------------------------------------------
@@ -820,6 +854,7 @@ QUERIES = {
     "multimodal_media_features": multimodal_media_features,
     "sample_stratified_documents": sample_stratified_documents,
     "embedding_label_centroids": embedding_label_centroids,
+    "neardup_levenshtein_names": neardup_levenshtein_names,
 }
 
 ORACLE = {
@@ -838,4 +873,5 @@ ORACLE = {
     "multimodal_media_features": _MM_FEATURES_ORACLE,
     "sample_stratified_documents": _SAMPLE_ORACLE,
     "embedding_label_centroids": _CENTROID_ORACLE,
+    "neardup_levenshtein_names": _LEVENSHTEIN_ORACLE,
 }

@@ -159,11 +159,136 @@ FROM orders
 """
 
 
+def funnel_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel: within each 30-minute user session, did a
+    purchase follow the first view? One session_window aggregation +
+    one global conditional rollup — the canonical product-analytics
+    query, no self-joins."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("win"), F.col("user_id")
+    ).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    converted = (
+        F.col("first_view").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("last_purchase") > F.col("first_view"))
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("first_view").isNotNull().cast("int")).alias("n_with_view"),
+        F.sum(F.col("last_purchase").isNotNull().cast("int")).alias("n_with_purchase"),
+        F.sum(converted.cast("int")).alias("n_converted"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+flagged AS (
+  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, sid,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM numbered GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_view,
+       CAST(SUM(CASE WHEN last_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_purchase,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+                      AND last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM sessions
+"""
+
+
+def resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: a dense (user × day)
+    grid over the events month, zero-filled where a user was idle —
+    the sequence→explode densification pattern (training curricula,
+    activity matrices). The grid is generated engine-side (no driver
+    loop); the left join fills from the sparse aggregate."""
+    ev = table(spark, sf_dir, "events")
+    days = F.explode(
+        F.sequence(
+            F.lit("2024-01-01").cast("date"), F.lit("2024-01-30").cast("date")
+        )
+    ).alias("day")
+    users = ev.select("user_id").distinct()
+    grid = users.select("user_id", days)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+
+
+_RESAMPLE_ORACLE = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+users AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT u.user_id, d.day, COALESCE(daily.n, 0) AS n_events
+FROM users u CROSS JOIN days d
+LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+"""
+
+
+def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per order priority —
+    the order-statistics surface. Exact percentile sorts within each
+    group; for 100 TB-scale sketching use approx_percentile (same
+    shape, bounded memory)."""
+    orders = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile(price, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(price, F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min(price), 4).alias("lo"),
+        F.round(F.max(price), 4).alias("hi"),
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(MIN(o_totalprice), 4) AS lo,
+       round(MAX(o_totalprice), 4) AS hi
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
     "window_session_events": window_session_events,
     "date_math_orders": date_math_orders,
+    "funnel_session_conversion": funnel_session_conversion,
+    "resample_daily_gapfill": resample_daily_gapfill,
+    "percentile_order_prices": percentile_order_prices,
 }
 
 ORACLE = {
@@ -171,4 +296,7 @@ ORACLE = {
     "window_sliding_events": _SLIDING_ORACLE,
     "window_session_events": _SESSION_ORACLE,
     "date_math_orders": _DATE_MATH_ORACLE,
+    "funnel_session_conversion": _FUNNEL_ORACLE,
+    "resample_daily_gapfill": _RESAMPLE_ORACLE,
+    "percentile_order_prices": _PERCENTILE_ORACLE,
 }
