@@ -679,6 +679,56 @@ FROM s
 """
 
 
+IVF_CLUSTERS = 8
+
+
+def embedding_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization — the other ANN scale path next to
+    hyperplane LSH: {IVF_CLUSTERS} seed vectors (vec_id <
+    {IVF_CLUSTERS}, the deterministic stand-in for trained k-means
+    centroids; embedding_label_centroids is the training step) are
+    broadcast against the corpus, every vector joins its max-cosine
+    centroid. A probe then searches only its cluster's bucket — the
+    same bucket-join shape as LSH, with learned buckets.
+
+    Plan: one broadcast nested pass over the corpus + an argmax
+    window on (vec_id) — no shuffle of the embedding payload beyond
+    the argmax key."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    seeds = emb.filter(F.col("vec_id") < IVF_CLUSTERS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    scored = emb.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(sk.cosine(F.col("e"), F.col("ce")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id", "cos_sim")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id < {IVF_CLUSTERS}
+),
+scored AS (
+  SELECT e.vec_id, s.centroid_id,
+         round({sk.cosine_sql('e.embedding', 's.ce')}, 4) AS cos_sim
+  FROM embeddings e CROSS JOIN seeds s
+)
+SELECT vec_id, centroid_id, cos_sim FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) = 1
+"""
+
+
 def neardup_levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string dedup via edit distance: part names compared
     pairwise WITHIN (brand, type) blocks — classic blocking: the
@@ -855,6 +905,7 @@ QUERIES = {
     "sample_stratified_documents": sample_stratified_documents,
     "embedding_label_centroids": embedding_label_centroids,
     "neardup_levenshtein_names": neardup_levenshtein_names,
+    "embedding_ivf_assign": embedding_ivf_assign,
 }
 
 ORACLE = {
@@ -874,4 +925,5 @@ ORACLE = {
     "sample_stratified_documents": _SAMPLE_ORACLE,
     "embedding_label_centroids": _CENTROID_ORACLE,
     "neardup_levenshtein_names": _LEVENSHTEIN_ORACLE,
+    "embedding_ivf_assign": _IVF_ORACLE,
 }

@@ -70,6 +70,55 @@ def test_stream_sync_matches_batch_engine(spark, tmp_path):
     assert {"alice", "bob", "v1", "v2"} <= accts
 
 
+def test_stateful_running_activity_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-account running totals accumulate
+    in the state store and persist across availableNow restarts via
+    the checkpoint."""
+    from chain_sync_spark.streaming.stateful import running_account_activity
+
+    src = tmp_path / "ops"
+    src.mkdir()
+    out = str(tmp_path / "activity")
+
+    def _run():
+        ops = stream_ops_from_json(spark, str(src))
+        running = running_account_activity(ops)
+        q = (
+            running.writeStream.foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_ops_file(
+        src / "a.json",
+        [
+            (1, "2024-03-05T12:00:00Z", "comment", _comment("alice", "p1")),
+            (2, "2024-03-05T12:00:03Z", "vote",
+             {"voter": "alice", "author": "alice", "permlink": "p1", "weight": 1}),
+            (2, "2024-03-05T12:00:04Z", "vote",
+             {"voter": "bob", "author": "alice", "permlink": "p1", "weight": 1}),
+        ],
+    )
+    _run()
+    # second run: one more alice op — state must carry the prior count
+    _write_ops_file(
+        src / "b.json",
+        [(3, "2024-03-06T08:00:00Z", "comment", _comment("alice", "p2"))],
+    )
+    _run()
+    rows = spark.read.parquet(out).collect()
+    alice_counts = sorted(r["n_ops"] for r in rows if r["name"] == "alice")
+    assert alice_counts == [2, 3]              # run1 total, then run2 total
+    alice_last = max(r["last_active"] for r in rows if r["name"] == "alice")
+    assert str(alice_last).startswith("2024-03-06")
+    assert [r["n_ops"] for r in rows if r["name"] == "bob"] == [1]
+
+
 def test_windowed_stream_drops_late_rows(spark, tmp_path):
     """Watermark semantics across restarts: the watermark persists in
     the streaming checkpoint, so a row arriving in a later run that is
