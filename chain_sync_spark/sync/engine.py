@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from chain_sync_spark.sources.checkpoint import read_cursor, write_cursor
 from chain_sync_spark.sync.classify import classify
+from chain_sync_spark.functions.hashing import surrogate_id
 from chain_sync_spark.sync.handlers import (
     account_activity_upserts,
     comments_to_post_upserts,
@@ -177,14 +178,32 @@ class SyncEngine:
             )
 
         # votes: set-add into the posts table (S11/A1). The existence
-        # probe (J1) runs against the slim index, not the posts table.
+        # probe (J1) runs against the slim index, not the posts table —
+        # and only against the index BUCKETS the batch's keys hash to,
+        # so probe cost is O(touched buckets), not O(index). (On a
+        # warehouse with dynamic partition pruning / Delta this filter
+        # is derived automatically from the join.)
         if not votes.isEmpty():
-            vote_upserts = votes_to_vote_upserts(votes, slim_idx).select(
+            vote_buckets = [
+                r["b"]
+                for r in votes.select(
+                    F.pmod(
+                        F.xxhash64(surrogate_id("author", "permlink")),
+                        F.lit(N_INDEX_BUCKETS),
+                    ).cast("int").alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            probe_idx = idx.filter(F.col("bucket").isin(vote_buckets)).select(
+                "post_id", "year", "month"
+            )
+            vote_upserts = votes_to_vote_upserts(votes, probe_idx).select(
                 "post_id",
                 F.col("upvotes_add").alias("upvotes"),
                 F.col("downvotes_add").alias("downvotes"),
             )
-            keyed = vote_upserts.join(slim_idx, "post_id")
+            keyed = vote_upserts.join(probe_idx, "post_id")
             merge_parquet(
                 self.spark,
                 self.posts_dir,

@@ -118,7 +118,7 @@ def merge_parquet(
             # overwrite of 0 rows writes only _SUCCESS and later
             # reads fail with UNABLE_TO_INFER_SCHEMA.
             return
-        writer = updates.write.mode("overwrite")
+        writer = _sorted(updates, partition_cols, key_cols).write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(target_dir)
@@ -190,6 +190,7 @@ def merge_parquet(
 
     merged = joined.select(*[pick(c) for c in all_cols])
 
+    merged = _sorted(merged, partition_cols, key_cols)
     try:
         if partition_cols:
             _swap_touched_partitions(spark, target_dir, merged, partition_cols)
@@ -198,6 +199,14 @@ def merge_parquet(
     finally:
         if cached is not None:
             cached.unpersist()
+
+
+def _sorted(df: DataFrame, partition_cols: list[str], key_cols: list[str]) -> DataFrame:
+    """Cluster rows by key inside each written file: parquet row-group
+    min/max stats then prune point lookups (the existence probe) to a
+    few row groups instead of whole files."""
+    cols = [c for c in partition_cols + key_cols if c in df.columns]
+    return df.sortWithinPartitions(*cols) if cols else df
 
 
 def _atomic_overwrite(

@@ -342,6 +342,24 @@ def test_stream_guards_and_stop_block(spark, tmp_path):
     assert read_cursor(spark, f"{tmp_path}/checkpoint") == 11
 
 
+def test_row_order_invariance(spark, tmp_path, ops_batch1):
+    """Set-based handlers must not depend on the source DataFrame's
+    row order: a reversed op stream produces the identical store
+    (dedup/sign-routing key on (block_num, timestamp), never on
+    physical order) — SURVEY §5.4's reorder property."""
+    eng_a = SyncEngine(spark, str(tmp_path / "a"))
+    eng_a.run(ops_batch1, batch_size=10)
+    reversed_ops = spark.createDataFrame(
+        list(reversed(ops_batch1.collect())), ops_batch1.schema
+    )
+    eng_b = SyncEngine(spark, str(tmp_path / "b"))
+    eng_b.run(reversed_ops, batch_size=10)
+    for tbl in ["posts", "accounts"]:
+        a = sorted(map(str, spark.read.parquet(f"{tmp_path}/a/{tbl}").collect()))
+        b = sorted(map(str, spark.read.parquet(f"{tmp_path}/b/{tbl}").collect()))
+        assert a == b, tbl
+
+
 def test_compaction_bounds_file_counts(spark, tmp_path, ops_batch1):
     """Merge-heavy partitions accumulate files; compact_partitions
     rewrites crowded partitions only, preserving every row."""
