@@ -729,6 +729,118 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+IVF_PROBES = 2
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF probe search — the query path on top of
+    embedding_ivf_assign: every corpus vector sits in the inverted
+    list of its max-cosine centroid; a query ranks the {IVF_CLUSTERS}
+    centroids, keeps its {IVF_PROBES} nearest (nprobe), and scores
+    exact cosine ONLY against those cells' members. Recall trades off
+    against nprobe; no all-pairs product ever forms.
+
+    Scale plan: centroids broadcast twice (corpus assignment + query
+    probing), the bounded query set broadcasts into the cell join, so
+    the corpus is never shuffled — one pass to assign, one
+    broadcast-hash probe join, then a per-query top-k window over
+    candidate rows only. On a real deployment the assignment
+    (inverted index) is precomputed once and reused across queries.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    seeds = emb.filter(F.col("vec_id") < IVF_CLUSTERS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    assigned = (
+        emb.join(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "e",
+            "centroid_id",
+            F.round(sk.cosine(F.col("e"), F.col("ce")), 4).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "e")
+    )
+    q = emb.filter(
+        (F.col("vec_id") >= IVF_CLUSTERS) & (F.col("vec_id") < IVF_CLUSTERS + ANN_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    pw = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        q.join(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "qe",
+            "centroid_id",
+            F.round(sk.cosine(F.col("qe"), F.col("ce")), 4).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select("query_id", "qe", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sk.cosine(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANN_TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def _ivf_topk_oracle() -> str:
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id < {IVF_CLUSTERS}
+),
+assigned AS (
+  SELECT vec_id, centroid_id, embedding FROM (
+    SELECT e.vec_id, s.centroid_id, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY round({sk.cosine_sql('e.embedding', 's.ce')}, 4) DESC,
+                      s.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id >= {IVF_CLUSTERS} AND vec_id < {IVF_CLUSTERS + ANN_QUERIES}
+),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, s.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY round({sk.cosine_sql('q.qe', 's.ce')}, 4) DESC,
+                      s.centroid_id) AS rn
+    FROM q CROSS JOIN seeds s
+  ) WHERE rn <= {IVF_PROBES}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({sk.cosine_sql('p.qe', 'a.embedding')}, 4) AS cos_sim
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {ANN_TOPK}
+"""
+
+
 def neardup_levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string dedup via edit distance: part names compared
     pairwise WITHIN (brand, type) blocks — classic blocking: the
@@ -906,6 +1018,7 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "neardup_levenshtein_names": neardup_levenshtein_names,
     "embedding_ivf_assign": embedding_ivf_assign,
+    "embedding_ivf_topk": embedding_ivf_topk,
 }
 
 ORACLE = {
@@ -926,4 +1039,5 @@ ORACLE = {
     "embedding_label_centroids": _CENTROID_ORACLE,
     "neardup_levenshtein_names": _LEVENSHTEIN_ORACLE,
     "embedding_ivf_assign": _IVF_ORACLE,
+    "embedding_ivf_topk": _ivf_topk_oracle(),
 }
