@@ -46,6 +46,7 @@ EXTENDED_SET = [
     "neardup_minhash_bands",
     "embedding_cosine_topk",
     "embedding_ann_lsh_pairs",
+    "embedding_ivf_topk",
 ]
 
 HEADLINE = BASELINE_SET + EXTENDED_SET

@@ -555,6 +555,131 @@ def higher_order_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, … orders —
+    LEFT OUTER customer⋈(filtered orders), per-customer count of
+    non-null orderkeys (zero-order customers stay), then a histogram
+    of the counts. Two shuffles (custkey, then order_count) — both
+    on bounded-skew keys; the second aggregation input is one row per
+    customer, already tiny relative to the fact."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return (
+        per_cust.groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS order_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT order_count, COUNT(*) AS n_customers
+FROM per_cust GROUP BY order_count
+"""
+
+
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one pass: dense_rank,
+    percent_rank, ntile(4), cume_dist over orders per customer by
+    price. The ORDER BY carries the unique o_orderkey tie-break, so
+    position-sensitive functions (ntile, cume_dist) are deterministic
+    cross-engine. One shuffle on c_custkey; all four functions share
+    the single sorted window frame."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+_RANK_VARIANTS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(DENSE_RANK() OVER w AS INT) AS price_dense_rank,
+       round(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+       CAST(NTILE(4) OVER w AS INT) AS price_quartile,
+       round(CUME_DIST() OVER w, 6) AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def stats_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates with cross-engine determinism: Pearson
+    correlation and sample stddev of (quantity, extendedprice) per
+    return flag, computed from EXACT decimal power sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) so the result is independent of aggregation order;
+    the final corr/stddev formulas run once per group in double.
+    Native corr()/stddev() accumulate doubles in partition order and
+    never hash-match across engines — this is the portable form, and
+    it is still one map-side-combinable aggregation pass."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    sd = lambda s2, s1: F.sqrt(  # noqa: E731
+        (n * F.col(s2) - F.col(s1) * F.col(s1)) / (n * (n - F.lit(1.0)))
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(sd("sxx", "sx"), 6).alias("stddev_qty"),
+        F.round(sd("syy", "sy"), 6).alias("stddev_price"),
+    )
+
+
+_STATS_CORR_ORACLE = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         -- (19,4) forces hugeint storage in DuckDB; the int64 path
+         -- overflows on the scaled product of two (18,4) values.
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+       round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty,
+       round(sqrt((n * syy - sy * sy) / (n * (n - 1.0))), 6) AS stddev_price
+FROM sums
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -588,6 +713,9 @@ QUERIES = {
     "date_partition_buckets": date_partition_buckets,
     "string_funcs_projection": string_funcs_projection,
     "higher_order_token_filter": higher_order_token_filter,
+    "tpch_q13_order_distribution": tpch_q13_order_distribution,
+    "window_rank_variants": window_rank_variants,
+    "stats_corr_lineitem": stats_corr_lineitem,
 }
 
 ORACLE = {
@@ -800,4 +928,7 @@ ORACLE = {
                array_to_string(list_transform(list_filter(string_split(text, ' '), t -> t LIKE 's%'), t -> UPPER(t)), ' ') AS s_tokens_up
         FROM documents
     """,
+    "tpch_q13_order_distribution": _Q13_ORACLE,
+    "window_rank_variants": _RANK_VARIANTS_ORACLE,
+    "stats_corr_lineitem": _STATS_CORR_ORACLE,
 }

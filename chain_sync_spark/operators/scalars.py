@@ -134,11 +134,40 @@ FROM events GROUP BY 1
 """
 
 
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch next to the HLL sketch (approx_distinct_users):
+    per-returnflag approximate median price. Spark's approx_percentile
+    (Greenwald-Khanna) and DuckDB's approx_quantile (t-digest) are
+    different sketches, so the cross-engine contract mirrors the HLL
+    one — each engine's estimate must land within 2% of the exact
+    interpolated median, which both engines define identically
+    (quantile_cont). At 100 TB the sketch is the only affordable
+    percentile: fixed-size state per group, map-side combinable, no
+    global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    exact = F.percentile(F.col("l_extendedprice"), F.lit(0.5))
+    approx = F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10000))
+    return li.groupBy("l_returnflag").agg(
+        F.round(exact, 4).alias("exact_median"),
+        (F.abs(approx - exact) <= exact * F.lit(0.02)).alias("approx_within_2pct"),
+    )
+
+
+_APPROX_PCT_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+       abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+         <= quantile_cont(l_extendedprice, 0.5) * 0.02 AS approx_within_2pct
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES = {
     "explode_token_frequency": explode_token_frequency,
     "map_funcs_events": map_funcs_events,
     "math_funcs_lineitem": math_funcs_lineitem,
     "approx_distinct_users": approx_distinct_users,
+    "approx_percentile_prices": approx_percentile_prices,
 }
 
 ORACLE = {
@@ -146,4 +175,5 @@ ORACLE = {
     "map_funcs_events": _MAP_FUNCS_ORACLE,
     "math_funcs_lineitem": _MATH_FUNCS_ORACLE,
     "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
+    "approx_percentile_prices": _APPROX_PCT_ORACLE,
 }
