@@ -59,6 +59,23 @@ def windowed_op_counts(
     )
 
 
+def dedup_ops_within_watermark(ops: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    dedup_exact_documents operator, and an explicit form of the
+    dedup the reference gets implicitly from idempotent upserts
+    (listener.js crash replay re-delivers whole blocks): redelivered
+    ops are dropped on (block_num, op_type, op) identity, emitted
+    rows come out exactly once.
+
+    Scale: state is keyed by the dedup columns and bounded by the
+    watermark horizon — a key is remembered only until the event-time
+    watermark passes it, so state size tracks the late-data window,
+    not the stream length."""
+    return ops.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["block_num", "op_type", "op"]
+    )
+
+
 def run_stream_sync(
     engine,
     ops: DataFrame,

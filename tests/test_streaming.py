@@ -9,6 +9,7 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from chain_sync_spark.streaming.stream_sync import (
+    dedup_ops_within_watermark,
     run_stream_sync,
     stream_ops_from_json,
     windowed_op_counts,
@@ -117,6 +118,53 @@ def test_stateful_running_activity_survives_restart(spark, tmp_path):
     alice_last = max(r["last_active"] for r in rows if r["name"] == "alice")
     assert str(alice_last).startswith("2024-03-06")
     assert [r["n_ops"] for r in rows if r["name"] == "bob"] == [1]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: an op delivered twice in one
+    batch is emitted once, and a whole-block redelivery in a later
+    run (crash replay) is dropped via state carried in the
+    checkpoint."""
+    src = tmp_path / "ops"
+    src.mkdir()
+    out = str(tmp_path / "deduped")
+    vote1 = {"voter": "v1", "author": "alice", "permlink": "p1", "weight": 100}
+
+    def _run():
+        ops = stream_ops_from_json(spark, str(src))
+        q = (
+            dedup_ops_within_watermark(ops, "30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: block 1's vote arrives twice in the same batch
+    _write_ops_file(
+        src / "a.json",
+        [
+            (1, "2024-03-05T12:00:00Z", "vote", vote1),
+            (1, "2024-03-05T12:00:00Z", "vote", vote1),
+            (2, "2024-03-05T12:00:03Z", "comment", _comment("alice", "p1")),
+        ],
+    )
+    _run()
+    # run 2: block 1 redelivered wholesale, plus one genuinely new op
+    _write_ops_file(
+        src / "b.json",
+        [
+            (1, "2024-03-05T12:00:00Z", "vote", vote1),
+            (3, "2024-03-05T12:00:06Z", "vote",
+             {"voter": "v2", "author": "alice", "permlink": "p1", "weight": 50}),
+        ],
+    )
+    _run()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["block_num"] for r in rows) == [1, 2, 3]
 
 
 def test_windowed_stream_drops_late_rows(spark, tmp_path):
