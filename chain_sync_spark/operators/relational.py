@@ -555,6 +555,60 @@ def higher_order_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by supplier nation within one region
+    and date year, where the supplier and the ordering customer share
+    a nation — the classic 6-way join whose co-nationality predicate
+    (c_nationkey = s_nationkey) lands as a join condition, not a
+    filter. Plan: the two facts shuffle on orderkey; supplier,
+    customer-side nation, and region broadcast (all bounded dims);
+    the region filter prunes nations BEFORE the fact join via the
+    broadcast side."""
+    cutoff_lo = F.lit("1996-01-01").cast("timestamp")
+    cutoff_hi = F.lit("1997-01-01").cast("timestamp")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust),
+              (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: how many customers placed 0, 1, 2, … orders —
     LEFT OUTER customer⋈(filtered orders), per-customer count of
@@ -713,6 +767,7 @@ QUERIES = {
     "date_partition_buckets": date_partition_buckets,
     "string_funcs_projection": string_funcs_projection,
     "higher_order_token_filter": higher_order_token_filter,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q13_order_distribution": tpch_q13_order_distribution,
     "window_rank_variants": window_rank_variants,
     "stats_corr_lineitem": stats_corr_lineitem,
@@ -928,6 +983,7 @@ ORACLE = {
                array_to_string(list_transform(list_filter(string_split(text, ' '), t -> t LIKE 's%'), t -> UPPER(t)), ' ') AS s_tokens_up
         FROM documents
     """,
+    "tpch_q5_local_supplier_volume": _Q5_ORACLE,
     "tpch_q13_order_distribution": _Q13_ORACLE,
     "window_rank_variants": _RANK_VARIANTS_ORACLE,
     "stats_corr_lineitem": _STATS_CORR_ORACLE,
