@@ -72,3 +72,30 @@ def test_dimension_join_broadcasts(spark):
     from chain_sync_spark.operators.relational import join_broadcast_dims
     df = join_broadcast_dims(spark, "/root/testdata/sf0.001")
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_q5_plan_broadcasts_dims_and_pushes_dates(spark):
+    """TPC-H Q5: every dimension side (supplier, customer, nation ⋈
+    region) joins as broadcast-hash — the fact tables must never
+    shuffle for a dim — and the order-date range predicate reaches
+    the parquet scan."""
+    from chain_sync_spark.operators.relational import tpch_q5_local_supplier_volume
+    from chain_sync_spark.plans.audit import broadcasts
+
+    df = tpch_q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    assert broadcasts(df) >= 3, _plan(df)
+    assert has_pushed_filter(df, "o_orderdate"), _plan(df)
+
+
+def test_ivf_topk_probe_join_broadcasts(spark):
+    """IVF probe search: centroids and the bounded query/probe set
+    broadcast, so the corpus is never shuffled for the candidate
+    join."""
+    from chain_sync_spark.operators.llm_pipeline import embedding_ivf_topk
+
+    df = embedding_ivf_topk(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # two broadcast nested passes over the centroids + the broadcast
+    # probe join on centroid_id — three broadcast sides in total
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "BroadcastHashJoin" in plan, plan
