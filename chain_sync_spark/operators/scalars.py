@@ -162,12 +162,51 @@ FROM lineitem GROUP BY 1
 """
 
 
+def array_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over document tokens: slice, sort,
+    distinct-count, membership position, and sequence generation —
+    all builtin column expressions (whole-stage codegen, no UDF).
+    Cross-engine notes: distinct goes through a sort (DuckDB's
+    list_distinct does not promise first-occurrence order), Spark's
+    array_position returns 0 for missing where DuckDB returns NULL
+    (COALESCEd in the oracle), and the sequence length is clamped
+    to ≥1 because Spark's sequence(1, 0) counts DOWN while DuckDB's
+    range(1, 1) is empty."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.sort_array(F.slice(toks, 1, 5)).alias("sorted_first5"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_position(toks, "the").alias("pos_the"),
+        F.sequence(
+            F.lit(1).cast("long"),
+            F.least(F.greatest(F.size(toks), F.lit(1)), F.lit(3)).cast("long"),
+        ).alias("idx_seq"),
+    )
+
+
+_ARRAY_FUNCS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_sort(toks[1:5]) AS sorted_first5,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
+       range(1, least(greatest(len(toks), 1), 3) + 1) AS idx_seq
+FROM t
+"""
+
+
 QUERIES = {
     "explode_token_frequency": explode_token_frequency,
     "map_funcs_events": map_funcs_events,
     "math_funcs_lineitem": math_funcs_lineitem,
     "approx_distinct_users": approx_distinct_users,
     "approx_percentile_prices": approx_percentile_prices,
+    "array_funcs_documents": array_funcs_documents,
 }
 
 ORACLE = {
@@ -176,4 +215,5 @@ ORACLE = {
     "math_funcs_lineitem": _MATH_FUNCS_ORACLE,
     "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
     "approx_percentile_prices": _APPROX_PCT_ORACLE,
+    "array_funcs_documents": _ARRAY_FUNCS_ORACLE,
 }
