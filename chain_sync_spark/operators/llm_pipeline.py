@@ -996,6 +996,26 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (functions/multimodal.sample_frames):
+    one row per 64-byte 'frame' offset of each payload — the
+    1→N explode shape video frame extraction produces; the per-frame
+    decode plugs into decode_media. Pure column ops (sequence +
+    posexplode), no UDF; the payload itself is never shuffled, only
+    (media_id, offset) rows fan out."""
+    media = mm.documents_as_media(table(spark, sf_dir, "documents"))
+    return mm.sample_frames(media, every_n_bytes=64)
+
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id AS media_id, CAST(t.i AS INT) AS frame_idx,
+       CAST(t.i * 64 AS INT) AS byte_offset
+FROM documents,
+     LATERAL (SELECT unnest(range(0,
+       greatest((octet_length(encode(text)) + 63) // 64, 1))) AS i) t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1014,6 +1034,7 @@ QUERIES = {
     "doc_fingerprint_bottomk": doc_fingerprint_bottomk,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_media_features": multimodal_media_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "sample_stratified_documents": sample_stratified_documents,
     "embedding_label_centroids": embedding_label_centroids,
     "neardup_levenshtein_names": neardup_levenshtein_names,
@@ -1035,6 +1056,7 @@ ORACLE = {
     "doc_fingerprint_bottomk": _FINGERPRINT_ORACLE,
     "multimodal_binary_stats": _MM_STATS_ORACLE,
     "multimodal_media_features": _MM_FEATURES_ORACLE,
+    "multimodal_frame_sample": _FRAME_SAMPLE_ORACLE,
     "sample_stratified_documents": _SAMPLE_ORACLE,
     "embedding_label_centroids": _CENTROID_ORACLE,
     "neardup_levenshtein_names": _LEVENSHTEIN_ORACLE,
