@@ -52,9 +52,11 @@ def main() -> int:
 
     queries, oracles = all_queries(), all_oracles()
     failures = []
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -94,7 +96,7 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(status))
         else:
             print(f"ok {name}: {len(srows)} rows")
-    print(f"\n{len(queries) - len(failures)}/{len(queries) if not only else len(only)} pass")
+    print(f"\n{n_run - len(failures)}/{n_run} pass")
     spark.stop()
     return 1 if failures else 0
 
