@@ -245,6 +245,97 @@ JOIN sh sb ON cand.doc_b = sb.doc_id
 """
 
 
+CLUSTER_MIN_JACCARD = 0.5
+CLUSTER_MAX_ITERS = 12
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs — the step an actual
+    training-data pipeline needs after candidate generation: connected
+    components over the MinHash pair graph (jaccard ≥
+    {CLUSTER_MIN_JACCARD}), so each group of mutual near-duplicates
+    collapses to one canonical doc (the min doc_id). Components are
+    computed by iterative min-label propagation: each round every
+    node takes the min label among itself and its neighbors; the
+    fixpoint is the component minimum.
+
+    Scale: each round is one shuffle join on node id; rounds needed =
+    graph diameter, and near-dup components are small and dense
+    (diameter ~2-3), so the loop is a handful of rounds — this is the
+    standard large-scale CC recipe (cf. small-star/large-star for
+    adversarially long chains). The oracle reproduces the fixpoint
+    declaratively with a recursive CTE."""
+    pairs = neardup_minhash_bands(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_MIN_JACCARD
+    )
+    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
+  WHERE jaccard >= {CLUSTER_MIN_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+walk(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.dst AS doc_id, w.label
+  FROM walk w JOIN edges e ON w.doc_id = e.src
+),
+comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. Near-dup: SimHash band buckets + Hamming distance
 # ---------------------------------------------------------------------------
@@ -1023,6 +1114,7 @@ FROM documents,
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "neardup_minhash_bands": neardup_minhash_bands,
+    "neardup_clusters": neardup_clusters,
     "neardup_simhash_pairs": neardup_simhash_pairs,
     "neardup_ngram_jaccard": neardup_ngram_jaccard,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1045,6 +1137,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact_documents": _DEDUP_EXACT_SQL,
     "neardup_minhash_bands": _minhash_oracle(),
+    "neardup_clusters": _clusters_oracle(),
     "neardup_simhash_pairs": _simhash_oracle(),
     "neardup_ngram_jaccard": _NGRAM_ORACLE,
     "embedding_cosine_topk": _COSINE_TOPK_ORACLE,
