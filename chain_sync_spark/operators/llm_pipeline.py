@@ -1087,6 +1087,56 @@ FROM documents
 """
 
 
+PREP_MIN_TOKENS = 10
+
+
+def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep — the composition the individual
+    operators exist for, as one declarative plan: (1) quality gate
+    (≥ {PREP_MIN_TOKENS} tokens), (2) exact dedup on normalized-text
+    md5 keeping the lowest doc_id, (3) deterministic stratified
+    sample of {SAMPLE_PER_STRATUM} docs per language by hash key.
+
+    Scale: the gate is a scan-level filter, dedup is one hash
+    shuffle, sampling is a per-stratum top-k window — three stages,
+    two shuffles, no driver round-trips; Catalyst pipelines the
+    whole thing into one job."""
+    d = _docs_norm(spark, sf_dir).filter(F.size("w") >= PREP_MIN_TOKENS)
+    keyed = d.withColumn("dup_key", F.md5("t"))
+    wd = Window.partitionBy("dup_key").orderBy("doc_id")
+    deduped = keyed.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") == 1)
+    ws = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        deduped.withColumn(
+            "sample_key",
+            sk.hash60(F.concat(F.lit("prep:"), F.col("doc_id").cast("string"))),
+        )
+        .withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select("doc_id", "lang", "source", F.size("w").alias("n_tokens"), "rk")
+    )
+
+
+_PREP_ORACLE = f"""
+WITH {_NORM_CTE.lstrip()},
+elig AS (
+  SELECT doc_id, lang, source, t, w FROM docs_words
+  WHERE len(w) >= {PREP_MIN_TOKENS}
+),
+deduped AS (
+  SELECT doc_id, lang, source, w FROM elig
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+)
+SELECT doc_id, lang, source, CAST(len(w) AS INT) AS n_tokens, rk FROM (
+  SELECT doc_id, lang, source, w,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {sk.hash60_sql("'prep:' || doc_id::VARCHAR")}, doc_id) AS rk
+  FROM deduped
+) WHERE rk <= {SAMPLE_PER_STRATUM}
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (functions/multimodal.sample_frames):
     one row per 64-byte 'frame' offset of each payload — the
@@ -1128,6 +1178,7 @@ QUERIES = {
     "multimodal_media_features": multimodal_media_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "sample_stratified_documents": sample_stratified_documents,
+    "training_prep_pipeline": training_prep_pipeline,
     "embedding_label_centroids": embedding_label_centroids,
     "neardup_levenshtein_names": neardup_levenshtein_names,
     "embedding_ivf_assign": embedding_ivf_assign,
@@ -1151,6 +1202,7 @@ ORACLE = {
     "multimodal_media_features": _MM_FEATURES_ORACLE,
     "multimodal_frame_sample": _FRAME_SAMPLE_ORACLE,
     "sample_stratified_documents": _SAMPLE_ORACLE,
+    "training_prep_pipeline": _PREP_ORACLE,
     "embedding_label_centroids": _CENTROID_ORACLE,
     "neardup_levenshtein_names": _LEVENSHTEIN_ORACLE,
     "embedding_ivf_assign": _IVF_ORACLE,
