@@ -198,6 +198,34 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 explicit GROUPING SETS (two independent subtotal rows, no
+    cross product — the lattice rollup/cube can't express) with
+    grouping() markers to disambiguate real NULLs from subtotal
+    NULLs. Runs through the SQL API (temp view + spark.sql) — the
+    same Catalyst plan a DataFrame would produce, and evidence the
+    engine's SQL surface works for users who bring SQL."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Joins (J1–J6)
 # ---------------------------------------------------------------------------
@@ -747,6 +775,7 @@ QUERIES = {
     "distinct_users_per_type": distinct_users_per_type,
     "rollup_nation_segment": rollup_nation_segment,
     "cube_status_priority": cube_status_priority,
+    "grouping_sets_status_priority": grouping_sets_status_priority,
     "join_broadcast_dims": join_broadcast_dims,
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
@@ -820,6 +849,7 @@ ORACLE = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    "grouping_sets_status_priority": _GROUPING_SETS_ORACLE,
     "join_broadcast_dims": """
         SELECT r_name, n_name, COUNT(*) AS n_customers,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
