@@ -47,6 +47,7 @@ EXTENDED_SET = [
     "embedding_cosine_topk",
     "embedding_ann_lsh_pairs",
     "embedding_ivf_topk",
+    "training_prep_pipeline",
 ]
 
 HEADLINE = BASELINE_SET + EXTENDED_SET
