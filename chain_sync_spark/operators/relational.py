@@ -509,6 +509,39 @@ def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scalar-function layer (§2.6)
 # ---------------------------------------------------------------------------
 
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of pivot_events_by_type: a wide
+    per-segment aggregate (n_customers / sum_acctbal / max_acctbal
+    columns) melts into (segment, metric, value) rows. Wide→long is a
+    pure per-row flatMap — no shuffle beyond the feeding aggregation,
+    and the metric name column is a literal, so Catalyst folds it."""
+    cust = table(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        _sum_money(F.col("c_acctbal"), "sum_acctbal"),
+        F.max(_dec(F.col("c_acctbal"))).cast("double").alias("max_acctbal"),
+    )
+    return wide.melt(
+        ids=["c_mktsegment"],
+        values=["n_customers", "sum_acctbal", "max_acctbal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+         CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_acctbal
+  FROM customer GROUP BY c_mktsegment
+)
+UNPIVOT wide ON n_customers, sum_acctbal, max_acctbal
+INTO NAME metric VALUE value
+"""
+
+
 def json_extract_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 JSON field extraction (account_updates.js:2-6): pull a typed
     field out of a JSON string column and aggregate on it."""
@@ -790,6 +823,7 @@ QUERIES = {
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "pivot_events_by_type": pivot_events_by_type,
+    "unpivot_customer_metrics": unpivot_customer_metrics,
     "join_salted_status_dim": join_salted_status_dim,
     "json_extract_events_props": json_extract_events_props,
     "surrogate_key_md5": surrogate_key_md5,
@@ -850,6 +884,7 @@ ORACLE = {
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "grouping_sets_status_priority": _GROUPING_SETS_ORACLE,
+    "unpivot_customer_metrics": _UNPIVOT_ORACLE,
     "join_broadcast_dims": """
         SELECT r_name, n_name, COUNT(*) AS n_customers,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
