@@ -366,6 +366,40 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-customer trailing-7-day order
+    total — the frame is bounded by VALUE distance on the time axis
+    (every order within 7 days), not by row count. The axis is exact
+    integer microseconds (unix_micros), which both engines frame
+    identically; boundary ties all join the frame by RANGE semantics
+    and the DECIMAL sum keeps the total order-independent."""
+    orders = table(spark, sf_dir, "orders")
+    # parquet stores TIMESTAMP_NTZ; session TZ is UTC, so the cast is exact
+    micros = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    seven_days_us = 7 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(micros)
+        .rangeBetween(-seven_days_us, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("trailing_7d_total"),
+    )
+
+
+_TRAILING_7D_ORACLE = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_7d_total
+FROM orders
+"""
+
+
 def window_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic lag: seconds since the user's previous event."""
     ev = table(spark, sf_dir, "events")
@@ -817,6 +851,7 @@ QUERIES = {
     "join_asof_purchase_prior_view": join_asof_purchase_prior_view,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_revenue": window_running_revenue,
+    "window_trailing_7d_revenue": window_trailing_7d_revenue,
     "window_lag_event_gap": window_lag_event_gap,
     "sort_limit_top_orders": sort_limit_top_orders,
     "set_ops_segments": set_ops_segments,
@@ -885,6 +920,7 @@ ORACLE = {
     """,
     "grouping_sets_status_priority": _GROUPING_SETS_ORACLE,
     "unpivot_customer_metrics": _UNPIVOT_ORACLE,
+    "window_trailing_7d_revenue": _TRAILING_7D_ORACLE,
     "join_broadcast_dims": """
         SELECT r_name, n_name, COUNT(*) AS n_customers,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
