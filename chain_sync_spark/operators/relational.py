@@ -337,6 +337,43 @@ def join_asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame
 # Windows / sorts / limits / set ops (§2.5)
 # ---------------------------------------------------------------------------
 
+def join_null_safe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the key
+    is NULLed for one segment (an 'unknown' bucket), and the dim join
+    must still match those rows — plain = drops every NULL pair, so
+    the null-safe operator is the only correct single-join encoding.
+    Still a hash join (null-safe equality is hashable); the dim side
+    broadcasts."""
+    cust = table(spark, sf_dir, "customer")
+    key = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    left = cust.select("c_custkey", key.alias("k"))
+    dim = (
+        cust.select(key.alias("dk"))
+        .distinct()
+        .withColumn("label", F.coalesce(F.col("dk"), F.lit("unknown")))
+    )
+    return (
+        left.join(F.broadcast(dim), F.col("k").eqNullSafe(F.col("dk")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_NULL_SAFE_ORACLE = """
+WITH l AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS k FROM customer
+),
+d AS (
+  SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS dk,
+         COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'unknown') AS label
+  FROM customer
+)
+SELECT label, COUNT(*) AS n_customers
+FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.dk
+GROUP BY label
+"""
+
+
 def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer: row_number ≤ k — the scalable top-k
     (partial top-k per partition, no global sort)."""
@@ -849,6 +886,7 @@ QUERIES = {
     "join_multiway_revenue": join_multiway_revenue,
     "join_range_value_bands": join_range_value_bands,
     "join_asof_purchase_prior_view": join_asof_purchase_prior_view,
+    "join_null_safe_segments": join_null_safe_segments,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_trailing_7d_revenue": window_trailing_7d_revenue,
@@ -921,6 +959,7 @@ ORACLE = {
     "grouping_sets_status_priority": _GROUPING_SETS_ORACLE,
     "unpivot_customer_metrics": _UNPIVOT_ORACLE,
     "window_trailing_7d_revenue": _TRAILING_7D_ORACLE,
+    "join_null_safe_segments": _NULL_SAFE_ORACLE,
     "join_broadcast_dims": """
         SELECT r_name, n_name, COUNT(*) AS n_customers,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
