@@ -1,0 +1,44 @@
+"""File-format breadth: query results round-trip through CSV and
+JSON sinks/sources with explicit schemas (the reference's outbound
+format is JSON documents; CSV is the interchange lowest common
+denominator). Parquet is exercised everywhere else."""
+
+from pyspark.sql import functions as F
+
+from chain_sync_spark.operators.relational import tpch_q1_pricing_summary
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(map(str, df.select(sorted(df.columns)).collect()))
+
+
+def test_csv_roundtrip_preserves_values(spark, tmp_path):
+    res = tpch_q1_pricing_summary(spark, SF_DIR)
+    out = str(tmp_path / "q1_csv")
+    res.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(res.schema).option("header", True).csv(out)
+    assert _canon(back) == _canon(res)
+
+
+def test_json_roundtrip_preserves_values(spark, tmp_path):
+    res = tpch_q1_pricing_summary(spark, SF_DIR)
+    out = str(tmp_path / "q1_json")
+    res.write.mode("overwrite").json(out)
+    back = spark.read.schema(res.schema).json(out)
+    assert _canon(back) == _canon(res)
+
+
+def test_json_lines_source_matches_parquet(spark, tmp_path):
+    """The op-stream JSON-lines shape: a parquet table exported to
+    JSON lines reads back identically with an explicit schema —
+    no inference drift on longs/doubles/timestamps."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    assert back.count() == docs.count()
+    a = sorted(map(str, docs.select("doc_id", "lang", F.md5("text")).collect()))
+    b = sorted(map(str, back.select("doc_id", "lang", F.md5("text")).collect()))
+    assert a == b

@@ -120,6 +120,43 @@ def test_stateful_running_activity_survives_restart(spark, tmp_path):
     assert [r["n_ops"] for r in rows if r["name"] == "bob"] == [1]
 
 
+def test_stream_static_dim_join(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a static
+    dimension natively (no foreachBatch needed) — Spark re-plans the
+    static side per batch, the streaming side stays incremental."""
+    src = tmp_path / "ops"
+    src.mkdir()
+    _write_ops_file(
+        src / "a.json",
+        [
+            (1, "2024-03-05T12:00:00Z", "comment", _comment("alice", "p1")),
+            (2, "2024-03-05T12:00:03Z", "vote",
+             {"voter": "v1", "author": "alice", "permlink": "p1", "weight": 1}),
+            (3, "2024-03-05T12:00:06Z", "unknown_op", {}),
+        ],
+    )
+    dim = spark.createDataFrame(
+        [("comment", "content"), ("vote", "engagement")],
+        "op_type string, category string",
+    )
+    ops = stream_ops_from_json(spark, str(src))
+    enriched = ops.join(dim, "op_type", "left_outer").select(
+        "block_num", "op_type", F.coalesce("category", F.lit("other")).alias("category")
+    )
+    out = str(tmp_path / "enriched")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["block_num"], r["category"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "content"), (2, "engagement"), (3, "other")}
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: an op delivered twice in one
     batch is emitted once, and a whole-block redelivery in a later
