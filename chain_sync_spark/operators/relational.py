@@ -406,19 +406,17 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per-customer trailing-7-day order
     total — the frame is bounded by VALUE distance on the time axis
-    (every order within 7 days), not by row count. The axis is exact
-    integer microseconds (unix_micros), which both engines frame
-    identically; boundary ties all join the frame by RANGE semantics
-    and the DECIMAL sum keeps the total order-independent."""
+    (every order within 7 days), not by row count. The axis is an
+    integer day number from the NTZ date part — deliberately NOT an
+    epoch cast, which would pass through the session timezone and
+    shift frame boundaries across DST transitions on a non-UTC
+    driver. Boundary ties all join the frame by RANGE semantics and
+    the DECIMAL sum keeps the total order-independent."""
     orders = table(spark, sf_dir, "orders")
-    # parquet stores TIMESTAMP_NTZ; session TZ is UTC, so the cast is exact
-    micros = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    seven_days_us = 7 * 24 * 3600 * 1_000_000
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(micros)
-        .rangeBetween(-seven_days_us, Window.currentRow)
+    day_num = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
     )
+    w = Window.partitionBy("o_custkey").orderBy(day_num).rangeBetween(-7, Window.currentRow)
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -430,8 +428,8 @@ def window_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAILING_7D_ORACLE = """
 SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-         PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
-         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+         PARTITION BY o_custkey ORDER BY (o_orderdate::DATE - DATE '1970-01-01')
+         RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS trailing_7d_total
 FROM orders
 """
