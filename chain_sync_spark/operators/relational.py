@@ -495,6 +495,43 @@ def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset set ops, which keep
+    per-occurrence multiplicity (min / left-minus for each key)
+    instead of deduplicating: a user with 5 purchases and 3 views
+    contributes 3 'both' rows and 2 'purchase_excess' rows. Output is
+    aggregated to (user, tag, n) so the check is order-insensitive.
+    Both ops compile to one hash aggregation over tagged counts — no
+    join, one shuffle per input."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    both = (
+        purchases.intersectAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("both"))
+    )
+    excess = (
+        purchases.exceptAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("purchase_excess"))
+    )
+    return both.unionByName(excess).select("user_id", "tag", "n")
+
+
+_SET_OPS_ALL_ORACLE = """
+WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+ia AS (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM v),
+ea AS (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM v)
+SELECT user_id, 'both' AS tag, COUNT(*) AS n FROM ia GROUP BY 1, 2
+UNION ALL
+SELECT user_id, 'purchase_excess' AS tag, COUNT(*) AS n FROM ea GROUP BY 1, 2
+"""
+
+
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery shape: orders above the global average price.
     The 1-row aggregate is broadcast against the fact scan — the plan
@@ -891,6 +928,7 @@ QUERIES = {
     "window_lag_event_gap": window_lag_event_gap,
     "sort_limit_top_orders": sort_limit_top_orders,
     "set_ops_segments": set_ops_segments,
+    "set_ops_all_multiset": set_ops_all_multiset,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "pivot_events_by_type": pivot_events_by_type,
@@ -958,6 +996,7 @@ ORACLE = {
     "unpivot_customer_metrics": _UNPIVOT_ORACLE,
     "window_trailing_7d_revenue": _TRAILING_7D_ORACLE,
     "join_null_safe_segments": _NULL_SAFE_ORACLE,
+    "set_ops_all_multiset": _SET_OPS_ALL_ORACLE,
     "join_broadcast_dims": """
         SELECT r_name, n_name, COUNT(*) AS n_customers,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
