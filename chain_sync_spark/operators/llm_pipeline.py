@@ -1005,6 +1005,48 @@ SELECT doc_id, lang, source, rk FROM (
 """
 
 
+SPLIT_BOUNDS = (80, 90)  # train < 80, val < 90, test < 100
+
+
+def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the other sampling verb a
+    training pipeline needs: each doc hashes to a bucket in [0,100)
+    and the 80/10/10 boundaries assign the split. Hash-keyed (not
+    rand()) so the assignment is stable across runs, engines, and
+    repartitioning, and adding documents never reshuffles existing
+    assignments. Output is per (lang, split) counts — the sanity
+    check that the split is balanced within every stratum."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        sk.hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    split = (
+        F.when(bucket < SPLIT_BOUNDS[0], "train")
+        .when(bucket < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT lang,
+         {sk.hash60_sql("'split:' || doc_id::VARCHAR")} % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < {SPLIT_BOUNDS[0]} THEN 'train'
+            WHEN bucket < {SPLIT_BOUNDS[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors — the training
     step of an IVF index (and the reduce shape of any vector
@@ -1179,6 +1221,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "sample_stratified_documents": sample_stratified_documents,
     "training_prep_pipeline": training_prep_pipeline,
+    "split_assign_documents": split_assign_documents,
     "embedding_label_centroids": embedding_label_centroids,
     "neardup_levenshtein_names": neardup_levenshtein_names,
     "embedding_ivf_assign": embedding_ivf_assign,
@@ -1203,6 +1246,7 @@ ORACLE = {
     "multimodal_frame_sample": _FRAME_SAMPLE_ORACLE,
     "sample_stratified_documents": _SAMPLE_ORACLE,
     "training_prep_pipeline": _PREP_ORACLE,
+    "split_assign_documents": _SPLIT_ORACLE,
     "embedding_label_centroids": _CENTROID_ORACLE,
     "neardup_levenshtein_names": _LEVENSHTEIN_ORACLE,
     "embedding_ivf_assign": _IVF_ORACLE,
