@@ -200,6 +200,47 @@ FROM t
 """
 
 
+def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/conditional aggregate surface: per event type, the user
+    holding the single highest-value event (max_by over a (value,
+    event_id) composite — the unique tie-break makes the argmax
+    deterministic in both engines), the earliest event's user
+    (min_by on ts+event_id), a filtered count (count_if), and a
+    bool_or existence flag. One aggregation pass, map-side
+    combinable — at scale this replaces the common anti-pattern of a
+    self-join against the per-group max."""
+    ev = table(spark, sf_dir, "events")
+    ranked = F.struct(F.col("value"), F.col("event_id"))
+    first = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by(F.col("user_id"), ranked).alias("top_value_user"),
+        F.min_by(F.col("user_id"), first).alias("earliest_user"),
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_or(F.col("value") < 0).alias("has_negative"),
+    )
+
+
+_ARGMAX_ORACLE = """
+WITH top AS (
+  SELECT event_type, user_id AS top_value_user FROM events
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY value DESC, event_id DESC) = 1
+),
+first AS (
+  SELECT event_type, user_id AS earliest_user FROM events
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY ts, event_id) = 1
+),
+conds AS (
+  SELECT event_type, count_if(value > 100) AS n_big,
+         bool_or(value < 0) AS has_negative
+  FROM events GROUP BY 1
+)
+SELECT c.event_type, t.top_value_user, f.earliest_user, c.n_big, c.has_negative
+FROM conds c JOIN top t USING (event_type) JOIN first f USING (event_type)
+"""
+
+
 QUERIES = {
     "explode_token_frequency": explode_token_frequency,
     "map_funcs_events": map_funcs_events,
@@ -207,6 +248,7 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "approx_percentile_prices": approx_percentile_prices,
     "array_funcs_documents": array_funcs_documents,
+    "agg_argmax_conditional": agg_argmax_conditional,
 }
 
 ORACLE = {
@@ -216,4 +258,5 @@ ORACLE = {
     "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
     "approx_percentile_prices": _APPROX_PCT_ORACLE,
     "array_funcs_documents": _ARRAY_FUNCS_ORACLE,
+    "agg_argmax_conditional": _ARGMAX_ORACLE,
 }
