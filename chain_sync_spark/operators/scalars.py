@@ -241,6 +241,29 @@ FROM conds c JOIN top t USING (event_type) JOIN first f USING (event_type)
 """
 
 
+def regex_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: group extraction, global replacement,
+    and match counting — patterns kept to the character-class subset
+    where Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+    All three run JVM-side in one projection; no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([a-z]+)ing", 1).alias("first_ing_stem"),
+        F.regexp_replace(F.col("text"), r"[aeiou]", "_").alias("devoweled_prefix"),
+        F.regexp_count(F.col("text"), F.lit(r"[st][a-z]+")).alias("n_st_words"),
+    ).withColumn("devoweled_prefix", F.substring("devoweled_prefix", 1, 40))
+
+
+_REGEX_FUNCS_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)ing', 1) AS first_ing_stem,
+       substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS devoweled_prefix,
+       CAST(len(regexp_extract_all(text, '[st][a-z]+')) AS INT) AS n_st_words
+FROM documents
+"""
+
+
 QUERIES = {
     "explode_token_frequency": explode_token_frequency,
     "map_funcs_events": map_funcs_events,
@@ -249,6 +272,7 @@ QUERIES = {
     "approx_percentile_prices": approx_percentile_prices,
     "array_funcs_documents": array_funcs_documents,
     "agg_argmax_conditional": agg_argmax_conditional,
+    "regex_funcs_documents": regex_funcs_documents,
 }
 
 ORACLE = {
@@ -259,4 +283,5 @@ ORACLE = {
     "approx_percentile_prices": _APPROX_PCT_ORACLE,
     "array_funcs_documents": _ARRAY_FUNCS_ORACLE,
     "agg_argmax_conditional": _ARGMAX_ORACLE,
+    "regex_funcs_documents": _REGEX_FUNCS_ORACLE,
 }

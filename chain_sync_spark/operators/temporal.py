@@ -21,7 +21,7 @@ keys) — map-side partials, no skew (time buckets distribute), and at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chain_sync_spark.tables import table
@@ -130,6 +130,61 @@ SELECT user_id, MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '30 minutes' AS session_end,
        COUNT(*) AS n_events
 FROM numbered GROUP BY user_id, sid
+"""
+
+
+def sessionize_event_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization — the companion to
+    window_session_events that keeps EVERY event row, tagging it with
+    a per-user session index and its position inside the session
+    (what clickstream feature pipelines consume). Classic two-window
+    construction: lag-gap flag → running sum = session id →
+    row_number within session. All three windows share one shuffle
+    on user_id."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    new_session = F.when(
+        prev.isNull() | (gap_us >= 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = ev.withColumn("new_session", new_session)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+    wrn = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    return sess.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "session_id",
+        F.row_number().over(wrn).alias("evt_in_session"),
+    )
+
+
+_SESSIONIZE_ROWS_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT event_id, user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT event_id, user_id, ts, CAST(session_id AS BIGINT) AS session_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id, session_id ORDER BY ts, event_id) AS INT)
+         AS evt_in_session
+FROM numbered
 """
 
 
@@ -285,6 +340,7 @@ QUERIES = {
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
     "window_session_events": window_session_events,
+    "sessionize_event_rows": sessionize_event_rows,
     "date_math_orders": date_math_orders,
     "funnel_session_conversion": funnel_session_conversion,
     "resample_daily_gapfill": resample_daily_gapfill,
@@ -295,6 +351,7 @@ ORACLE = {
     "window_tumbling_events": _TUMBLING_ORACLE,
     "window_sliding_events": _SLIDING_ORACLE,
     "window_session_events": _SESSION_ORACLE,
+    "sessionize_event_rows": _SESSIONIZE_ROWS_ORACLE,
     "date_math_orders": _DATE_MATH_ORACLE,
     "funnel_session_conversion": _FUNNEL_ORACLE,
     "resample_daily_gapfill": _RESAMPLE_ORACLE,
