@@ -55,6 +55,27 @@ def test_minhash_finds_near_dup_not_disjoint(spark, doc_dir):
         assert 0.0 < j <= 1.0 and a < b
 
 
+def test_neardup_clusters_invariants(spark, doc_dir):
+    """Connected components: the exact-dup pair (docs 0/1, jaccard 1)
+    must land in one cluster whose id is the minimum member; the
+    disjoint doc never enters the graph; every member reports the
+    true cluster_size and exactly one canonical row exists per
+    cluster. (Doc 2 at jaccard ≈0.5 may or may not band-collide —
+    banding is probabilistic by design — so no assertion on it.)"""
+    from chain_sync_spark.operators.llm_pipeline import neardup_clusters
+
+    rows = neardup_clusters(spark, doc_dir).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[0]["cluster_id"] == 0 and by_doc[1]["cluster_id"] == 0
+    assert 3 not in by_doc                        # disjoint doc never enters the graph
+    sizes = {r["cluster_id"] for r in rows}
+    for cid in sizes:
+        members = [r for r in rows if r["cluster_id"] == cid]
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert min(m["doc_id"] for m in members) == cid
+
+
 def test_simhash_identical_docs_hamming_zero(spark, doc_dir):
     from chain_sync_spark.operators.llm_pipeline import neardup_simhash_pairs
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
