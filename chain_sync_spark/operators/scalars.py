@@ -264,6 +264,71 @@ FROM documents
 """
 
 
+def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — the null-preserving explode: docs whose
+    'z…'-token list is EMPTY still emit one row with a NULL token
+    (plain explode would drop them, silently losing documents from
+    the output). The oracle emulates the outer semantics by
+    substituting [NULL] for empty lists before unnest."""
+    docs = table(spark, sf_dir, "documents")
+    ztoks = F.filter(
+        F.split(F.col("text"), " "), lambda t: t.startswith("z") & (t != "")
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(ztoks).alias("z_token")
+    )
+
+
+_EXPLODE_OUTER_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     x -> x LIKE 'z%' AND x <> '') AS zt
+  FROM documents
+),
+padded AS (
+  SELECT doc_id,
+         CASE WHEN len(zt) = 0 THEN [NULL] ELSE zt END AS zt
+  FROM t
+)
+SELECT doc_id, u.z_token
+FROM padded, LATERAL (SELECT unnest(zt) AS z_token) u
+"""
+
+
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: 10 buckets between the global min and
+    max price. The 1-row (min, max) aggregate broadcasts against the
+    scan (same shape as scalar_subquery_above_avg), bucketing is one
+    arithmetic expression, and the final count groups on ≤10 keys —
+    two tiny shuffles regardless of fact size."""
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)),
+        F.lit(9),
+    ).cast("int")
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_HISTOGRAM_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket,
+       COUNT(*) AS n_orders
+FROM orders, bounds
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "explode_token_frequency": explode_token_frequency,
     "map_funcs_events": map_funcs_events,
@@ -273,6 +338,8 @@ QUERIES = {
     "array_funcs_documents": array_funcs_documents,
     "agg_argmax_conditional": agg_argmax_conditional,
     "regex_funcs_documents": regex_funcs_documents,
+    "explode_outer_rare_tokens": explode_outer_rare_tokens,
+    "histogram_order_prices": histogram_order_prices,
 }
 
 ORACLE = {
@@ -284,4 +351,6 @@ ORACLE = {
     "array_funcs_documents": _ARRAY_FUNCS_ORACLE,
     "agg_argmax_conditional": _ARGMAX_ORACLE,
     "regex_funcs_documents": _REGEX_FUNCS_ORACLE,
+    "explode_outer_rare_tokens": _EXPLODE_OUTER_ORACLE,
+    "histogram_order_prices": _HISTOGRAM_ORACLE,
 }
