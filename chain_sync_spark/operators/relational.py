@@ -575,6 +575,57 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share per month —
+    conditional aggregation over the lineitem⋈part join (CASE inside
+    SUM), exact-decimal revenue, one final double division per group.
+    part broadcasts (bounded dim); the fact scan prunes to the month
+    range via the pushed date predicate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(38,4)")
+    )
+    month = F.trunc(F.col("l_shipdate").cast("date"), "month")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(month.alias("ship_month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(38,4)")).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_pct"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+                 ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_pct,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY 1
+"""
+
+
 def join_salted_status_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated hot-key join: o_orderstatus has 3 distinct
     values — joined naively, each status is one key-group on one
@@ -941,6 +992,7 @@ QUERIES = {
     "higher_order_token_filter": higher_order_token_filter,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q13_order_distribution": tpch_q13_order_distribution,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
     "window_rank_variants": window_rank_variants,
     "stats_corr_lineitem": stats_corr_lineitem,
 }
@@ -1162,6 +1214,7 @@ ORACLE = {
     """,
     "tpch_q5_local_supplier_volume": _Q5_ORACLE,
     "tpch_q13_order_distribution": _Q13_ORACLE,
+    "tpch_q14_promo_revenue": _Q14_ORACLE,
     "window_rank_variants": _RANK_VARIANTS_ORACLE,
     "stats_corr_lineitem": _STATS_CORR_ORACLE,
 }
