@@ -329,6 +329,32 @@ GROUP BY 1
 """
 
 
+def try_funcs_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs ANSI mode, where div-by-zero
+    on exact types throws — try_divide is the NULL-on-error form users
+    reach for first. l_tax is legitimately 0 on many rows, so the
+    discount/tax ratio exercises the real case; the oracle spells the
+    same semantics as an explicit NULLIF guard."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_discount"), F.col("l_tax")), 6
+        ).alias("disc_per_tax"),
+        # integral div-by-zero: plain `/` would throw under ANSI
+        F.try_divide(F.lit(1).cast("long"), F.lit(0).cast("long")).alias("always_null"),
+    )
+
+
+_TRY_FUNCS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_discount / NULLIF(l_tax, 0), 6) AS disc_per_tax,
+       CAST(NULL AS BIGINT) AS always_null
+FROM lineitem
+"""
+
+
 QUERIES = {
     "explode_token_frequency": explode_token_frequency,
     "map_funcs_events": map_funcs_events,
@@ -340,6 +366,7 @@ QUERIES = {
     "regex_funcs_documents": regex_funcs_documents,
     "explode_outer_rare_tokens": explode_outer_rare_tokens,
     "histogram_order_prices": histogram_order_prices,
+    "try_funcs_safe_division": try_funcs_safe_division,
 }
 
 ORACLE = {
@@ -353,4 +380,5 @@ ORACLE = {
     "regex_funcs_documents": _REGEX_FUNCS_ORACLE,
     "explode_outer_rare_tokens": _EXPLODE_OUTER_ORACLE,
     "histogram_order_prices": _HISTOGRAM_ORACLE,
+    "try_funcs_safe_division": _TRY_FUNCS_ORACLE,
 }
