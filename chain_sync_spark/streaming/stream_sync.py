@@ -76,6 +76,44 @@ def dedup_ops_within_watermark(ops: DataFrame, watermark: str = "30 minutes") ->
     )
 
 
+def join_votes_to_comments_stream(
+    ops: DataFrame, max_lag: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each vote op matches the comment op
+    that created its post, provided the vote arrives within
+    `max_lag` of the comment (the event-time range condition that
+    lets Spark bound join state). Both sides carry a watermark, so
+    buffered rows age out once the watermark passes comment_ts +
+    max_lag — state is bounded by the lag window, not the stream
+    length."""
+    comments = (
+        ops.filter(F.col("op_type") == "comment")
+        .select(
+            F.get_json_object("op", "$.author").alias("author"),
+            F.get_json_object("op", "$.permlink").alias("permlink"),
+            F.col("ts").alias("comment_ts"),
+        )
+        .withWatermark("comment_ts", max_lag)
+    )
+    votes = (
+        ops.filter(F.col("op_type") == "vote")
+        .select(
+            F.get_json_object("op", "$.voter").alias("voter"),
+            F.get_json_object("op", "$.author").alias("v_author"),
+            F.get_json_object("op", "$.permlink").alias("v_permlink"),
+            F.col("ts").alias("vote_ts"),
+        )
+        .withWatermark("vote_ts", max_lag)
+    )
+    return comments.join(
+        votes,
+        (F.col("author") == F.col("v_author"))
+        & (F.col("permlink") == F.col("v_permlink"))
+        & (F.col("vote_ts") >= F.col("comment_ts"))
+        & (F.col("vote_ts") <= F.col("comment_ts") + F.expr(f"INTERVAL {max_lag}")),
+    ).select("author", "permlink", "voter", "comment_ts", "vote_ts")
+
+
 def run_stream_sync(
     engine,
     ops: DataFrame,

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from chain_sync_spark.streaming.stream_sync import (
     dedup_ops_within_watermark,
+    join_votes_to_comments_stream,
     run_stream_sync,
     stream_ops_from_json,
     windowed_op_counts,
@@ -118,6 +119,40 @@ def test_stateful_running_activity_survives_restart(spark, tmp_path):
     alice_last = max(r["last_active"] for r in rows if r["name"] == "alice")
     assert str(alice_last).startswith("2024-03-06")
     assert [r["n_ops"] for r in rows if r["name"] == "bob"] == [1]
+
+
+def test_stream_stream_join_within_lag(spark, tmp_path):
+    """Stream-stream join: a vote within the lag window matches its
+    comment; a vote on a different post does not; a vote far past
+    the lag bound is excluded by the range condition."""
+    src = tmp_path / "ops"
+    src.mkdir()
+    _write_ops_file(
+        src / "a.json",
+        [
+            (1, "2024-03-05T12:00:00Z", "comment", _comment("alice", "p1")),
+            (2, "2024-03-05T12:10:00Z", "vote",
+             {"voter": "v1", "author": "alice", "permlink": "p1", "weight": 1}),
+            (3, "2024-03-05T12:20:00Z", "vote",
+             {"voter": "v2", "author": "bob", "permlink": "p9", "weight": 1}),
+            (4, "2024-03-05T14:30:00Z", "vote",
+             {"voter": "v3", "author": "alice", "permlink": "p1", "weight": 1}),
+        ],
+    )
+    ops = stream_ops_from_json(spark, str(src))
+    joined = join_votes_to_comments_stream(ops, "1 hour")
+    out = str(tmp_path / "joined")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert [(r["voter"], r["permlink"]) for r in rows] == [("v1", "p1")]
 
 
 def test_stream_static_dim_join(spark, tmp_path):
