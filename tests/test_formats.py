@@ -30,6 +30,24 @@ def test_json_roundtrip_preserves_values(spark, tmp_path):
     assert _canon(back) == _canon(res)
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a writer adds a column; mergeSchema reads
+    the union schema and back-fills NULL for old files — the
+    contract that lets the sync store add fields (e.g. the reference
+    adding `jobs` to posts) without rewriting history."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
 def test_json_lines_source_matches_parquet(spark, tmp_path):
     """The op-stream JSON-lines shape: a parquet table exported to
     JSON lines reads back identically with an explicit schema —
