@@ -355,6 +355,28 @@ FROM lineitem
 """
 
 
+def collect_sorted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-to-array: each user's distinct event types as ONE
+    array column — the nesting inverse of explode, and the shape the
+    sync engine's vote-set accumulation (S11) uses. collect_set's
+    order is partitioning-dependent, so the contract sorts the array
+    (deterministic across engines and shuffles); map-side partial
+    sets keep the shuffle payload to distinct values only."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_COLLECT_SORTED_ORACLE = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "explode_token_frequency": explode_token_frequency,
     "map_funcs_events": map_funcs_events,
@@ -367,6 +389,7 @@ QUERIES = {
     "explode_outer_rare_tokens": explode_outer_rare_tokens,
     "histogram_order_prices": histogram_order_prices,
     "try_funcs_safe_division": try_funcs_safe_division,
+    "collect_sorted_event_types": collect_sorted_event_types,
 }
 
 ORACLE = {
@@ -381,4 +404,5 @@ ORACLE = {
     "explode_outer_rare_tokens": _EXPLODE_OUTER_ORACLE,
     "histogram_order_prices": _HISTOGRAM_ORACLE,
     "try_funcs_safe_division": _TRY_FUNCS_ORACLE,
+    "collect_sorted_event_types": _COLLECT_SORTED_ORACLE,
 }
