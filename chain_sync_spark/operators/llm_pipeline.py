@@ -932,37 +932,79 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
+LEV_NEIGHBORS = 5  # sorted-neighborhood width w
+LEV_MAX_DIST = 10
+
+
 def neardup_levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string dedup via edit distance: part names compared
-    pairwise WITHIN (brand, type) blocks — classic blocking: the
-    quadratic comparison runs only inside small buckets, never across
-    the whole relation. levenshtein is built-in (and definitionally
-    identical) in both engines."""
+    """Fuzzy string dedup via edit distance, scale-bounded by
+    sorted-neighborhood blocking: within each (brand, type) block,
+    names are sorted and each name is compared only to its next
+    ``LEV_NEIGHBORS`` neighbors in sort order.
+
+    Pair-count bound: <= N * LEV_NEIGHBORS TOTAL, independent of block
+    cardinality — unlike pure key blocking, whose (p_brand, p_type)
+    key has FIXED cardinality (~3,750 values), so per-block pairs grow
+    O((N/3750)^2) with data size. Sorted-neighborhood is the standard
+    recall/cost trade for fuzzy dedup: near-identical strings sort
+    adjacently, so a small window captures the true duplicates while
+    the candidate count stays linear in N.
+
+    Measured candidate-pair growth, sf0.01 -> sf0.1 (10x rows):
+    pure key blocking 13,491 -> 1,333,422 pairs (99x, quadratic);
+    sorted-neighborhood 7,751 -> 97,750 pairs (12.6x ~= N*w, linear).
+
+    Plan shape: ONE window sort (the only shuffle), neighbors gathered
+    with lead() into an array, explode, then levenshtein only on the
+    N*w candidates — no self-join, no second shuffle of the relation.
+    A |len(a)-len(b)| <= threshold pre-filter skips hopeless pairs for
+    free (lossless: edit distance >= length difference).
+    """
     parts = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_name")
-    a, b = parts.alias("a"), parts.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_type") == F.col("b.p_type"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    w = Window.partitionBy("p_brand", "p_type").orderBy("p_name", "p_partkey")
+    nbrs = F.array(*[
+        F.struct(
+            F.lead("p_partkey", i).over(w).alias("pk"),
+            F.lead("p_name", i).over(w).alias("nm"),
         )
-        .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
+        for i in range(1, LEV_NEIGHBORS + 1)
+    ])
+    cand = (
+        # window expressions must be materialized before the generator:
+        # project the lead() array first, then explode it
+        parts.withColumn("nbrs", nbrs)
+        .withColumn("nbr", F.explode("nbrs"))
+        .filter(F.col("nbr.pk").isNotNull())
+        # lossless pre-filter: edit distance >= |length difference|
+        .filter(
+            F.abs(F.length("p_name") - F.length("nbr.nm")) <= LEV_MAX_DIST
+        )
+    )
+    dist = F.levenshtein(F.col("p_name"), F.col("nbr.nm"))
+    return (
+        cand.select(
+            F.least("p_partkey", F.col("nbr.pk")).alias("part_a"),
+            F.greatest("p_partkey", F.col("nbr.pk")).alias("part_b"),
             dist.alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= 10)
+        .filter(F.col("edit_distance") <= LEV_MAX_DIST)
     )
 
 
-_LEVENSHTEIN_ORACLE = """
-SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+_LEVENSHTEIN_ORACLE = f"""
+WITH ranked AS (
+  SELECT p_partkey, p_brand, p_type, p_name,
+         ROW_NUMBER() OVER (
+           PARTITION BY p_brand, p_type ORDER BY p_name, p_partkey) AS rn
+  FROM part
+)
+SELECT least(a.p_partkey, b.p_partkey) AS part_a,
+       greatest(a.p_partkey, b.p_partkey) AS part_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 10
+FROM ranked a JOIN ranked b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+ AND b.rn BETWEEN a.rn + 1 AND a.rn + {LEV_NEIGHBORS}
+WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX_DIST}
 """
 
 
