@@ -185,17 +185,22 @@ def minhash_sig_sql(shingles: str, a: int, b: int) -> str:
 # a SQL expression over a named tokens column — still a single
 # codegen'd Catalyst expression, no UDF, no shuffle.
 
+# The per-token hash is hoisted into its own transform (tokens →
+# hashes) so the bit fold consumes precomputed bigints: without the
+# hoist, md5(t) is referenced inside the per-bit lambda — up to
+# HASH_BITS hash references per token riding on Catalyst subexpression
+# elimination (measured as the slowest sketch before the hoist).
 _SIMHASH_EXPR = f"""
 aggregate(
   zip_with(
     aggregate(
-      {{toks}},
+      transform({{toks}}, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)),
       array_repeat(0L, {HASH_BITS}),
-      (acc, t) -> zip_with(
+      (acc, h) -> zip_with(
         acc,
         transform(
           sequence(0, {HASH_BITS - 1}),
-          b -> IF((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) >> b) & 1 = 1, 1L, -1L)
+          b -> IF((h >> b) & 1 = 1, 1L, -1L)
         ),
         (x, y) -> x + y
       )

@@ -66,6 +66,32 @@ STOPWORDS = {
 LANG_PRIORITY = ("en", "de", "es", "fr")  # deterministic tie-break order
 
 
+# ---------------------------------------------------------------------------
+# Scoped cache pool
+# ---------------------------------------------------------------------------
+# Query functions return LAZY DataFrames, so relations they persist for
+# intra-job reuse must outlive the function call (the caller runs the
+# action). Scoping rule: a cache registered here lives until the next
+# persisting llm_pipeline query starts (by which point the previous
+# query's action has run) or until release_caches(). This bounds a
+# registry-wide sweep's cache footprint at ONE query's working set
+# instead of accumulating every query's. Releasing is always safe for
+# correctness: unpersist only drops cached partitions, lineage remains.
+
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every scoped cache (call after consuming a result)."""
+    while _SCOPED_CACHES:
+        _SCOPED_CACHES.pop().unpersist()
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    _SCOPED_CACHES.append(df)
+    return df.persist()
+
+
 def _hyperplane(h: int, d: int) -> int:
     """Deterministic ±1 hyperplane entry from md5 — the same literal
     matrix is embedded in the Spark plan and the oracle SQL."""
@@ -166,8 +192,9 @@ def neardup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-Jaccard verify re-joins the (doc_id, shingles) relation
     only for candidate ids (a semi-join-sized input at scale).
     """
+    release_caches()  # previous query's scope ends here
     # persisted: feeds the signature pipeline and both verify sides
-    shingled = _docs_shingled(spark, sf_dir).persist()
+    shingled = _scoped_persist(_docs_shingled(spark, sf_dir))
     sigs = shingled.select(
         "doc_id", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
     )
@@ -247,6 +274,79 @@ JOIN sh sb ON cand.doc_b = sb.doc_id
 
 CLUSTER_MIN_JACCARD = 0.5
 CLUSTER_MAX_ITERS = 12
+CLUSTER_CHECKPOINT_EVERY = 4
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    max_iters: int = CLUSTER_MAX_ITERS,
+    checkpoint_every: int = CLUSTER_CHECKPOINT_EVERY,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation over a
+    SYMMETRIC edge list (src, dst): each round every node takes the min
+    label among itself and its neighbors; the fixpoint is the component
+    minimum. Returns (doc_id, label).
+
+    Scale: each round is one shuffle join on node id; rounds needed =
+    graph diameter (near-dup components are small and dense, ~2-3
+    rounds). Every ``checkpoint_every`` rounds the label relation is
+    localCheckpoint'ed so adversarially long chain graphs don't grow
+    unbounded plan lineage (plan depth stays <= checkpoint_every
+    rounds; the common short-diameter path never checkpoints). Raises
+    RuntimeError if no fixpoint is reached within ``max_iters`` —
+    a truncated component labeling is silently wrong, so failing loudly
+    is the only safe behavior.
+
+    All intermediate persists are released inside the loop; the final
+    labels relation is materialized before the intermediates are freed.
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    converged = False
+    try:
+        for i in range(max_iters):
+            neigh = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = labels.join(neigh, labels.doc_id == neigh.src, "left").select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            if (i + 1) % checkpoint_every == 0:
+                # truncate lineage: plan depth resets to zero here
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist()
+            n_changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()  # previous round's relation — consumed
+            labels = new_labels
+            if n_changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds "
+                "(graph diameter exceeds max_iters); raise max_iters"
+            )
+    except BaseException:
+        labels.unpersist()
+        raise
+    # labels is already materialized (the convergence count ran it);
+    # register it with the scope pool so the next query releases it
+    _SCOPED_CACHES.append(labels)
+    return labels
 
 
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,39 +369,10 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= CLUSTER_MIN_JACCARD
     )
     half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
+    edges = _scoped_persist(
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
-    for _ in range(CLUSTER_MAX_ITERS):
-        neigh = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.doc_id == neigh.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
-            .persist()
-        )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if n_changed == 0:
-            break
+    labels = connected_components(edges)
     w = Window.partitionBy("cluster_id")
     return (
         labels.select("doc_id", F.col("label").alias("cluster_id"))
@@ -349,11 +420,12 @@ def neardup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical shape to MinHash-LSH — banded bucket join. The
     fingerprint computation itself is one codegen'd expression.
     """
+    release_caches()  # previous query's scope ends here
     # persisted: the fingerprint fold would otherwise run once per
     # side of the band self-join
-    d = _docs_norm(spark, sf_dir).select(
-        "doc_id", sk.simhash60("w").alias("fp")
-    ).persist()
+    d = _scoped_persist(
+        _docs_norm(spark, sf_dir).select("doc_id", sk.simhash60("w").alias("fp"))
+    )
     band_cols = [
         (F.shiftright(F.col("fp"), b * SIMHASH_BAND_BITS).bitwiseAND(
             F.lit((1 << SIMHASH_BAND_BITS) - 1)
@@ -424,11 +496,14 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the generator re-evaluate the whole array expression per output
     row (measured 40× slower).
     """
+    release_caches()  # previous query's scope ends here
     # filter on the cheap precondition, not on the built array (see
     # _docs_shingled)
-    d = _docs_norm(spark, sf_dir).filter(F.length("t") >= NGRAM_N).select(
-        "doc_id", sk.char_ngrams(F.col("t"), NGRAM_N).alias("g")
-    ).persist()
+    d = _scoped_persist(
+        _docs_norm(spark, sf_dir)
+        .filter(F.length("t") >= NGRAM_N)
+        .select("doc_id", sk.char_ngrams(F.col("t"), NGRAM_N).alias("g"))
+    )
     posting = d.select("doc_id", F.explode("g").alias("gram"))
     rare = (
         posting.groupBy("gram")

