@@ -110,11 +110,13 @@ def sync_stock_image_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(_BODY_ROWS, "id int, body string")
     has_cmd = F.col("body").contains("!update-stock-image-tags")
     tags = extract_hashtags(F.col("body"))
-    # DuckDB's array_to_string over an empty list yields NULL; match it
-    # by only joining when at least one hashtag exists.
+    # Reference-faithful: a matched command with zero hashtags yields
+    # '' ([].join(' ') === '', comments.js handleReply). DuckDB's
+    # array_to_string-of-empty-list quirk (NULL) is normalized on the
+    # ORACLE side with COALESCE, not here.
     return df.select(
         "id",
-        F.when(has_cmd & (F.size(tags) > 0), F.array_join(tags, " ")).alias("stock_tags"),
+        F.when(has_cmd, F.array_join(tags, " ")).alias("stock_tags"),
     )
 
 
@@ -189,11 +191,11 @@ ORACLE = {
         WITH t(id, body) AS (VALUES {_sql_values(_BODY_ROWS)})
         SELECT id,
                CASE WHEN contains(body, '!update-stock-image-tags') THEN
-                 array_to_string(
+                 COALESCE(array_to_string(
                    list_transform(
                      list_filter(string_split(replace(body, chr(10), ' ' || chr(10) || ' '), ' '),
                                  tok -> tok LIKE '#_%'),
-                     tok -> lower(substr(tok, 2, 1000))), ' ')
+                     tok -> lower(substr(tok, 2, 1000))), ' '), '')
                END AS stock_tags
         FROM t
     """,

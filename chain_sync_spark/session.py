@@ -32,6 +32,10 @@ def get_spark(app_name: str = "chain-sync-spark", shuffle_partitions: int | None
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS); set once here for
+        # our own sessions (tables.table keeps a runtime fallback
+        # because the external driver builds a vanilla session)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

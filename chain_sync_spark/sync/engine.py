@@ -28,7 +28,8 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+import shutil
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +44,8 @@ from chain_sync_spark.sync.handlers import (
     votes_to_vote_upserts,
 )
 from chain_sync_spark.sync.merge import (
+    BACKUP_SUFFIX,
+    STAGING_SUFFIX,
     keep_target,
     max_of,
     merge_parquet,
@@ -83,6 +86,18 @@ class SyncEngine:
     spark: SparkSession
     store_dir: str
     dry_run: bool = False  # reference DISABLE_UPDATE_SETTINGS
+    # Reply-driven stockimage_tags updates are DEAD CODE in the shipped
+    # reference (the handleReply call site is commented out,
+    # comments.js:115, and its allowlist check is a tautology). Default
+    # matches the shipped behavior (off); enabling runs the intended
+    # handleReply semantics implemented in replies_to_tag_updates.
+    enable_reply_tag_updates: bool = False
+    # J3 authoritative snapshot ("authoritative store wins",
+    # comments.js:123-142): a posts-content relation whose non-null
+    # columns override op-derived content for posts it contains. The
+    # engine prunes it to the batch's post ids before the join.
+    authoritative: DataFrame | None = None
+    _migrated: bool = field(default=False, init=False, repr=False)
 
     @property
     def posts_dir(self) -> str:
@@ -101,16 +116,62 @@ class SyncEngine:
         return os.path.join(self.store_dir, "checkpoint")
 
     def existing_posts(self) -> DataFrame:
-        recover_table(self.posts_dir)
+        recover_table(self.posts_dir, partition_depth=2)
         if os.path.exists(self.posts_dir):
             return self.spark.read.parquet(self.posts_dir)
         return self.spark.createDataFrame([], POSTS_SCHEMA)
+
+    def migrate_store(self) -> list[str]:
+        """One-time format migrations for stores written by earlier
+        revisions of this engine (each is detected cheaply and skipped
+        on current-format stores). Returns the migrations applied.
+
+        * accounts: previously unpartitioned with no `bucket` column —
+          merges now filter on the bucket partition, which would throw.
+          Rewritten once with hash-bucket partitioning.
+        * posts: partitions written before the mutable columns (jobs /
+          upvotes / downvotes / muted_in_community) existed never get
+          them backfilled by partition-swap merges, and reads without
+          mergeSchema silently drop them. Rewritten once with the
+          complete schema (typed nulls).
+        """
+        applied: list[str] = []
+        if os.path.exists(self.accounts_dir) and not any(
+            e.startswith("bucket=") for e in os.listdir(self.accounts_dir)
+        ):
+            legacy = self.spark.read.parquet(self.accounts_dir)
+            if "bucket" not in legacy.columns:
+                migrated = legacy.withColumn("bucket", _bucket("name", N_ACCOUNT_BUCKETS))
+                staging = self.accounts_dir + STAGING_SUFFIX
+                migrated.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+                backup = self.accounts_dir + BACKUP_SUFFIX
+                os.rename(self.accounts_dir, backup)
+                os.rename(staging, self.accounts_dir)
+                shutil.rmtree(backup)
+                applied.append("accounts_bucketed")
+        if os.path.exists(self.posts_dir):
+            posts = self.spark.read.option("mergeSchema", "true").parquet(self.posts_dir)
+            want = self.spark.createDataFrame([], POSTS_SCHEMA)
+            missing = [f for f in want.schema.fields if f.name not in posts.columns]
+            if missing:
+                completed = posts.select(
+                    "*",
+                    *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+                )
+                staging = self.posts_dir + STAGING_SUFFIX
+                completed.write.mode("overwrite").partitionBy("year", "month").parquet(staging)
+                backup = self.posts_dir + BACKUP_SUFFIX
+                os.rename(self.posts_dir, backup)
+                os.rename(staging, self.posts_dir)
+                shutil.rmtree(backup)
+                applied.append("posts_schema_completed")
+        return applied
 
     def posts_index(self) -> DataFrame:
         """The slim (post_id, year, month) location index. Bootstraps
         from the posts table for stores created before the index
         existed."""
-        recover_table(self.posts_index_dir)
+        recover_table(self.posts_index_dir, partition_depth=1)
         if os.path.exists(self.posts_index_dir):
             return self.spark.read.parquet(self.posts_index_dir)
         if os.path.exists(self.posts_dir):
@@ -123,6 +184,9 @@ class SyncEngine:
 
     def process_batch(self, ops: DataFrame) -> None:
         """One sync round over an op-stream micro-batch."""
+        if not self._migrated:
+            self.migrate_store()
+            self._migrated = True
         typed = classify(ops)
         comments, votes, accounts = typed["comment"], typed["vote"], typed["account_update"]
 
@@ -132,7 +196,16 @@ class SyncEngine:
         # posts: comment upserts (month/year partitioned, S9/S12).
         # Partition resolution against the slim index — the full posts
         # table is never scanned on the write path.
-        post_upserts = comments_to_post_upserts(comments)
+        auth = None
+        if self.authoritative is not None:
+            # prune the snapshot to the batch's post ids so the J3
+            # override join stays O(batch) — the set-based analog of
+            # the reference's per-id getContent fetch
+            batch_ids = comments.filter(F.col("parent_author") == "").select(
+                surrogate_id("author", "permlink").alias("post_id")
+            )
+            auth = self.authoritative.join(batch_ids, "post_id", "left_semi")
+        post_upserts = comments_to_post_upserts(comments, authoritative=auth)
         have_comments = not comments.isEmpty()
         if have_comments:
             merge_parquet(
@@ -165,17 +238,20 @@ class SyncEngine:
             idx = self.posts_index()  # same-batch comment+vote resolves
             slim_idx = idx.select("post_id", "year", "month")
 
-            # reply-driven tag updates (intended handleReply, P7/J5):
-            # update-only — a reply to a nonexistent post is dropped.
-            tag_updates = replies_to_tag_updates(comments).join(slim_idx, "post_id")
-            merge_parquet(
-                self.spark,
-                self.posts_dir,
-                tag_updates,
-                key_cols=["post_id"],
-                partition_cols=["year", "month"],
-                partition_stable=True,  # year/month come from the index
-            )
+            if self.enable_reply_tag_updates:
+                # reply-driven tag updates (intended handleReply,
+                # P7/J5): update-only — a reply to a nonexistent post
+                # is dropped. Off by default: dead code in the shipped
+                # reference (see the dataclass field note).
+                tag_updates = replies_to_tag_updates(comments).join(slim_idx, "post_id")
+                merge_parquet(
+                    self.spark,
+                    self.posts_dir,
+                    tag_updates,
+                    key_cols=["post_id"],
+                    partition_cols=["year", "month"],
+                    partition_stable=True,  # year/month come from the index
+                )
 
         # votes: set-add into the posts table (S11/A1). The existence
         # probe (J1) runs against the slim index, not the posts table —

@@ -39,7 +39,15 @@ TAG_UPDATE_ALLOWLIST = (
 TAG_UPDATE_COMMAND = "!update-stock-image-tags"
 
 
-def comments_to_post_upserts(comments: DataFrame) -> DataFrame:
+# Content columns an authoritative snapshot may override (J3): the
+# reference's getContent re-fetch returns the full post content and
+# indexes THAT for already-existing posts (comments.js:123-142).
+AUTHORITATIVE_COLUMNS = ("text_title", "text_body", "tags", "image", "stockimage_tags")
+
+
+def comments_to_post_upserts(
+    comments: DataFrame, authoritative: DataFrame | None = None
+) -> DataFrame:
     """Comment pipeline (handlers/comments.js:100-183).
 
     filter replies (P5) → surrogate key (F1) → metadata decode with
@@ -48,14 +56,16 @@ def comments_to_post_upserts(comments: DataFrame) -> DataFrame:
     (F10). Within-batch dedup keeps the latest op per post id
     (re-delivered ops are idempotent in the reference via upserts).
 
-    J3 divergence (documented): for an already-existing post the
-    reference re-fetches the authoritative content via getContent and
-    indexes THAT (comments.js:123-142) — "authoritative store wins".
-    We apply the op's own content with last-op-wins MERGE semantics
-    ("latest op wins"). The two differ only when the chain op stream
-    and the authoritative store disagree (e.g. a missed edit); with a
-    complete op stream they converge. An authoritative-snapshot join
-    drops into merge_parquet unchanged if such a source exists.
+    J3 "authoritative store wins" (comments.js:123-142): when an
+    ``authoritative`` snapshot is provided (post_id + any subset of
+    AUTHORITATIVE_COLUMNS), its non-null values override the op-derived
+    content per column — the set-based equivalent of the reference's
+    per-post getContent re-fetch. Scale: one keyed equi-join on
+    post_id; pass a batch-pruned snapshot (semi-joined on the batch's
+    post ids) so the join side stays O(batch), which is exactly what
+    the reference's per-id fetch did. Without a snapshot the op's own
+    content applies with last-op-wins MERGE semantics; the two
+    converge given a complete op stream.
     """
     meta = double_decode_json(F.col("json_metadata"), METADATA_SCHEMA)
     base = (
@@ -87,7 +97,7 @@ def comments_to_post_upserts(comments: DataFrame) -> DataFrame:
     )
     # within-batch dedup: last op per post id wins (block order)
     w = Window.partitionBy("post_id").orderBy(F.desc("block_num"), F.desc("timestamp"))
-    return (
+    out = (
         base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
@@ -115,6 +125,20 @@ def comments_to_post_upserts(comments: DataFrame) -> DataFrame:
             F.month("timestamp").alias("month"),
         )
     )
+    if authoritative is not None:
+        override = [c for c in AUTHORITATIVE_COLUMNS if c in authoritative.columns]
+        auth = authoritative.select(
+            "post_id", *[F.col(c).alias(f"_auth_{c}") for c in override]
+        )
+        out = out.join(auth, "post_id", "left").select(
+            *[
+                F.coalesce(F.col(f"_auth_{c}"), F.col(c)).alias(c)
+                if c in override
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
+    return out
 
 
 def replies_to_tag_updates(comments: DataFrame) -> DataFrame:

@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 
 MergeExpr = Callable[[Column, Column], Column]
 
+# Reserved suffixes for swap staging/backup dirs. Double-underscore
+# wrapped so they can never collide with a `col=value` partition
+# directory name (partition values would need a literal '.__bak__'
+# suffix AND the walk only inspects dirs at the partition depth).
+BACKUP_SUFFIX = ".__bak__"
+STAGING_SUFFIX = ".__staging__"
+
 
 def take_source(t: Column, s: Column) -> Column:
     """Default: source wins when present (update-with-upsert doc)."""
@@ -53,29 +60,50 @@ def set_union(t: Column, s: Column) -> Column:
     )
 
 
-def recover_table(target_dir: str) -> None:
+def recover_table(target_dir: str, partition_depth: int | None = None) -> None:
     """Crash recovery for the swap windows: restore a whole-table
-    `.old` backup if the table itself is absent, restore any
-    partition-level `<dir>.old` backups whose live dir is absent
-    (partition-swap crash), and discard stale staging output."""
-    staging = target_dir.rstrip("/") + ".staging"
-    backup = target_dir.rstrip("/") + ".old"
+    backup if the table itself is absent, restore any partition-level
+    `<dir>.__bak__` backups whose live dir is absent (partition-swap
+    crash), and discard stale staging output.
+
+    ``partition_depth``: number of partition levels (len of the
+    table's partition_cols). When given, only directories at exactly
+    that depth are inspected — the walk is O(partition dirs at that
+    depth), never O(all table dirs/files), and a partition VALUE that
+    happens to end in the suffix at another depth can't be mistaken
+    for a backup. When None (unknown layout), the full recursive walk
+    runs as a fallback."""
+    staging = target_dir.rstrip("/") + STAGING_SUFFIX
+    backup = target_dir.rstrip("/") + BACKUP_SUFFIX
     if not os.path.exists(target_dir) and os.path.exists(backup):
         os.rename(backup, target_dir)
     for leftover in (staging, backup):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
-    if os.path.exists(target_dir):
-        for root, dirs, _files in os.walk(target_dir, topdown=False):
-            for d in dirs:
-                if not d.endswith(".old"):
-                    continue
-                bak = os.path.join(root, d)
-                live = bak[: -len(".old")]
-                if os.path.exists(live):
-                    shutil.rmtree(bak)
-                else:
-                    os.rename(bak, live)
+    if not os.path.exists(target_dir):
+        return
+    def restore(root: str, names: list[str]) -> None:
+        for d in names:
+            if not d.endswith(BACKUP_SUFFIX):
+                continue
+            bak = os.path.join(root, d)
+            live = bak[: -len(BACKUP_SUFFIX)]
+            if os.path.exists(live):
+                shutil.rmtree(bak)
+            else:
+                os.rename(bak, live)
+
+    for root, dirs, _files in os.walk(target_dir, topdown=True):
+        rel = os.path.relpath(root, target_dir)
+        depth = 0 if rel == "." else rel.count(os.sep) + 1
+        if partition_depth is None:
+            restore(root, list(dirs))
+            dirs[:] = [d for d in dirs if not d.endswith(BACKUP_SUFFIX)]
+        elif depth + 1 == partition_depth:
+            restore(root, list(dirs))
+            dirs[:] = []  # backups live at leaf depth only — stop here
+        elif depth >= partition_depth:
+            dirs[:] = []
 
 
 def merge_parquet(
@@ -110,7 +138,7 @@ def merge_parquet(
     """
     merge_exprs = merge_exprs or {}
     partition_cols = partition_cols or []
-    recover_table(target_dir)
+    recover_table(target_dir, len(partition_cols) or None)
 
     if not os.path.exists(target_dir):
         if updates.isEmpty():
@@ -215,12 +243,12 @@ def _atomic_overwrite(
     """Stage the result, then swap directories. Two writes, but never
     reads and deletes the same files in one job (lazy-eval hazard).
     On Delta/Iceberg this whole function is a transactional MERGE."""
-    staging = target_dir.rstrip("/") + ".staging"
+    staging = target_dir.rstrip("/") + STAGING_SUFFIX
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
-    backup = target_dir.rstrip("/") + ".old"
+    backup = target_dir.rstrip("/") + BACKUP_SUFFIX
     if os.path.exists(backup):
         shutil.rmtree(backup)
     os.rename(target_dir, backup)
@@ -243,7 +271,7 @@ def compact_partitions(
     partitions compacted. The reference has no analog (OpenSearch
     segment merging does this implicitly); on Delta/Iceberg this is
     OPTIMIZE / rewrite_data_files."""
-    recover_table(target_dir)
+    recover_table(target_dir, len(partition_cols) or None)
     if not os.path.exists(target_dir):
         return 0
     # find leaf partition dirs with too many data files
@@ -256,14 +284,14 @@ def compact_partitions(
             n = sum(1 for f in files if f.endswith(".parquet"))
             if n > max_files_per_partition:
                 crowded.append(rel)
-    staging_root = target_dir.rstrip("/") + ".staging"
+    staging_root = target_dir.rstrip("/") + STAGING_SUFFIX
     for rel in crowded:
         live = os.path.join(target_dir, rel)
         # staging lives OUTSIDE the table root — a sibling dir inside
         # the table would be picked up by partition discovery
         staging = os.path.join(staging_root, rel)
         spark.read.parquet(live).coalesce(1).write.mode("overwrite").parquet(staging)
-        bak = live + ".old"
+        bak = live + BACKUP_SUFFIX
         if os.path.exists(bak):
             shutil.rmtree(bak)
         os.rename(live, bak)
@@ -281,10 +309,10 @@ def _swap_touched_partitions(
     swap each partition directory into the live table with a
     per-partition backup. Untouched partition directories are never
     opened, so write cost is proportional to the update batch, not
-    the table. A crash mid-swap leaves `<partition>.old` backups that
+    the table. A crash mid-swap leaves `<partition>.__bak__` backups that
     recover_table restores. On Delta/Iceberg this is MERGE INTO with
     dynamic partition overwrite."""
-    staging = target_dir.rstrip("/") + ".staging"
+    staging = target_dir.rstrip("/") + STAGING_SUFFIX
     merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
     # leaf partition dirs, relative to the staging root
     leaves: list[str] = []
@@ -297,7 +325,7 @@ def _swap_touched_partitions(
     for rel in leaves:
         src = os.path.join(staging, rel)
         dst = os.path.join(target_dir, rel)
-        bak = dst + ".old"
+        bak = dst + BACKUP_SUFFIX
         if os.path.exists(bak):
             shutil.rmtree(bak)
         os.makedirs(os.path.dirname(dst), exist_ok=True)

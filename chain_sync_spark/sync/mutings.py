@@ -30,7 +30,7 @@ def apply_community_mutings(
 ) -> None:
     """J4/S10: flag posts by muted authors in `community`."""
     muted = muted_accounts(roles)
-    recover_table(posts_dir)
+    recover_table(posts_dir, partition_depth=2)  # posts: year/month
     posts = spark.read.parquet(posts_dir)
     flagged = (
         posts.filter(F.col("parent_permlink") == community)

@@ -40,7 +40,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session.get_spark sets this at build time; this runtime
+        # fallback exists ONLY for externally-built vanilla sessions
+        # (the driver contract) and is a no-op on our own sessions
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -165,23 +165,24 @@ def test_cross_partition_edit_keeps_single_row(spark, tmp_path, ops_batch1):
 
 def test_crash_recovery_restores_backup(spark, tmp_path, ops_batch1):
     """A crash between the two renames of _atomic_overwrite leaves
-    only the .old backup; the next round must restore and proceed."""
+    only the backup; the next round must restore and proceed."""
     import os
     import shutil
+    from chain_sync_spark.sync.merge import BACKUP_SUFFIX, STAGING_SUFFIX
     eng = SyncEngine(spark, str(tmp_path))
     eng.run(ops_batch1, batch_size=10)
     posts_dir = f"{tmp_path}/posts"
-    os.rename(posts_dir, posts_dir + ".old")       # simulate mid-swap crash
-    os.makedirs(posts_dir + ".staging/garbage")    # stale staging output
+    os.rename(posts_dir, posts_dir + BACKUP_SUFFIX)      # simulate mid-swap crash
+    os.makedirs(posts_dir + STAGING_SUFFIX + "/garbage")  # stale staging output
     batch2 = spark.createDataFrame(
         [_op(20, TS, "vote", _vote("v9", "alice", "p1", 100))], OP_STREAM_SCHEMA
     )
     eng.run(batch2, batch_size=10)
-    assert not os.path.exists(posts_dir + ".old")
-    assert not os.path.exists(posts_dir + ".staging")
+    assert not os.path.exists(posts_dir + BACKUP_SUFFIX)
+    assert not os.path.exists(posts_dir + STAGING_SUFFIX)
     p1 = _posts(spark, tmp_path).filter(F.col("permlink") == "p1").first()
     assert "v9" in p1["upvotes"]
-    shutil.rmtree(posts_dir + ".staging", ignore_errors=True)
+    shutil.rmtree(posts_dir + STAGING_SUFFIX, ignore_errors=True)
 
 
 def test_synthesize_ops_smoke(spark):
@@ -263,8 +264,9 @@ def test_bounded_rewrite_touched_partitions_only(spark, tmp_path, ops_batch1):
 def test_reply_tag_update_allowlist(spark, tmp_path):
     """Intended handleReply semantics (P7/J5): an allow-listed reply
     with the command updates the parent's stockimage_tags; replies
-    from other authors, or to missing posts, are dropped."""
-    eng = SyncEngine(spark, str(tmp_path))
+    from other authors, or to missing posts, are dropped. The path is
+    opt-in (dead code in the shipped reference, comments.js:115)."""
+    eng = SyncEngine(spark, str(tmp_path), enable_reply_tag_updates=True)
     ops = spark.createDataFrame(
         [
             _op(1, TS, "comment", _comment("alice", "p1", body="photo #original",
@@ -413,3 +415,94 @@ def test_mutings(spark, tmp_path):
     apply_community_mutings(spark, f"{tmp_path}/posts", roles, "hive-118554")
     rows = {r["permlink"]: r["muted_in_community"] for r in _posts(spark, tmp_path).collect()}
     assert rows == {"s1": True, "s2": None, "other": None}
+
+
+def test_reply_tag_updates_off_by_default(spark, tmp_path):
+    """The shipped reference never runs handleReply (call site
+    commented out, comments.js:115) — with the default flag the parent
+    post's stockimage_tags stay untouched by command replies."""
+    eng = SyncEngine(spark, str(tmp_path))
+    ops = spark.createDataFrame(
+        [
+            _op(1, TS, "comment", _comment("alice", "p1", body="photo #original",
+                                           parent_permlink="hive-118554")),
+            _op(2, TS, "comment", _comment("crosheille", "r1", parent_author="alice",
+                                           parent_permlink="p1",
+                                           body="!update-stock-image-tags #Fixed")),
+        ],
+        OP_STREAM_SCHEMA,
+    )
+    eng.run(ops, batch_size=10)
+    p1 = _posts(spark, tmp_path).filter(F.col("permlink") == "p1").first()
+    assert p1["stockimage_tags"] == "original"
+
+
+def test_authoritative_snapshot_wins(spark, tmp_path):
+    """J3 'authoritative store wins' (comments.js:123-142): when the
+    engine is given an authoritative snapshot, its non-null content
+    overrides the op's for posts it contains; other posts and columns
+    keep op-derived content."""
+    from chain_sync_spark.functions.hashing import surrogate_id
+
+    auth = spark.createDataFrame(
+        [("alice", "p1", "Authoritative title")],
+        "author string, permlink string, text_title string",
+    ).select(
+        surrogate_id("author", "permlink").alias("post_id"),
+        "text_title",
+        F.lit(None).cast("string").alias("text_body"),  # null → op wins
+    )
+    eng = SyncEngine(spark, str(tmp_path), authoritative=auth)
+    ops = spark.createDataFrame(
+        [
+            _op(1, TS, "comment", _comment("alice", "p1", body="op body", title="Op title")),
+            _op(1, TS, "comment", _comment("bob", "p2", body="other", title="Bob title")),
+        ],
+        OP_STREAM_SCHEMA,
+    )
+    eng.run(ops, batch_size=10)
+    posts = {r["permlink"]: r for r in _posts(spark, tmp_path).collect()}
+    assert posts["p1"]["text_title"] == "Authoritative title"   # snapshot wins
+    assert posts["p1"]["text_body"] == "op body"                # null col → op wins
+    assert posts["p2"]["text_title"] == "Bob title"             # not in snapshot
+
+
+def test_legacy_store_migration(spark, tmp_path, ops_batch1):
+    """Stores written by earlier engine revisions — unpartitioned
+    accounts without the bucket column, posts partitions missing the
+    later-added mutable columns — are migrated once and then sync
+    normally (ADVICE r2 #1)."""
+    import os
+
+    store = str(tmp_path)
+    # legacy accounts: unpartitioned, no bucket column
+    spark.createDataFrame(
+        [("olduser", datetime.fromisoformat("2023-01-01 00:00:00"))],
+        "name string, last_active timestamp",
+    ).write.parquet(f"{store}/accounts")
+    # legacy posts: partitioned but missing jobs/upvotes/downvotes/muted
+    spark.createDataFrame(
+        [(123, "olduser", "oldpost", "T", "b", "cat1",
+          datetime.fromisoformat("2023-01-01 00:00:00"), 2023, 1)],
+        "post_id long, author string, permlink string, text_title string,"
+        " text_body string, parent_permlink string, timestamp timestamp,"
+        " year int, month int",
+    ).write.partitionBy("year", "month").parquet(f"{store}/posts")
+
+    eng = SyncEngine(spark, store)
+    applied = eng.migrate_store()
+    assert set(applied) == {"accounts_bucketed", "posts_schema_completed"}
+    assert any(e.startswith("bucket=") for e in os.listdir(f"{store}/accounts"))
+    # migration is idempotent
+    assert eng.migrate_store() == []
+
+    # a normal round now merges into the migrated store without error
+    eng.run(ops_batch1, batch_size=10)
+    posts = _posts(spark, tmp_path)
+    assert {"jobs", "upvotes", "downvotes", "muted_in_community"} <= set(posts.columns)
+    old = posts.filter(F.col("permlink") == "oldpost").first()
+    assert old is not None and old["upvotes"] is None
+    accounts = spark.read.parquet(f"{store}/accounts")
+    assert accounts.filter(F.col("name") == "olduser").first()["last_active"] is not None
+    # new activity merged alongside the legacy row
+    assert accounts.filter(F.col("name") == "alice").count() == 1
