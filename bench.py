@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -48,9 +50,33 @@ EXTENDED_SET = [
     "embedding_ann_lsh_pairs",
     "embedding_ivf_topk",
     "training_prep_pipeline",
+    "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 
 HEADLINE = BASELINE_SET + EXTENDED_SET
+
+SYNC_BLOCKS = 300
+SYNC_OPS_PER_BLOCK = 10
+
+
+def _bench_sync_round(spark) -> float:
+    """One full sync-engine round (synthesized ops, one batch of
+    {SYNC_BLOCKS} blocks) into a fresh store — surfaces engine
+    regressions in the per-round bench artifact, not just in
+    tools/sync_bench.py."""
+    from chain_sync_spark.sources.blocks import synthesize_ops
+    from chain_sync_spark.sync.engine import SyncEngine
+
+    ops = synthesize_ops(spark, SYNC_BLOCKS, SYNC_OPS_PER_BLOCK).cache()
+    ops.count()  # materialize the synthetic stream outside the window
+    store = tempfile.mkdtemp(prefix="bench_sync_")
+    try:
+        t0 = time.perf_counter()
+        SyncEngine(spark, store).run(ops, batch_size=SYNC_BLOCKS)
+        return time.perf_counter() - t0
+    finally:
+        ops.unpersist()
+        shutil.rmtree(store, ignore_errors=True)
 
 
 def main() -> None:
@@ -61,10 +87,16 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm-up: JIT, codegen, parquet footers — every query once, so
-    # no query pays first-touch costs inside its measured window.
+    # First pass is the warm-up (JIT, codegen, parquet footers) and is
+    # ALSO timed: its totals are the cold numbers, so both protocols
+    # are reported every round (r1 warmed two queries, r2+ warms all —
+    # the cold totals keep cross-round comparisons honest, ADVICE r2).
+    cold: dict[str, float] = {}
     for n in names:
-        queries[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = queries[n](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        cold[n] = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for n in names:
@@ -73,6 +105,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[n] = round(time.perf_counter() - t0, 3)
 
+    # engine round: cold = fresh store first run, warm = second run
+    # into another fresh store (session/JIT warm, storage cold both
+    # times — the engine's real per-round profile)
+    cold["sync_round"] = round(_bench_sync_round(spark), 3)
+    timings["sync_round"] = round(_bench_sync_round(spark), 3)
+
     total = round(sum(t for n, t in timings.items() if n in BASELINE_SET), 3)
     extended = round(sum(t for n, t in timings.items() if n in EXTENDED_SET), 3)
     print(json.dumps({
@@ -80,9 +118,17 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "baseline_set_total": total,
+        "baseline_set_total_cold": round(
+            sum(t for n, t in cold.items() if n in BASELINE_SET), 3
+        ),
         "extended_set_total": extended,
-        "note": "value covers the BENCH_r01 baseline query set; extended_set_total times operators added later (see BENCH.md)",
+        "note": (
+            "value covers the BENCH_r01 baseline query set, warm (2nd run); "
+            "queries_cold/baseline_set_total_cold are the 1st-run numbers "
+            "(see BENCH.md); sync_round is one 300-block engine round"
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
