@@ -952,6 +952,181 @@ FROM sums
 """
 
 
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side revenue forecast — every
+    predicate (year, discount band, quantity cap) is pushable to the
+    parquet scan, then ONE map-side-combinable aggregation with no
+    join and no wide shuffle: the cheapest possible plan for a
+    100 TB fact table, bounded by scan bandwidth alone."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two nations, by
+    (supplier nation, customer nation, ship year). supplier/customer/
+    nation are broadcast dims; the only big shuffle is
+    lineitem⋈orders on orderkey. The nation-pair predicate applies
+    after the dim joins (both directions of the pair)."""
+    n1, n2 = Q7_NATIONS
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    pair = (
+        (F.col("supp_nation") == n1) & (F.col("cust_nation") == n2)
+    ) | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE (sn.n_name = '{Q7_NATIONS[0]}' AND cn.n_name = '{Q7_NATIONS[1]}')
+     OR (sn.n_name = '{Q7_NATIONS[1]}' AND cn.n_name = '{Q7_NATIONS[0]}')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. Date predicate pushed to the orders scan, return-flag
+    predicate pushed to the lineitem scan; customer/nation broadcast;
+    the one big shuffle is lineitem⋈orders, then a customer-grain
+    aggregate and a global top-k."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+Q18_MIN_QTY = 200
+
+
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold (the IN-subquery becomes a grouped semi-join), enriched
+    with the customer dim. The quantity rollup and the semi-filter
+    reuse ONE aggregation of lineitem on orderkey — no second scan;
+    customer broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > Q18_MIN_QTY)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_MIN_QTY}
+) q
+JOIN orders   ON o_orderkey = q.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -995,6 +1170,10 @@ QUERIES = {
     "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
     "window_rank_variants": window_rank_variants,
     "stats_corr_lineitem": stats_corr_lineitem,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
 }
 
 ORACLE = {
@@ -1217,4 +1396,8 @@ ORACLE = {
     "tpch_q14_promo_revenue": _Q14_ORACLE,
     "window_rank_variants": _RANK_VARIANTS_ORACLE,
     "stats_corr_lineitem": _STATS_CORR_ORACLE,
+    "tpch_q6_forecast_revenue": _Q6_ORACLE,
+    "tpch_q7_volume_shipping": _Q7_ORACLE,
+    "tpch_q10_returned_items": _Q10_ORACLE,
+    "tpch_q18_large_volume_customers": _Q18_ORACLE,
 }
