@@ -1,0 +1,329 @@
+"""Training-data pipeline extras (⊕ family, round 3).
+
+Five operators a production-scale LLM data pipeline needs beyond the
+core dedup/ANN/text-analysis family in operators/llm_pipeline.py:
+PII scrubbing, URL extraction/normalization, repetition-based quality
+filtering (Gopher-style), benchmark-contamination screening, and
+domain mixture weighting. Reference parity: the reference engine has
+no analog; mandated by the north-star ⊕ scope (SURVEY.md §2.8).
+
+The synthetic documents corpus contains no natural PII/URLs, so the
+PII and URL queries append deterministic synthetic spans (a pure
+function of doc_id, rendered identically into the Spark plan and the
+DuckDB oracle) — the regex/normalization machinery is exercised on
+real matches while results stay engine-independent.
+
+Scale design: every operator is per-row column work plus at most one
+hash aggregation or one broadcast join against a bounded eval set.
+No self-joins, no all-pairs, nothing quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chain_sync_spark.functions import sketches as sk
+from chain_sync_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# 1. PII scrubbing
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def _pii_augmented(text, doc_id):
+    """Append deterministic synthetic PII spans: every 7th doc gains
+    an email, every 11th an IPv4 — pure function of doc_id."""
+    email = F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com"))
+    ip = F.concat(F.lit(" from 10.0."), (doc_id % 256).cast("string"), F.lit(".1"))
+    return F.concat(
+        text,
+        F.when(doc_id % 7 == 0, email).otherwise(F.lit("")),
+        F.when(doc_id % 11 == 0, ip).otherwise(F.lit("")),
+    )
+
+
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails and IPv4 addresses per
+    document. Counts via regexp_extract_all (vectorized, codegen);
+    redaction replaces matches with typed placeholders; the scrubbed
+    text is reported as an md5 so the result row stays narrow.
+
+    Scale: embarrassingly parallel per-row column work — zero
+    shuffles; at 100 TB this is bounded by scan bandwidth.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = _pii_augmented(F.col("text"), F.col("doc_id"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(IPV4_RE), 0)).alias("n_ipv4"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+def _pii_aug_sql(text: str, doc_id: str) -> str:
+    return (
+        f"{text} || CASE WHEN {doc_id} % 7 = 0 THEN"
+        f" ' contact user' || {doc_id}::VARCHAR || '@example.com' ELSE '' END"
+        f" || CASE WHEN {doc_id} % 11 = 0 THEN"
+        f" ' from 10.0.' || ({doc_id} % 256)::VARCHAR || '.1' ELSE '' END"
+    )
+
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, {_pii_aug_sql('text', 'doc_id')} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INT) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{IPV4_RE}', '<IP>', 'g')) AS scrub_hash
+FROM aug
+"""
+
+# ---------------------------------------------------------------------------
+# 2. URL extraction + normalization
+# ---------------------------------------------------------------------------
+
+URL_RE = "https?://[^ ]+"
+
+
+def url_extract_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL inventory: extract URLs, normalize (lowercase, strip
+    scheme, leading www., trailing slash), report per-URL document
+    frequency — the first step of URL-level dedup / blocklist
+    filtering in a crawl pipeline.
+
+    Scale: extract+explode is linear in match count; the aggregation
+    shuffles on the normalized URL (high-cardinality, uniform). Every
+    5th doc gains two deterministic synthetic URLs that normalize to
+    the same key — exercising the fold."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(
+                F.lit(" see https://Example.com/p/"), (doc_id % 3).cast("string"),
+                F.lit("/ and http://www.example.com/p/"), (doc_id % 3).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    urls = d.select(
+        "doc_id", F.explode(F.regexp_extract_all(aug, F.lit(URL_RE), 0)).alias("url")
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("url")), "^https?://", ""), "^www\\.", ""),
+        "/$",
+        "",
+    )
+    return (
+        urls.select("doc_id", norm.alias("url"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+_URL_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN
+           ' see https://Example.com/p/' || (doc_id % 3)::VARCHAR ||
+           '/ and http://www.example.com/p/' || (doc_id % 3)::VARCHAR
+         ELSE '' END AS t
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '{URL_RE}')) AS url FROM aug
+)
+SELECT regexp_replace(regexp_replace(regexp_replace(lower(url),
+         '^https?://', ''), '^www\\.', ''), '/$', '') AS url,
+       COUNT(*) AS n_mentions,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM urls GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# 3. Repetition-based quality filter (Gopher-style)
+# ---------------------------------------------------------------------------
+
+TOP_TOKEN_MAX_RATIO = 0.08
+
+
+def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token count, top-token ratio (most frequent token's share
+    of all tokens), and the keep/drop flag at {TOP_TOKEN_MAX_RATIO}.
+    Highly repetitive documents (boilerplate, keyword stuffing) are
+    the classic web-crawl failure mode this screens out.
+
+    Scale: one explode + two-level hash aggregation keyed by
+    (doc_id, token) then doc_id — both map-side combinable, uniform
+    keys; no joins."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(sk.words(F.col("text"))).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    ratio = F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        ratio.alias("top_token_ratio"),
+        (ratio <= TOP_TOKEN_MAX_RATIO).alias("keep"),
+    )
+
+
+_QUALITY_REP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sk.WORDS_SQL.format(c='text')}) AS tok FROM documents
+),
+per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+  FROM per_tok GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(top_cnt / n_tokens, 6) AS top_token_ratio,
+       round(top_cnt / n_tokens, 6) <= {TOP_TOKEN_MAX_RATIO} AS keep
+FROM per_doc
+"""
+
+# ---------------------------------------------------------------------------
+# 4. Benchmark-contamination screen
+# ---------------------------------------------------------------------------
+
+EVAL_DOCS_BELOW = 5       # doc_id < 5 form the frozen "benchmark" set
+CONTAM_MIN_OVERLAP = 10   # shared shingles to flag a training doc
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: word-3-gram shingles of a
+    frozen eval set (here: doc_id < {EVAL_DOCS_BELOW}) are matched
+    against every candidate training document; documents sharing >=
+    {CONTAM_MIN_OVERLAP} shingles with the eval set are flagged. The
+    standard n-gram-overlap decontamination step before training.
+
+    Scale: the eval shingle set is bounded and BROADCAST; the corpus
+    is exploded to (doc, shingle) and semi-joined — one pass over the
+    corpus, no corpus self-join. distinct shingles per doc keep the
+    overlap a set size, not a bag count."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", sk.word_shingles(sk.words(sk.normalize_text(F.col("text")))).alias("sh")
+    )
+    posting = d.select("doc_id", F.explode("sh").alias("g"))
+    eval_set = (
+        posting.filter(F.col("doc_id") < EVAL_DOCS_BELOW).select("g").distinct()
+    )
+    train = posting.filter(F.col("doc_id") >= EVAL_DOCS_BELOW)
+    return (
+        train.join(F.broadcast(eval_set), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= CONTAM_MIN_OVERLAP)
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
+_NORM_SQL = sk.NORMALIZE_SQL.format(c="text")
+_CONTAM_ORACLE = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         {sk.word_shingles_sql(sk.WORDS_SQL.format(c=_NORM_SQL))} AS sh
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, unnest(sh) AS g FROM shingled
+),
+eval_set AS (
+  SELECT DISTINCT g FROM posting WHERE doc_id < {EVAL_DOCS_BELOW}
+)
+SELECT doc_id, COUNT(*) AS n_overlap, TRUE AS contaminated
+FROM posting
+WHERE doc_id >= {EVAL_DOCS_BELOW} AND g IN (SELECT g FROM eval_set)
+GROUP BY doc_id
+HAVING COUNT(*) >= {CONTAM_MIN_OVERLAP}
+"""
+
+# ---------------------------------------------------------------------------
+# 5. Domain mixture weighting
+# ---------------------------------------------------------------------------
+
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: per-source token counts, corpus share, and the
+    sampling weight that re-balances every source to a uniform target
+    mixture (weight = target_share / actual_share) — the knob a
+    training pipeline turns to up/down-weight domains.
+
+    Scale: one hash aggregation to source grain (bounded cardinality),
+    then shares via a broadcast join against the 1-row corpus total —
+    the full corpus is scanned once, never shuffled at row grain."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.size(sk.words(F.col("text"))).alias("n_tok")
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round(target / share, 6).alias("sampling_weight"),
+    )
+
+
+_MIXTURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len({sk.WORDS_SQL.format(c='text')})) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / SUM(n_tokens) OVER (), 6) AS actual_share,
+       round((1.0 / COUNT(*) OVER ())
+             / (n_tokens / SUM(n_tokens) OVER ()), 6) AS sampling_weight
+FROM per_src
+"""
+
+
+QUERIES = {
+    "pii_scrub_documents": pii_scrub_documents,
+    "url_extract_normalize": url_extract_normalize,
+    "quality_repetition_filter": quality_repetition_filter,
+    "contamination_ngram_overlap": contamination_ngram_overlap,
+    "domain_mixture_weights": domain_mixture_weights,
+}
+
+ORACLE = {
+    "pii_scrub_documents": _PII_ORACLE,
+    "url_extract_normalize": _URL_ORACLE,
+    "quality_repetition_filter": _QUALITY_REP_ORACLE,
+    "contamination_ngram_overlap": _CONTAM_ORACLE,
+    "domain_mixture_weights": _MIXTURE_ORACLE,
+}

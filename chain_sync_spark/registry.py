@@ -39,6 +39,8 @@ _MODULES = [
     "chain_sync_spark.operators.scalars",
     "chain_sync_spark.operators.sync_queries",
     "chain_sync_spark.operators.relational",
+    # post-window additions (rotate into the window in later rounds)
+    "chain_sync_spark.operators.pipeline_extras",
 ]
 
 # Relational queries promoted to the front of the relational block so
