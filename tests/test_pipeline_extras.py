@@ -1,0 +1,89 @@
+"""Known-answer tests for the pipeline-extras operators: the oracle
+gate proves Spark==DuckDB on the testdata; these pin the semantics on
+tiny literal fixtures — PII actually redacts, URL normalization folds
+variants, repetition stuffing is flagged, a planted eval-set copy is
+contaminated, and mixture weights invert the source shares."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chain_sync_spark.operators import pipeline_extras as px
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+@pytest.fixture()
+def extras_dir(spark, tmp_path):
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    rows = [
+        # doc_ids 0-4 are the frozen eval set (EVAL_DOCS_BELOW)
+        (0, eval_text, "en", "srcA", len(eval_text)),
+        (1, "one two three four five six seven", "en", "srcA", 33),
+        (2, "red green blue yellow purple orange", "en", "srcA", 35),
+        (3, "north south east west up down", "en", "srcB", 29),
+        (4, "spring summer autumn winter solstice equinox", "en", "srcB", 44),
+        # 5: verbatim copy of the eval doc → contaminated
+        (5, eval_text, "en", "srcB", len(eval_text)),
+        # 6: unrelated → clean
+        (6, "unrelated words entirely fresh content here today", "en", "srcB", 49),
+        # 7: keyword stuffing → repetition-flagged (7 = 0 mod 7 → email PII)
+        (7, " ".join(["spam"] * 40) + " ham", "en", "srcB", 200),
+    ]
+    return _write_docs(spark, tmp_path, rows)
+
+
+def test_pii_scrub_counts_and_redacts(spark, extras_dir):
+    out = {r.doc_id: r for r in px.pii_scrub_documents(spark, extras_dir).collect()}
+    assert out[7].n_emails == 1 and out[7].n_ipv4 == 0   # 7 % 7 == 0 → email
+    assert out[0].n_emails == 1 and out[0].n_ipv4 == 1   # 0 hits both branches
+    assert out[1].n_emails == 0 and out[1].n_ipv4 == 0
+    # redaction fixpoint: scrubbing the scrubbed text changes nothing,
+    # i.e. the scrub hash differs from the raw-augmented hash iff PII
+    aug = px._pii_augmented(F.col("text"), F.col("doc_id"))
+    raw = {
+        r.doc_id: r.h
+        for r in spark.read.parquet(f"{extras_dir}/documents.parquet")
+        .select("doc_id", F.md5(aug).alias("h"))
+        .collect()
+    }
+    assert out[1].scrub_hash == raw[1]      # nothing to scrub → unchanged
+    assert out[7].scrub_hash != raw[7]      # email removed → hash moved
+
+
+def test_url_normalization_folds_variants(spark, extras_dir):
+    # doc 0 and 5 get the synthetic pair; https://Example.com/p/0/ and
+    # http://www.example.com/p/0 normalize to the same key
+    out = {r.url: r for r in px.url_extract_normalize(spark, extras_dir).collect()}
+    assert set(out) == {"example.com/p/0", "example.com/p/2"}
+    assert out["example.com/p/0"].n_mentions == 2 and out["example.com/p/0"].n_docs == 1
+    assert out["example.com/p/2"].n_mentions == 2 and out["example.com/p/2"].n_docs == 1
+
+
+def test_repetition_filter_flags_stuffed_doc(spark, extras_dir):
+    out = {r.doc_id: r for r in px.quality_repetition_filter(spark, extras_dir).collect()}
+    assert out[7].n_tokens == 41
+    assert not out[7].keep                      # 40/41 'spam' → dropped
+    assert float(out[7].top_token_ratio) > 0.9
+    assert out[1].n_distinct == 7               # all-distinct doc
+
+
+def test_contamination_flags_eval_copy_only(spark, extras_dir):
+    out = {r.doc_id: r for r in px.contamination_ngram_overlap(spark, extras_dir).collect()}
+    assert 5 in out and out[5].contaminated      # verbatim eval copy
+    assert out[5].n_overlap == 12                # 14 words → 12 tri-grams
+    assert 6 not in out and 7 not in out         # clean docs unflagged
+
+
+def test_mixture_weights_invert_shares(spark, extras_dir):
+    out = {r.source: r for r in px.domain_mixture_weights(spark, extras_dir).collect()}
+    assert set(out) == {"srcA", "srcB"}
+    tot = sum(r.n_tokens for r in out.values())
+    for r in out.values():
+        assert float(r.actual_share) == pytest.approx(r.n_tokens / tot, abs=1e-5)
+        # weight * share == target share (0.5 for two sources)
+        assert float(r.sampling_weight) * float(r.actual_share) == pytest.approx(0.5, abs=1e-4)
