@@ -312,12 +312,86 @@ FROM per_src
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Context-window sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512   # tokens per packed training sequence
+PACK_SHARDS = 8     # independent packing shards (parallelism unit)
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents to fixed-budget
+    training sequences by running token count — the step that turns a
+    deduped corpus into model-ready samples. Sequential (greedy
+    in-order) packing: within a shard, docs are concatenated in
+    doc_id order and a new sequence starts whenever the running total
+    crosses the {PACK_BUDGET}-token budget; documents never split.
+
+    Scale: packing is per-SHARD (hash of doc_id, {PACK_SHARDS} here,
+    thousands in production) so the running-total window parallelizes
+    — a single global packing order would serialize the corpus
+    through one task. Shards pack independently, which is exactly how
+    production packers shard too; sequence ids are (shard, seq_in_
+    shard) so they never collide."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(sk.words(F.col("text"))).alias("n_tok")
+    )
+    shard = F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        d.withColumn("shard", shard)
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        # sequence index = budget-bins of the tokens BEFORE this doc
+        .withColumn(
+            "seq_in_shard",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / PACK_BUDGET).cast("int"),
+        )
+    )
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        "shard",
+        "seq_in_shard",
+        (F.col("cum_tok") - F.col("n_tok")
+         - F.col("seq_in_shard") * PACK_BUDGET).cast("int").alias("offset_in_seq"),
+    )
+
+
+_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len({sk.WORDS_SQL.format(c='text')}) AS n_tok,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tok, shard,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM d
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok, shard,
+       CAST(FLOOR((cum_tok - n_tok) / {PACK_BUDGET}) AS INT) AS seq_in_shard,
+       CAST(cum_tok - n_tok
+            - FLOOR((cum_tok - n_tok) / {PACK_BUDGET}) * {PACK_BUDGET} AS INT)
+         AS offset_in_seq
+FROM packed
+"""
+
+
 QUERIES = {
     "pii_scrub_documents": pii_scrub_documents,
     "url_extract_normalize": url_extract_normalize,
     "quality_repetition_filter": quality_repetition_filter,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "domain_mixture_weights": domain_mixture_weights,
+    "pack_training_sequences": pack_training_sequences,
 }
 
 ORACLE = {
@@ -326,4 +400,5 @@ ORACLE = {
     "quality_repetition_filter": _QUALITY_REP_ORACLE,
     "contamination_ngram_overlap": _CONTAM_ORACLE,
     "domain_mixture_weights": _MIXTURE_ORACLE,
+    "pack_training_sequences": _PACK_ORACLE,
 }

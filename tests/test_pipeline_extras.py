@@ -87,3 +87,28 @@ def test_mixture_weights_invert_shares(spark, extras_dir):
         assert float(r.actual_share) == pytest.approx(r.n_tokens / tot, abs=1e-5)
         # weight * share == target share (0.5 for two sources)
         assert float(r.sampling_weight) * float(r.actual_share) == pytest.approx(0.5, abs=1e-4)
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing invariants on real testdata: offsets start inside the
+    budget, advance by each doc's token count within a (shard, seq),
+    and sequence ids are dense and non-decreasing in doc order."""
+    out = (
+        px.pack_training_sequences(spark, "/root/testdata/sf0.001")
+        .orderBy("shard", "doc_id")
+        .collect()
+    )
+    assert out, "empty packing"
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        cum = 0
+        prev_seq = 0
+        for r in rows:
+            assert r.seq_in_shard == cum // px.PACK_BUDGET
+            assert r.offset_in_seq == cum - r.seq_in_shard * px.PACK_BUDGET
+            assert r.offset_in_seq < px.PACK_BUDGET     # docs start in-budget
+            assert r.seq_in_shard >= prev_seq
+            prev_seq = r.seq_in_shard
+            cum += r.n_tok
