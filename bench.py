@@ -50,6 +50,8 @@ EXTENDED_SET = [
     "embedding_ann_lsh_pairs",
     "embedding_ivf_topk",
     "training_prep_pipeline",
+    "quality_repetition_filter",
+    "pack_training_sequences",
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 
