@@ -41,6 +41,7 @@ _MODULES = [
     "chain_sync_spark.operators.relational",
     # post-window additions (rotate into the window in later rounds)
     "chain_sync_spark.operators.pipeline_extras",
+    "chain_sync_spark.operators.tpch",
 ]
 
 # Relational queries promoted to the front of the relational block so
