@@ -52,6 +52,8 @@ EXTENDED_SET = [
     "training_prep_pipeline",
     "quality_repetition_filter",
     "pack_training_sequences",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

@@ -346,7 +346,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates to: per-part aggregate once, 1-row total aggregated
     FROM the per-part relation, broadcast back and compared with
     multiplication-only exact decimals (value·10000 > total) — no
-    second scan of lineitem, no double comparison."""
+    double comparison.  Catalyst plans the per-part aggregate twice
+    (once under the 1-row total); a deployment that minds the second
+    pass materializes the aggregate first — kept stateless here
+    because registry queries must not leak cached partitions
+    (tests/test_cache_discipline)."""
     nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
     supp = (
         table(spark, sf_dir, "supplier")
@@ -454,10 +458,12 @@ GROUP BY l_returnflag
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
     quarter.  The spec's revenue view + scalar MAX subquery
-    decorrelates to: aggregate lineitem per supplier once, take the
-    1-row MAX of that relation, broadcast it back, filter on exact
-    decimal equality (never double equality), then broadcast-join the
-    supplier dim for names."""
+    decorrelates to: aggregate lineitem per supplier, take the 1-row
+    MAX of that relation, broadcast it back, filter on exact decimal
+    equality (never double equality), then broadcast-join the
+    supplier dim for names.  Like Q11, the grouped relation is
+    planned twice (probe + MAX) — the stateless two-pass form; see
+    the Q11 note."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))

@@ -99,3 +99,26 @@ def test_ivf_topk_probe_join_broadcasts(spark):
     # probe join on centroid_id — three broadcast sides in total
     assert plan.count("BroadcastExchange") >= 3, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_completion_plans(spark):
+    """The 13 TPC-H completion shapes (operators/tpch.py): no
+    cartesian products anywhere; Q2's only wide op is the cost
+    aggregation (every join broadcast); Q21's EXISTS/NOT EXISTS
+    rewrite reads lineitem at most twice (the semi+anti formulation
+    would read it three times); Q4/Q12 push their date ranges to the
+    scan."""
+    from chain_sync_spark.operators import tpch
+
+    sf = "/root/testdata/sf0.001"
+    q2 = _plan(tpch.tpch_q2_min_cost_supplier(spark, sf))
+    assert "SortMergeJoin" not in q2 and "CartesianProduct" not in q2, q2
+    assert q2.count("BroadcastHashJoin") >= 2, q2
+
+    q21 = _plan(tpch.tpch_q21_waiting_suppliers(spark, sf))
+    assert q21.count("lineitem.parquet") <= 2, q21
+
+    q4 = tpch.tpch_q4_order_priority(spark, sf)
+    assert has_pushed_filter(q4, "o_orderdate"), _plan(q4)
+    q12 = tpch.tpch_q12_ship_class_priority(spark, sf)
+    assert has_pushed_filter(q12, "l_shipdate"), _plan(q12)
