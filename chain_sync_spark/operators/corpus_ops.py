@@ -1,0 +1,309 @@
+"""Corpus-preparation operators (⊕ family, round 3 continuation).
+
+Four more operators a production LLM data pipeline runs at corpus
+scale, beyond operators/llm_pipeline.py and pipeline_extras.py:
+context-window chunking with overlap, TF-IDF keyword extraction,
+n-gram language-model statistics, and incremental (new-batch vs
+historical-corpus) deduplication.  Reference parity: the reference
+engine has no analog; mandated by the north-star ⊕ scope
+(SURVEY.md §2.8).
+
+Cross-engine determinism: scores that would conventionally use
+``log`` (TF-IDF) are computed log-free as one exact-integer product
+cast to double divided by one exact-integer denominator — a single
+IEEE division matches bit-for-bit across engines, whereas JVM
+``Math.log`` and libm ``log`` may differ in the last ulp.  All
+hashes are md5 hex (identical in Spark and DuckDB).
+
+Scale design: chunking is per-row generate+explode (zero shuffles);
+TF-IDF is two hash aggregations plus one term-keyed join (the df
+relation is vocabulary-sized — it shuffles on term, it is NOT
+broadcast); the bigram LM is one hash aggregation plus a per-head
+window; incremental dedup is one hash-keyed anti join against the
+historical fingerprint set plus an in-batch first-wins window.
+Nothing quadratic, no all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chain_sync_spark.functions import sketches as sk
+from chain_sync_spark.tables import table
+
+_NORM_CTE = f"""
+docs_words AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         {sk.WORDS_SQL.format(c=sk.NORMALIZE_SQL.format(c='text'))} AS w
+  FROM documents
+)"""
+
+
+def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.withColumn("w", sk.words(sk.normalize_text(F.col("text"))))
+
+
+# ---------------------------------------------------------------------------
+# 1. Context-window chunking with overlap
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 120
+CHUNK_STRIDE = 90
+
+
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping character windows
+    (window CHUNK_WINDOW, stride CHUNK_STRIDE) — the chunking stage
+    in front of an embedding or retrieval pipeline.  Offsets come
+    from ``sequence(0, n_chars-1, stride)`` exploded per row; each
+    chunk row carries its index, offset, length, and md5 (the row
+    stays narrow — downstream stages re-slice the text by offset).
+
+    Scale: generate+explode is per-row column work, zero shuffles;
+    output size is a constant factor of input size (window/stride).
+    The tail chunk is naturally shorter (substring clamps — same
+    semantics in both engines)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    offs = F.sequence(
+        F.lit(0).cast("long"),
+        (F.col("n_chars") - F.lit(1)).cast("long"),
+        F.lit(CHUNK_STRIDE).cast("long"),
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_off") + 1, F.lit(CHUNK_WINDOW))
+    return (
+        d.select("doc_id", "text", F.posexplode(offs).alias("chunk_idx", "chunk_off"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_off",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id,
+       CAST(chunk_off // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       chunk_off,
+       CAST(LENGTH(SUBSTR(text, chunk_off + 1, {CHUNK_WINDOW})) AS INT) AS chunk_len,
+       MD5(SUBSTR(text, chunk_off + 1, {CHUNK_WINDOW})) AS chunk_md5
+FROM documents, UNNEST(range(0, GREATEST(n_chars, 1), {CHUNK_STRIDE})) AS u(chunk_off)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. TF-IDF keyword extraction (log-free, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K terms per document by a log-free TF-IDF variant:
+    ``score = tf · (N+1) / (df+1)`` — the standard idf fraction
+    without the log wrapper, so the score is one exact bigint product
+    divided by one exact bigint (single IEEE division; see module
+    docstring).  Ranking is unaffected for per-document comparisons
+    (log is monotone in the fraction).
+
+    Plan: explode → (doc, term) count [shuffle 1] → term df count
+    [shuffle 2, vocabulary-sized — joined back on term, not
+    broadcast] → corpus-size 1-row aggregate broadcast → per-doc
+    top-K window.  At 100 TB every stage is map-side combinable."""
+    tok = _docs_words(spark, sf_dir).select(
+        "doc_id", F.explode("w").alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * (F.col("n_docs") + 1)).cast("double")
+            / (F.col("df") + 1).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rn").alias("rank"))
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH {_NORM_CTE},
+tok AS (SELECT doc_id, UNNEST(w) AS term FROM docs_words),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank
+FROM (
+  SELECT doc_id, term, tf, df,
+         CAST(tf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(tf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) DESC,
+                    term ASC
+         ) AS INT) AS rank
+  FROM tf JOIN df USING (term), n
+)
+WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Bigram language-model statistics (top-K continuations per head)
+# ---------------------------------------------------------------------------
+
+LM_TOP_K = 3
+
+
+def ngram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts with the top-K continuations and their
+    conditional probability per head word — the count-collection
+    stage of an n-gram LM (or of n-gram novelty/quality scoring).
+
+    ``p(w2|w1) = cnt(w1,w2) / cnt(w1,·)`` is one exact-integer
+    division per row (cross-engine bit-exact); the head total is a
+    window sum over the already-aggregated bigram relation, computed
+    BEFORE top-K filtering.
+
+    Plan: per-row bigram generation (transform over the token array,
+    no join) → one hash aggregation on (w1, w2) [map-side
+    combinable] → per-head window.  The aggregated relation is
+    vocabulary²-bounded, far smaller than the corpus."""
+    d = _docs_words(spark, sf_dir)
+    bigrams = F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+    )
+    pairs = d.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    w_head = Window.partitionBy("w1")
+    w_rank = Window.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
+    return (
+        counts.withColumn("head_total", F.sum("cnt").over(w_head))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= LM_TOP_K)
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            "head_total",
+            (F.col("cnt").cast("double") / F.col("head_total").cast("double")).alias(
+                "cond_p"
+            ),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+_LM_ORACLE = f"""
+WITH {_NORM_CTE},
+pairs AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM docs_words, UNNEST(range(1, GREATEST(len(w), 1))) AS u(i)
+),
+counts AS (SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY w1, w2)
+SELECT w1, w2, cnt, head_total,
+       CAST(cnt AS DOUBLE) / CAST(head_total AS DOUBLE) AS cond_p, rank
+FROM (
+  SELECT w1, w2, cnt,
+         SUM(cnt) OVER (PARTITION BY w1) AS head_total,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY w1 ORDER BY cnt DESC, w2 ASC
+         ) AS INT) AS rank
+  FROM counts
+)
+WHERE rank <= {LM_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Incremental dedup: new batch vs historical corpus
+# ---------------------------------------------------------------------------
+
+BATCH_MOD = 10       # doc_id % BATCH_MOD == 0  → the "new crawl" batch
+RECRAWL_MOD = 7      # doc_id % RECRAWL_MOD == 0 → re-crawled duplicates
+RECRAWL_ID_OFFSET = 100_000
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the shape every rolling crawl
+    pipeline runs daily: drop new-batch documents whose content
+    already exists in the historical corpus, and first-wins
+    de-duplicate within the batch itself.
+
+    The synthetic corpus has no duplicate texts, so the batch is
+    built deterministically: docs with ``doc_id % 10 == 0`` are the
+    genuinely-new crawl, and docs with ``doc_id % 7 == 0`` re-enter
+    as "re-crawls" under offset ids — re-crawls of historical docs
+    must be dropped by the anti join, re-crawls of in-batch docs by
+    the first-wins window (lowest doc_id survives).
+
+    Scale: the historical fingerprint set is corpus-sized — the anti
+    join shuffles on the md5 key (NOT broadcast); the in-batch
+    window shuffles only the (small) daily batch.  Both are linear;
+    payload text never travels — only (id, md5)."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % BATCH_MOD == 0
+    fresh = docs.filter(is_new)
+    recrawl = docs.filter(F.col("doc_id") % RECRAWL_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + RECRAWL_ID_OFFSET
+    )
+    batch = fresh.unionByName(recrawl).withColumn("content_md5", F.md5("text"))
+    old_hashes = (
+        docs.filter(~is_new).select(F.md5("text").alias("content_md5")).distinct()
+    )
+    w = Window.partitionBy("content_md5").orderBy(F.asc("doc_id"))
+    return (
+        batch.join(old_hashes, "content_md5", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "content_md5")
+    )
+
+
+_INCR_ORACLE = f"""
+WITH batch AS (
+  SELECT doc_id, lang, source, MD5(text) AS content_md5
+  FROM documents WHERE doc_id % {BATCH_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {RECRAWL_ID_OFFSET}, lang, source, MD5(text)
+  FROM documents WHERE doc_id % {RECRAWL_MOD} = 0
+),
+old AS (
+  SELECT DISTINCT MD5(text) AS content_md5
+  FROM documents WHERE doc_id % {BATCH_MOD} <> 0
+)
+SELECT doc_id, lang, source, content_md5
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+  FROM batch
+  WHERE content_md5 NOT IN (SELECT content_md5 FROM old)
+)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "chunk_documents_overlap": chunk_documents_overlap,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ngram_lm_topk": ngram_lm_topk,
+    "dedup_incremental_batch": dedup_incremental_batch,
+}
+
+ORACLE = {
+    "chunk_documents_overlap": _CHUNK_ORACLE,
+    "tfidf_top_terms": _TFIDF_ORACLE,
+    "ngram_lm_topk": _LM_ORACLE,
+    "dedup_incremental_batch": _INCR_ORACLE,
+}

@@ -42,6 +42,7 @@ _MODULES = [
     # post-window additions (rotate into the window in later rounds)
     "chain_sync_spark.operators.pipeline_extras",
     "chain_sync_spark.operators.tpch",
+    "chain_sync_spark.operators.corpus_ops",
 ]
 
 # Relational queries promoted to the front of the relational block so
