@@ -122,3 +122,22 @@ def test_tpch_completion_plans(spark):
     assert has_pushed_filter(q4, "o_orderdate"), _plan(q4)
     q12 = tpch.tpch_q12_ship_class_priority(spark, sf)
     assert has_pushed_filter(q12, "l_shipdate"), _plan(q12)
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A date-partitioned table read with a partition predicate must
+    prune at planning time: the scan's PartitionFilters carry the
+    predicate and the non-matching partitions' files are never
+    listed into the plan — the layout posts/events map to at 100 TB
+    (partitionBy year/month resp. date)."""
+    ev = spark.range(1000).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 10).cast("int")).alias("d"),
+    )
+    path = str(tmp_path / "ev")
+    ev.write.mode("overwrite").partitionBy("d").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("d") == "2024-01-03")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "2024-01-03" in plan, plan
+    # only the one matching partition's rows are read
+    assert df.count() == 100
