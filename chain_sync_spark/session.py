@@ -36,6 +36,11 @@ def get_spark(app_name: str = "chain-sync-spark", shuffle_partitions: int | None
         # our own sessions (tables.table keeps a runtime fallback
         # because the external driver builds a vanilla session)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are micros with isAdjustedToUTC=false;
+        # read them as TIMESTAMP (LTZ) — with the UTC session timezone
+        # the values are identical to DuckDB's naive timestamps, and
+        # instant functions (unix_micros, window, ...) stay valid
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

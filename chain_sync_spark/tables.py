@@ -39,6 +39,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamp (truncation — matches DuckDB's ns→µs cast).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # testdata timestamp columns are parquet TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false); with NTZ inference on (Spark 4 default)
+    # they'd read as TIMESTAMP_NTZ and instant functions reject them.
+    # Read as TIMESTAMP (LTZ): under the UTC session timezone the
+    # values match DuckDB's naive timestamps bit-for-bit. Runtime
+    # fallback for externally-built vanilla sessions (driver contract);
+    # no-op on our own sessions (session.get_spark sets it at build).
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         # session.get_spark sets this at build time; this runtime
         # fallback exists ONLY for externally-built vanilla sessions
