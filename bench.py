@@ -54,6 +54,7 @@ EXTENDED_SET = [
     "pack_training_sequences",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
+    "dedup_embedding_semantic",
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

@@ -385,6 +385,145 @@ FROM packed
 """
 
 
+# ---------------------------------------------------------------------------
+# 7. Embedding-cosine near-dup dedup (semantic dedup)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_MIN_COS = 0.2  # near-dup threshold on 4-dp-rounded cosine
+
+
+def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP: drop every vector that
+    has a candidate near-duplicate (cosine ≥ {SEMANTIC_MIN_COS}) with
+    a smaller vec_id; survivors are the semantically-deduped corpus.
+    Candidates come from the same deterministic random-hyperplane LSH
+    buckets as embedding_ann_lsh_pairs — no all-pairs product forms.
+
+    Greedy min-id rule (drop b for every near-dup pair a<b) rather
+    than connected-components canonicalization: one pass, no
+    iteration; neardup_clusters covers the transitive variant for
+    text. The threshold compares the 4-dp-rounded cosine so the
+    boundary decision is engine-independent.
+
+    Scale: bucket self-join is O(N·collisions) at 2^{{planes}}
+    buckets; the dropped set is tiny relative to the corpus, so the
+    final anti-join broadcasts its build side under AQE.
+    """
+    from chain_sync_spark.operators.llm_pipeline import HYPERPLANES, LSH_PLANES
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    bucket = F.lit(0)
+    for h in range(LSH_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[h]])
+        bucket = bucket + F.when(
+            sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)
+        ).otherwise(F.lit(0))
+    bucketed = emb.withColumn("bucket", bucket)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(sk.cosine(F.col("a.e"), F.col("b.e")), 4) >= SEMANTIC_MIN_COS
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        bucketed.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "label")
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    from chain_sync_spark.operators.llm_pipeline import HYPERPLANES, LSH_PLANES
+
+    bits = " + ".join(
+        f"CASE WHEN {sk.dot_sql('embedding', f'({HYPERPLANES[h]}::DOUBLE[])')} > 0"
+        f" THEN {1 << h} ELSE 0 END"
+        for h in range(LSH_PLANES)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, {bits} AS bucket FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) >= {SEMANTIC_MIN_COS}
+)
+SELECT e.vec_id, e.label FROM bucketed e
+ANTI JOIN dropped d ON e.vec_id = d.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Quality-aware canonical pick per near-dup cluster
+# ---------------------------------------------------------------------------
+
+def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: for each MinHash near-dup
+    cluster (neardup_clusters), keep the HIGHEST-QUALITY member
+    (text_quality_score composite; doc_id breaks ties) — what a real
+    pipeline ships instead of min-id, which can keep the worst copy.
+
+    Scale: clusters ⋈ quality is a join on doc_id restricted to
+    cluster members (a tiny fraction of the corpus), then a per-cluster
+    top-1 window over cluster-sized groups.
+    """
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators.llm_pipeline import (
+        neardup_clusters,
+        text_quality_score,
+    )
+
+    clusters = neardup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            "cluster_size",
+            F.col("quality_score").alias("best_quality"),
+        )
+    )
+
+
+def _canonical_oracle() -> str:
+    from chain_sync_spark.operators.llm_pipeline import (
+        _clusters_oracle,
+        _QUALITY_ORACLE,
+    )
+
+    return f"""
+WITH clus AS (SELECT * FROM ({_clusters_oracle()}) c),
+qual AS (SELECT * FROM ({_QUALITY_ORACLE}) q0)
+SELECT cluster_id, doc_id AS canonical_doc, cluster_size, quality_score AS best_quality
+FROM (
+  SELECT clus.cluster_id, clus.doc_id, clus.cluster_size, qual.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY clus.cluster_id
+                            ORDER BY qual.quality_score DESC, clus.doc_id) AS rk
+  FROM clus JOIN qual ON clus.doc_id = qual.doc_id
+)
+WHERE rk = 1
+"""
+
+
 QUERIES = {
     "pii_scrub_documents": pii_scrub_documents,
     "url_extract_normalize": url_extract_normalize,
@@ -392,6 +531,8 @@ QUERIES = {
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "domain_mixture_weights": domain_mixture_weights,
     "pack_training_sequences": pack_training_sequences,
+    "dedup_embedding_semantic": dedup_embedding_semantic,
+    "neardup_cluster_canonical": neardup_cluster_canonical,
 }
 
 ORACLE = {
@@ -401,4 +542,6 @@ ORACLE = {
     "contamination_ngram_overlap": _CONTAM_ORACLE,
     "domain_mixture_weights": _MIXTURE_ORACLE,
     "pack_training_sequences": _PACK_ORACLE,
+    "dedup_embedding_semantic": _semantic_dedup_oracle(),
+    "neardup_cluster_canonical": _canonical_oracle(),
 }

@@ -30,6 +30,26 @@ def test_json_roundtrip_preserves_values(spark, tmp_path):
     assert _canon(back) == _canon(res)
 
 
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    res = tpch_q1_pricing_summary(spark, SF_DIR)
+    out = str(tmp_path / "q1_orc")
+    res.write.mode("overwrite").orc(out)
+    back = spark.read.schema(res.schema).orc(out)
+    assert _canon(back) == _canon(res)
+
+
+def test_orc_filter_pushdown_reaches_scan(spark, tmp_path):
+    """ORC scans support predicate pushdown like parquet — the plan
+    must carry the pushed filter, not re-filter the full scan."""
+    out = str(tmp_path / "orders_orc")
+    from chain_sync_spark.tables import table
+
+    table(spark, SF_DIR, "orders").write.mode("overwrite").orc(out)
+    df = spark.read.orc(out).filter(F.col("o_custkey") == 7).select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_custkey" in plan
+
+
 def test_parquet_schema_evolution_merge(spark, tmp_path):
     """Schema evolution: a writer adds a column; mergeSchema reads
     the union schema and back-fills NULL for old files — the

@@ -112,3 +112,45 @@ def test_sequence_packing_invariants(spark):
             assert r.seq_in_shard >= prev_seq
             prev_seq = r.seq_in_shard
             cum += r.n_tok
+
+
+def test_semantic_dedup_drops_near_identical_vector(spark, tmp_path):
+    """Known-answer: a scaled copy of a vector (cosine 1.0) lands in
+    the same LSH bucket and is dropped (greedy min-id); the opposite
+    vector flips every hyperplane sign (different bucket) and an
+    orthogonal vector scores cosine 0 — both survive."""
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    v1 = [0.9] + [0.0] * (dim - 1)           # cos(e1, v1) = 1.0
+    neg = [-1.0] + [0.0] * (dim - 1)         # cos = -1, bucket differs
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)      # cos = 0
+    rows = [(0, e1, 7), (1, v1, 7), (2, neg, 8), (3, e2, 9)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = px.dedup_embedding_semantic(spark, str(tmp_path)).collect()
+    assert {r.vec_id for r in out} == {0, 2, 3}
+    assert {r.vec_id: r.label for r in out} == {0: 7, 2: 8, 3: 9}
+
+
+def test_cluster_canonical_prefers_quality_over_min_id(spark, tmp_path):
+    """Known-answer: a 3-doc near-dup cluster where the LONGEST copy
+    (highest composite quality) has the middle doc_id — the canonical
+    pick must be quality-argmax, not the min-id the cluster label
+    uses."""
+    base = " ".join(f"tok{i:02d}" for i in range(40))
+    rows = [
+        (10, base, "en", "srcA", len(base)),
+        (11, base + " extra01", "en", "srcA", len(base) + 8),  # best quality
+        (12, base, "en", "srcB", len(base)),
+        (99, "completely different words here now", "en", "srcB", 36),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = px.neardup_cluster_canonical(spark, str(tmp_path)).collect()
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    lp.release_caches()
+    by_cluster = {r.cluster_id: r for r in out}
+    assert 10 in by_cluster, f"expected cluster rooted at 10, got {by_cluster}"
+    assert by_cluster[10].canonical_doc == 11
+    assert by_cluster[10].cluster_size == 3
