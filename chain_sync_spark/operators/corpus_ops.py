@@ -294,11 +294,163 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. Incremental NEAR-dup: new batch vs historical corpus (MinHash-LSH)
+# ---------------------------------------------------------------------------
+
+NEARDUP_NEW_MOD = 5   # doc_id % NEARDUP_NEW_MOD == 0 → the "new crawl"
+
+
+def neardup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-duplicate screening — dedup_incremental_batch's
+    fuzzy sibling: flag each new-batch document whose MinHash band
+    signature collides with (and whose exact shingle Jaccard confirms
+    against) either a historical-corpus document or a smaller-id
+    in-batch document. Output per shingle-eligible new doc: is_dup +
+    the smallest matching historical/in-batch id (dup_of, NULL when
+    unique).
+
+    In production the corpus band relation (doc_id, band_idx, bkey)
+    is the STORED index — only the daily batch computes signatures
+    and probes it; here both sides derive from the same table with a
+    deterministic doc_id % {NEARDUP_NEW_MOD} split so the DuckDB
+    oracle reproduces the run exactly.
+
+    Scale: probe join is keyed on uniform (band_idx, band_hash) —
+    O(batch · collisions); the exact-Jaccard verify touches candidate
+    ids only. The historical side never rewrites; appending the new
+    survivors' bands IS the index maintenance.
+    """
+    from chain_sync_spark.operators.llm_pipeline import (
+        CLUSTER_MIN_JACCARD,
+        N_BANDS,
+        N_MINHASH,
+        ROWS_PER_BAND,
+        _docs_shingled,
+        _scoped_persist,
+        release_caches,
+    )
+
+    release_caches()
+    is_new = F.col("doc_id") % NEARDUP_NEW_MOD == 0
+    shingled = _scoped_persist(
+        _docs_shingled(spark, sf_dir).withColumn("is_new", is_new)
+    )
+    sigs = shingled.select(
+        "doc_id", "is_new", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", "is_new", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
+    )
+    probe = bands.filter(F.col("is_new")).alias("b")
+    index = bands.alias("a")
+    cand = (
+        index.join(
+            probe,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (~F.col("a.is_new") | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = shingled.alias("sa"), shingled.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    dups = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter((inter / union) >= CLUSTER_MIN_JACCARD)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("dup_of"))
+    )
+    return (
+        shingled.filter(F.col("is_new"))
+        .select("doc_id")
+        .join(dups, F.col("doc_id") == F.col("doc_b"), "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+def _incr_neardup_oracle() -> str:
+    from chain_sync_spark.operators.llm_pipeline import (
+        _SHINGLE_CTE,
+        CLUSTER_MIN_JACCARD,
+        N_BANDS,
+        N_MINHASH,
+        ROWS_PER_BAND,
+    )
+
+    coeffs = sk.minhash_coeffs(N_MINHASH)
+    sig_exprs = ",\n         ".join(
+        f"{sk.minhash_sig_sql('sh', a, b)} AS sig_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, md5("
+        + " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + ") AS bkey FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLE_CTE.lstrip()},
+sigs AS (
+  SELECT doc_id, sh,
+         {sig_exprs}
+  FROM sh
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+   AND a.doc_id <> b.doc_id
+   AND b.doc_id % {NEARDUP_NEW_MOD} = 0
+   AND (a.doc_id % {NEARDUP_NEW_MOD} <> 0 OR a.doc_id < b.doc_id)
+),
+dups AS (
+  SELECT doc_b, MIN(doc_a) AS dup_of
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        >= {CLUSTER_MIN_JACCARD}
+  GROUP BY doc_b
+)
+SELECT s.doc_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+FROM sh s LEFT JOIN dups d ON s.doc_id = d.doc_b
+WHERE s.doc_id % {NEARDUP_NEW_MOD} = 0
+"""
+
+
 QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "tfidf_top_terms": tfidf_top_terms,
     "ngram_lm_topk": ngram_lm_topk,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "neardup_incremental_minhash": neardup_incremental_minhash,
 }
 
 ORACLE = {
@@ -306,4 +458,5 @@ ORACLE = {
     "tfidf_top_terms": _TFIDF_ORACLE,
     "ngram_lm_topk": _LM_ORACLE,
     "dedup_incremental_batch": _INCR_ORACLE,
+    "neardup_incremental_minhash": _incr_neardup_oracle(),
 }

@@ -94,3 +94,32 @@ def test_incremental_dedup_both_drop_paths(spark, tmp_path):
     assert got == [0, 10]
     md5s = {r.doc_id: r.content_md5 for r in out.collect()}
     assert md5s[0] == hashlib.md5(b"unique text number 0").hexdigest()
+
+
+def test_incremental_neardup_flags_hist_and_inbatch_dups(spark, tmp_path):
+    """Known-answer: a new doc duplicating a HISTORICAL doc is flagged
+    against it; a new doc duplicating a smaller-id IN-BATCH doc is
+    flagged against that; fresh texts pass through unique."""
+    text_a = " ".join(f"alpha{i:02d}" for i in range(40))
+    text_b = " ".join(f"beta{i:02d}" for i in range(40))
+    text_c = " ".join(f"gamma{i:02d}" for i in range(40))
+    rows = [
+        (3, text_a, "en", "s", len(text_a)),    # historical original
+        (5, text_a, "en", "s", len(text_a)),    # new: dup of hist 3
+        (10, text_b, "en", "s", len(text_b)),   # new: first of its text
+        (15, text_b, "en", "s", len(text_b)),   # new: dup of in-batch 10
+        (20, text_c, "en", "s", len(text_c)),   # new: unique
+        (7, "totally unrelated historical words here", "en", "s", 38),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: (r.is_dup, r.dup_of)
+           for r in co.neardup_incremental_minhash(spark, d).collect()}
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    lp.release_caches()
+    assert out == {
+        5: (True, 3),
+        10: (False, None),
+        15: (True, 10),
+        20: (False, None),
+    }
