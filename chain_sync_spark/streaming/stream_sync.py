@@ -141,3 +141,57 @@ def run_stream_sync(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_rollup(
+    stream_df: DataFrame,
+    store_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental materialized-rollup maintenance under Structured
+    Streaming: each micro-batch's PARTIAL aggregate
+    (operators/incremental.rollup_events) merges into the stored
+    per-key totals — O(batch) per trigger, the streaming twin of the
+    batch incremental.merge_rollup round.
+
+    Idempotence: foreachBatch delivers at-least-once, so a batch-id
+    high-water mark is stored beside the table and replayed batch ids
+    are skipped — replay-safe across restarts (same argument as the
+    sync engine's advance-after-commit cursor, listener.js:140-142).
+    The local store swap is staging-dir + atomic rename; at scale the
+    same delta feeds the partition-pruned MERGE path (sync/merge.py)
+    or a transactional MERGE INTO.
+    """
+    import os
+    import shutil
+
+    from chain_sync_spark.operators.incremental import merge_rollup, rollup_events
+
+    marker = store_dir + ".batchid"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return  # replayed batch — already merged
+        spark = batch_df.sparkSession
+        delta = rollup_events(batch_df, keys)
+        if os.path.isdir(store_dir):
+            merged = merge_rollup(spark.read.parquet(store_dir), delta, keys)
+        else:
+            merged = delta
+        staging = store_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(store_dir):
+            shutil.rmtree(store_dir)
+        os.replace(staging, store_dir)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

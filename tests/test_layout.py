@@ -80,3 +80,33 @@ def test_zorder_handles_timestamp_columns(spark, tmp_path):
     ).parquet(out)
     assert spark.read.parquet(out).count() == events.count()
     assert _span_sum(f"{out}/part-*.parquet", "user_id") < 3.0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=16,
+        unique=True,
+    )
+)
+def test_interleave_bits_matches_reference_morton(spark, pairs):
+    """Property: the column expression equals the arithmetic Morton
+    definition for arbitrary in-range inputs (hence injective)."""
+    df = spark.createDataFrame(pairs, "x long, y long").withColumn(
+        "z", interleave_bits([F.col("x"), F.col("y")], bits=8)
+    )
+
+    def morton(x, y):
+        return sum(
+            (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))
+            for b in range(8)
+        )
+
+    for r in df.collect():
+        assert r.z == morton(r.x, r.y)

@@ -284,3 +284,48 @@ def test_windowed_stream_drops_late_rows(spark, tmp_path):
     # the late 12:01 row was dropped, not merged and not re-emitted
     assert got.get(("2024-03-05 12:00:00", "vote")) == 2
     assert ("2024-03-05 12:01:00", "vote") not in got
+
+
+def test_stream_rollup_matches_full_recompute_and_skips_replay(spark, tmp_path):
+    """Incremental rollup maintenance under foreachBatch: merging each
+    micro-batch's partial aggregate reproduces the full-recompute
+    rollup exactly (DECIMAL sums — merge-order independent), and a
+    replay with a fresh checkpoint (batch ids restart at 0) is skipped
+    by the batch-id high-water mark, leaving the store unchanged."""
+    from chain_sync_spark.operators.incremental import finalize_rollup, rollup_events
+    from chain_sync_spark.streaming.stream_sync import run_stream_rollup
+    from chain_sync_spark.tables import table
+
+    keys = ["user_id", "event_type"]
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_type", "value", "ts"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "rollup_store")
+
+    def _stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    q = run_stream_rollup(_stream(), store, keys, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+
+    def _canon(df):
+        return sorted(map(str, df.select(sorted(df.columns)).collect()))
+
+    # parity vs a batch full-recompute over the SAME json files (the
+    # json sink stores millisecond timestamps, so compare post-sink)
+    ev_json = spark.read.schema(ev.schema).json(src)
+    got = finalize_rollup(spark.read.parquet(store))
+    exp = finalize_rollup(rollup_events(ev_json, keys))
+    assert _canon(got) == _canon(exp)
+
+    # fresh checkpoint → source replays from batch 0; the high-water
+    # mark must skip every replayed batch and keep the store intact
+    q2 = run_stream_rollup(_stream(), store, keys, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert _canon(finalize_rollup(spark.read.parquet(store))) == _canon(exp)
