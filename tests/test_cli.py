@@ -27,3 +27,12 @@ def test_cli_unknown_query_errors(spark):
 def test_cli_sql(spark, capsys):
     assert main(["sql", "SELECT count(*) AS n FROM orders", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     assert "n" in capsys.readouterr().out
+
+
+def test_cli_sync_runs_engine_round(spark, tmp_path, capsys):
+    store = str(tmp_path / "store")
+    assert main(["sync", "--store", store, "--blocks", "12", "--batch", "12"]) == 0
+    out = capsys.readouterr().out
+    assert store in out
+    posts = spark.read.parquet(f"{store}/posts")
+    assert posts.count() > 0
