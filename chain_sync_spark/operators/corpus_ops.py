@@ -109,20 +109,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring).  Ranking is unaffected for per-document comparisons
     (log is monotone in the fraction).
 
-    Plan: explode → (doc, term) count [shuffle 1] → term df count
-    [shuffle 2, vocabulary-sized — joined back on term, not
-    broadcast] → corpus-size 1-row aggregate broadcast → per-doc
-    top-K window.  At 100 TB every stage is map-side combinable."""
+    Plan: explode → (doc, term) count [shuffle 1] → df via
+    count-over-term-window [shuffle 2 — replaces the earlier
+    separate df aggregate JOINED back on term, which paid a third
+    shuffle of tf and a second scan] → corpus-size 1-row aggregate
+    broadcast → per-doc top-K window [shuffle 3].  At 100 TB every
+    stage is map-side combinable or windowed on a bounded key."""
     tok = _docs_words(spark, sf_dir).select(
         "doc_id", F.explode("w").alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    wterm = Window.partitionBy("term")
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wterm))
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
