@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,6 +99,12 @@ class SyncEngine:
     # columns override op-derived content for posts it contains. The
     # engine prunes it to the batch's post ids before the join.
     authoritative: DataFrame | None = None
+    # S13 heartbeat (listener.js:44-56): the reference GETs a
+    # monitoring URL with the batch's elapsed ms after every round.
+    # Here: an optional callable invoked with per-round stats
+    # {"cursor", "batch_lo", "batch_hi", "n_ops", "elapsed_s"} after
+    # the cursor commits — wire it to HTTP/StatsD/logging as needed.
+    heartbeat: Callable[[dict], None] | None = None
     _migrated: bool = field(default=False, init=False, repr=False)
 
     @property
@@ -318,6 +326,7 @@ class SyncEngine:
         if stop_block is not None:
             last = min(last, stop_block - 1)
         while cursor <= last:
+            t0 = time.perf_counter()
             hi = min(cursor + batch_size, last + 1)
             batch = source.filter(
                 (F.col("block_num") >= cursor) & (F.col("block_num") < hi)
@@ -340,6 +349,17 @@ class SyncEngine:
                 write_cursor(self.spark, self.cursor_path, cursor, dry_run=self.dry_run)
                 continue
             self.process_batch(batch)
-            cursor = hi
+            lo, cursor = cursor, hi
             write_cursor(self.spark, self.cursor_path, cursor, dry_run=self.dry_run)
+            if self.heartbeat is not None:
+                # after the commit, like the reference (listener.js:145)
+                self.heartbeat(
+                    {
+                        "cursor": cursor,
+                        "batch_lo": lo,
+                        "batch_hi": hi,
+                        "n_ops": int(stats["n"]),
+                        "elapsed_s": round(time.perf_counter() - t0, 3),
+                    }
+                )
         return cursor

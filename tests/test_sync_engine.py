@@ -506,3 +506,20 @@ def test_legacy_store_migration(spark, tmp_path, ops_batch1):
     assert accounts.filter(F.col("name") == "olduser").first()["last_active"] is not None
     # new activity merged alongside the legacy row
     assert accounts.filter(F.col("name") == "alice").count() == 1
+
+
+def test_heartbeat_fires_per_committed_round(spark, tmp_path):
+    """S13 parity (listener.js:44-56,145): the heartbeat hook fires
+    once per non-empty committed round, after the cursor advance, with
+    the round's block span, op count, and elapsed time."""
+    from chain_sync_spark.sources.blocks import synthesize_ops
+    from chain_sync_spark.sync.engine import SyncEngine
+
+    beats = []
+    ops = synthesize_ops(spark, n_blocks=20, ops_per_block=5)
+    engine = SyncEngine(spark, str(tmp_path / "store"), heartbeat=beats.append)
+    final = engine.run(ops, batch_size=10)
+    assert len(beats) == 2
+    assert [b["batch_lo"] for b in beats] == [0, 10]
+    assert beats[-1]["cursor"] == final
+    assert all(b["n_ops"] == 50 and b["elapsed_s"] > 0 for b in beats)
