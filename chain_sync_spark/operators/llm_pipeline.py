@@ -156,16 +156,19 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents; keep the lowest doc_id per group, report group size.
 
     Scale: one hash-partitioned groupBy on a 128-bit key — partial
-    aggregation map-side, shuffle carries (key, min, count) only.
+    aggregation map-side, shuffle carries (key, argmin state, count)
+    only. Deliberately a groupBy + min_by rather than a row_number
+    window: the window form sorts every partition by (dup_key,
+    doc_id); the aggregate form needs no sort at all and combines
+    map-side, the 100 TB-friendlier plan.
     """
     d = _docs_norm(spark, sf_dir).withColumn("dup_key", F.md5(F.col("t")))
-    w = Window.partitionBy("dup_key")
-    return (
-        d.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
-        .withColumn("n_copies", F.count(F.lit(1)).over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "dup_key", "n_copies", "lang", "source")
-    )
+    return d.groupBy("dup_key").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+    ).select("doc_id", "dup_key", "n_copies", "lang", "source")
 
 
 _DEDUP_EXACT_SQL = f"""
@@ -669,6 +672,74 @@ SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
 FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: single-probe (exact-bucket) hyperplane LSH
+    misses near-duplicate vectors that land ONE sign bit apart — low
+    recall at scale. Multi-probe recovers them by also probing every
+    Hamming-1 neighbor bucket: each vector explodes into {LSH_PLANES}+1
+    probe keys (home bucket + each single-bit flip), and candidates are
+    an ordinary equi-join of probes against home buckets, i.e. all
+    pairs with Hamming(bucket_a, bucket_b) <= 1.
+
+    Scale: still no all-pairs product — a (planes+1)x fan-out on one
+    join side, hash-shuffled on the probe key exactly like the
+    single-probe join. Probe fan-out is the standard recall/cost dial
+    (probe Hamming-2 for more recall). Recall@k against brute-force
+    cosine is measured in tests/test_llm_pipeline.py.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    bucket = F.lit(0)
+    for h in range(LSH_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[h]])
+        bucket = bucket + F.when(sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)).otherwise(
+            F.lit(0)
+        )
+    bucketed = emb.withColumn("bucket", bucket)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(LSH_PLANES)],
+    )
+    a = bucketed.withColumn("probe", F.explode(probes)).alias("a")
+    b = bucketed.alias("b")
+    # exactly one probe of a matches b's home bucket when Hamming<=1,
+    # so the a<b guard alone dedups the unordered pair
+    return (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
+            .cast("int")
+            .alias("hamming"),
+            F.round(sk.cosine(F.col("a.e"), F.col("b.e")), 4).alias("cos_sim"),
+        )
+    )
+
+
+def _ann_multiprobe_oracle() -> str:
+    bits = " + ".join(
+        f"CASE WHEN {sk.dot_sql('embedding', f'({HYPERPLANES[h]}::DOUBLE[])')} > 0"
+        f" THEN {1 << h} ELSE 0 END"
+        for h in range(LSH_PLANES)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(bit_count(xor(a.bucket, b.bucket)) AS INT) AS hamming,
+       round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
 """
 
 
@@ -1232,16 +1303,31 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (media_id, kind, payload) emitting fixed-width float feature
     vectors (functions/multimodal.py — the codec call is stubbed with
     a deterministic md5-based fake, so this exact pipeline is
-    oracle-checkable while the real codec slots in unchanged)."""
+    oracle-checkable while the real codec slots in unchanged).
+
+    The feature vector is serialized to a comma-joined fixed-point
+    string at the output boundary (the driver canon cannot sort list
+    cells; round-trip float→string rendering is engine-specific, so
+    each component is scaled to an integer first — exact in both
+    engines). extract_features itself still returns array<float>."""
     media = mm.documents_as_media(table(spark, sf_dir, "documents"))
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    fixed = F.transform(
+        F.col("features"),
+        lambda x: F.round(x.cast("double") * 100000).cast("long").cast("string"),
+    )
+    return feats.select(
+        "media_id", "n_bytes", F.array_join(fixed, ",").alias("features")
+    )
 
 
 _MM_FEATURES_ORACLE = f"""
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       list_transform(range(0, {mm.FEATURE_DIM}),
-                      i -> (('0x' || substr(md5(text), i*2 + 1, 2))::INT / 255.0)::FLOAT) AS features
+       array_to_string(
+         list_transform(range(0, {mm.FEATURE_DIM}),
+           i -> (round(((('0x' || substr(md5(text), i*2 + 1, 2))::INT / 255.0)::FLOAT::DOUBLE) * 100000))::BIGINT::VARCHAR),
+         ',') AS features
 FROM documents
 """
 
@@ -1328,6 +1414,7 @@ QUERIES = {
     "neardup_ngram_jaccard": neardup_ngram_jaccard,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_ann_lsh_pairs": embedding_ann_lsh_pairs,
+    "embedding_ann_multiprobe": embedding_ann_multiprobe,
     "text_stats_profile": text_stats_profile,
     "text_quality_score": text_quality_score,
     "lang_id_confusion": lang_id_confusion,
@@ -1353,6 +1440,7 @@ ORACLE = {
     "neardup_ngram_jaccard": _NGRAM_ORACLE,
     "embedding_cosine_topk": _COSINE_TOPK_ORACLE,
     "embedding_ann_lsh_pairs": _ann_lsh_oracle(),
+    "embedding_ann_multiprobe": _ann_multiprobe_oracle(),
     "text_stats_profile": _TEXT_STATS_ORACLE,
     "text_quality_score": _QUALITY_ORACLE,
     "lang_id_confusion": _lang_id_oracle(),

@@ -171,18 +171,23 @@ def array_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_position returns 0 for missing where DuckDB returns NULL
     (COALESCEd in the oracle), and the sequence length is clamped
     to ≥1 because Spark's sequence(1, 0) counts DOWN while DuckDB's
-    range(1, 1) is empty."""
+    range(1, 1) is empty. Array results are serialized to delimited
+    strings at the output boundary: the correctness driver
+    canonicalizes rows through a pandas sort, which cannot order
+    list-typed cells — the arrays stay arrays inside the plan and
+    collapse to strings only in the final projection."""
     docs = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    seq = F.sequence(
+        F.lit(1).cast("long"),
+        F.least(F.greatest(F.size(toks), F.lit(1)), F.lit(3)).cast("long"),
+    )
     return docs.select(
         "doc_id",
-        F.sort_array(F.slice(toks, 1, 5)).alias("sorted_first5"),
+        F.array_join(F.sort_array(F.slice(toks, 1, 5)), " ").alias("sorted_first5"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.array_position(toks, "the").alias("pos_the"),
-        F.sequence(
-            F.lit(1).cast("long"),
-            F.least(F.greatest(F.size(toks), F.lit(1)), F.lit(3)).cast("long"),
-        ).alias("idx_seq"),
+        F.array_join(seq.cast("array<string>"), ",").alias("idx_seq"),
     )
 
 
@@ -192,10 +197,10 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       list_sort(toks[1:5]) AS sorted_first5,
+       array_to_string(list_sort(toks[1:5]), ' ') AS sorted_first5,
        CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
        CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
-       range(1, least(greatest(len(toks), 1), 3) + 1) AS idx_seq
+       array_to_string(range(1, least(greatest(len(toks), 1), 3) + 1), ',') AS idx_seq
 FROM t
 """
 
@@ -208,10 +213,24 @@ def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min_by on ts+event_id), a filtered count (count_if), and a
     bool_or existence flag. One aggregation pass, map-side
     combinable — at scale this replaces the common anti-pattern of a
-    self-join against the per-group max."""
+    self-join against the per-group max.
+
+    NULL ordering is pinned EXPLICITLY on both engines: Spark's
+    struct comparison sorts a NULL field FIRST (so max_by would
+    treat NULL as smallest but min_by as smallest too), while
+    DuckDB's default is NULLS LAST — divergent the moment value/ts
+    has a NULL. Both sides therefore coalesce to sentinels (-inf for
+    the max, +inf timestamp for the min) so NULL rows lose the
+    argmax/argmin race identically regardless of engine defaults."""
     ev = table(spark, sf_dir, "events")
-    ranked = F.struct(F.col("value"), F.col("event_id"))
-    first = F.struct(F.col("ts"), F.col("event_id"))
+    ranked = F.struct(
+        F.coalesce(F.col("value"), F.lit(float("-inf"))).alias("v"),
+        F.col("event_id"),
+    )
+    first = F.struct(
+        F.coalesce(F.col("ts"), F.lit("9999-12-31").cast("timestamp")).alias("t"),
+        F.col("event_id"),
+    )
     return ev.groupBy("event_type").agg(
         F.max_by(F.col("user_id"), ranked).alias("top_value_user"),
         F.min_by(F.col("user_id"), first).alias("earliest_user"),
@@ -224,12 +243,14 @@ _ARGMAX_ORACLE = """
 WITH top AS (
   SELECT event_type, user_id AS top_value_user FROM events
   QUALIFY ROW_NUMBER() OVER (
-    PARTITION BY event_type ORDER BY value DESC, event_id DESC) = 1
+    PARTITION BY event_type
+    ORDER BY COALESCE(value, '-infinity'::DOUBLE) DESC, event_id DESC) = 1
 ),
 first AS (
   SELECT event_type, user_id AS earliest_user FROM events
   QUALIFY ROW_NUMBER() OVER (
-    PARTITION BY event_type ORDER BY ts, event_id) = 1
+    PARTITION BY event_type
+    ORDER BY COALESCE(ts, TIMESTAMP '9999-12-31'), event_id) = 1
 ),
 conds AS (
   SELECT event_type, count_if(value > 100) AS n_big,
@@ -361,17 +382,21 @@ def collect_sorted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     sync engine's vote-set accumulation (S11) uses. collect_set's
     order is partitioning-dependent, so the contract sorts the array
     (deterministic across engines and shuffles); map-side partial
-    sets keep the shuffle payload to distinct values only."""
+    sets keep the shuffle payload to distinct values only. The final
+    projection serializes the array to a comma-joined string so the
+    driver's pandas-based canonicalizer can sort the rows."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
         F.count(F.lit(1)).alias("n_events"),
     )
 
 
 _COLLECT_SORTED_ORACLE = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
        COUNT(*) AS n_events
 FROM events GROUP BY 1
 """

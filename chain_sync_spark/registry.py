@@ -2,28 +2,37 @@
 
 Ordering contract
 -----------------
-The driver's per-round correctness artifact records the FIRST 50
-registry entries only (CORRECTNESS_r02 demonstrated the cap: it holds
-exactly the first 50 names in iteration order).  Iteration order is
-therefore part of the driver contract: every query family must place
-its representatives inside that 50-entry window.
+The driver's per-round correctness artifact records the FIRST
+``DRIVER_WINDOW`` (= 50, observed r01-r03) registry entries only, in
+iteration order.  Iteration order is therefore part of the driver
+contract, and the explicit ``WINDOW`` list below IS the round's
+certification window: those names are emitted first (in that order),
+then every remaining query in module order.
 
-Window layout (exactly 50):
-  - all LLM-pipeline queries   (22)  — dedup / near-dup / ANN / text /
-                                       multimodal / sampling classes
-  - all temporal queries        (8)  — event-time windows, sessionize,
-                                       date math, funnel, resample
-  - all scalar-surface queries (12)  — explode/map/array/regex/try/...
-  - all sync-engine queries     (5)  — reference-semantics ports
-  - 3 relational representatives     — one per remaining §2 section:
-      join_multiway_revenue          (§2.3 joins: multiway + broadcast)
-      tpch_q1_pricing_summary        (§2.4 aggregations: partial+final)
-      window_topk_orders_per_customer(§2.5 windows/sorts/limits)
+Rotation ledger (round 4)
+-------------------------
+The ledger of record is "every query holds a green row in a recent
+CORRECTNESS_r* artifact".  Round-4 window composition:
 
-The 35 relational variants after the window all hold driver-green rows
-in CORRECTNESS_r02.json (same oracle procedure, same data); rounds
-rotate which tail sits inside the window so every query re-earns a
-recent driver-green row over time.
+  - 30 queries that had never appeared in any driver window
+    (13 tpch.py, 4 relational TPC-H, 8 pipeline_extras, 5 corpus_ops)
+  - 4 round-3 red rows, re-certified after serializing array outputs /
+    pinning NULL ordering (multimodal_media_features,
+    array_funcs_documents, agg_argmax_conditional,
+    collect_sorted_event_types)
+  - 2 whose implementation changed this round and must re-earn green
+    (dedup_exact_documents -> groupBy plan; embedding_ann_multiprobe is
+    new)
+  - 14 refresh slots for r2-only greens, one per §2 family without a
+    round-3 row
+
+Everything outside the window holds a green row in CORRECTNESS_r02 or
+_r03; round 5 should rotate the oldest of those back in (see
+``rotation_debt`` below for the candidates).
+
+Pre-flight: ``tools/oracle_check.py`` now canonicalizes exactly like
+the driver (pandas sort_values — rejects list-typed output columns), so
+run it over the WINDOW before each round submits.
 """
 
 from __future__ import annotations
@@ -39,22 +48,75 @@ _MODULES = [
     "chain_sync_spark.operators.scalars",
     "chain_sync_spark.operators.sync_queries",
     "chain_sync_spark.operators.relational",
-    # post-window additions (rotate into the window in later rounds)
     "chain_sync_spark.operators.pipeline_extras",
     "chain_sync_spark.operators.tpch",
     "chain_sync_spark.operators.corpus_ops",
 ]
 
-# Relational queries promoted to the front of the relational block so
-# they land inside the driver's 50-entry correctness window.
-_PROMOTED_RELATIONAL = [
-    "join_multiway_revenue",
-    "tpch_q1_pricing_summary",
-    "window_topk_orders_per_customer",
-]
-
-# Size of the driver's correctness-artifact window (observed, r01/r02).
+# Size of the driver's correctness-artifact window (observed, r01-r03).
 DRIVER_WINDOW = 50
+
+# Round-4 certification window — exactly DRIVER_WINDOW names, emitted
+# first.  See the rotation ledger in the module docstring.
+WINDOW = [
+    # -- never driver-checked: full TPC-H suite (operators/tpch.py) --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_class_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    # -- never driver-checked: TPC-H shapes in relational.py --
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customers",
+    # -- never driver-checked: pipeline_extras --
+    "pii_scrub_documents",
+    "url_extract_normalize",
+    "quality_repetition_filter",
+    "contamination_ngram_overlap",
+    "domain_mixture_weights",
+    "pack_training_sequences",
+    "dedup_embedding_semantic",
+    "neardup_cluster_canonical",
+    # -- never driver-checked: corpus_ops --
+    "chunk_documents_overlap",
+    "tfidf_top_terms",
+    "ngram_lm_topk",
+    "dedup_incremental_batch",
+    "neardup_incremental_minhash",
+    # -- round-3 reds, re-certified this round --
+    "multimodal_media_features",
+    "array_funcs_documents",
+    "agg_argmax_conditional",
+    "collect_sorted_event_types",
+    # -- implementation changed this round: must re-earn green --
+    "dedup_exact_documents",
+    "embedding_ann_multiprobe",
+    # -- refresh slots: r2-only greens, one per §2 family --
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "filter_project_events",
+    "isin_allowlist_filter",
+    "case_when_sign_branch",
+    "distinct_users_per_type",
+    "grouping_sets_status_priority",
+    "window_rank_variants",
+    "window_lag_event_gap",
+    "window_running_revenue",
+    "sort_limit_top_orders",
+    "set_ops_segments",
+    "surrogate_key_md5",
+    "json_extract_events_props",
+]
 
 
 def _modules():
@@ -62,16 +124,17 @@ def _modules():
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    flat: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():
-        names = list(getattr(mod, "QUERIES", {}))
-        if mod.__name__.endswith(".relational"):
-            promoted = [n for n in _PROMOTED_RELATIONAL if n in names]
-            names = promoted + [n for n in names if n not in promoted]
-        for name in names:
-            if name in out:
+        for name, fn in getattr(mod, "QUERIES", {}).items():
+            if name in flat:
                 raise ValueError(f"duplicate query name: {name}")
-            out[name] = mod.QUERIES[name]
+            flat[name] = fn
+    missing = [n for n in WINDOW if n not in flat]
+    if missing:
+        raise ValueError(f"WINDOW names not in any module: {missing}")
+    out = {n: flat[n] for n in WINDOW}
+    out.update((n, f) for n, f in flat.items() if n not in out)
     return out
 
 
@@ -80,3 +143,33 @@ def all_oracles() -> dict[str, str]:
     for mod in _modules():
         out.update(getattr(mod, "ORACLE", {}))
     return out
+
+
+def rotation_debt() -> list[str]:
+    """Names whose most recent driver-green row is oldest — the round-5
+    rotation candidates (everything not in this round's WINDOW whose
+    last green was r2)."""
+    r2_only = {
+        "flagship_sync_digest",
+        "rollup_nation_segment",
+        "cube_status_priority",
+        "join_broadcast_dims",
+        "join_range_value_bands",
+        "join_asof_purchase_prior_view",
+        "join_null_safe_segments",
+        "window_trailing_7d_revenue",
+        "set_ops_all_multiset",
+        "scalar_subquery_above_avg",
+        "tpch_q3_shipping_priority",
+        "pivot_events_by_type",
+        "unpivot_customer_metrics",
+        "join_salted_status_dim",
+        "date_partition_buckets",
+        "string_funcs_projection",
+        "higher_order_token_filter",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q13_order_distribution",
+        "tpch_q14_promo_revenue",
+        "stats_corr_lineitem",
+    }
+    return sorted(r2_only - set(WINDOW))

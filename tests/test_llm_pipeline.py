@@ -116,14 +116,32 @@ def test_cosine_topk_ranks_self_neighbors(spark, tmp_path):
 
 
 def test_multimodal_features_deterministic_and_shaped(spark, doc_dir):
-    from chain_sync_spark.operators.llm_pipeline import multimodal_media_features
-    a = multimodal_media_features(spark, doc_dir).collect()
-    b = multimodal_media_features(spark, doc_dir).collect()
+    docs = spark.read.parquet(f"{doc_dir}/documents.parquet")
+    feats = mm.extract_features(mm.documents_as_media(docs))
+    a = feats.collect()
+    b = feats.collect()
     assert sorted(map(str, a)) == sorted(map(str, b))  # deterministic
     for r in a:
         assert len(r["features"]) == mm.FEATURE_DIM
         assert all(0.0 <= f <= 1.0 for f in r["features"])
         assert r["n_bytes"] > 0
+
+
+def test_multimodal_features_query_serializes_vector(spark, doc_dir):
+    """The registry query serializes the feature vector to a scaled
+    comma-joined string (the driver canon cannot sort list cells);
+    components must round-trip to the raw extract_features floats."""
+    from chain_sync_spark.operators.llm_pipeline import multimodal_media_features
+    out = {r["media_id"]: r for r in multimodal_media_features(spark, doc_dir).collect()}
+    docs = spark.read.parquet(f"{doc_dir}/documents.parquet")
+    raw = {r["media_id"]: r["features"]
+           for r in mm.extract_features(mm.documents_as_media(docs)).collect()}
+    for mid, r in out.items():
+        assert isinstance(r["features"], str)
+        parts = [int(p) for p in r["features"].split(",")]
+        assert len(parts) == mm.FEATURE_DIM
+        for got, want in zip(parts, raw[mid]):
+            assert got == round(float(want) * 100000)
 
 
 def test_multimodal_frame_sampling_fanout(spark, doc_dir):
@@ -137,6 +155,50 @@ def test_multimodal_frame_sampling_fanout(spark, doc_dir):
     sizes = {r["media_id"]: len(r["payload"]) for r in media.collect()}
     for mid, offs in by_media.items():
         assert offs == list(range(0, sizes[mid], 16))
+
+
+def test_ann_multiprobe_recall_beats_single_probe(spark, tmp_path):
+    """The recall/cost tradeoff the multi-probe variant exists for,
+    measured: 40 clusters of 2 perturbed copies of a base vector
+    (cosine ≈ 0.97 within a pair). Single-probe LSH loses every pair
+    whose sign bits differ by exactly one plane; Hamming-1 probing
+    recovers them. Deterministic — seeded fixture + literal
+    hyperplanes — so the recall figures are stable."""
+    import numpy as np
+    from chain_sync_spark.operators.llm_pipeline import (
+        EMB_DIM,
+        embedding_ann_lsh_pairs,
+        embedding_ann_multiprobe,
+    )
+    rng = np.random.default_rng(7)
+    rows, truth, vid = [], set(), 0
+    for base in range(40):
+        b = rng.normal(size=EMB_DIM)
+        b /= np.linalg.norm(b)
+        ids = []
+        for _ in range(2):
+            v = b + rng.normal(scale=0.03, size=EMB_DIM)
+            rows.append((vid, [float(x) for x in v], base))
+            ids.append(vid)
+            vid += 1
+        truth.add((min(ids), max(ids)))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    single = {(r["vec_a"], r["vec_b"])
+              for r in embedding_ann_lsh_pairs(spark, str(tmp_path)).collect()}
+    multi_rows = embedding_ann_multiprobe(spark, str(tmp_path)).collect()
+    multi = {(r["vec_a"], r["vec_b"]) for r in multi_rows}
+
+    recall_single = len(truth & single) / len(truth)
+    recall_multi = len(truth & multi) / len(truth)
+    assert single <= multi            # strictly a superset of candidates
+    assert recall_multi >= 0.6        # measured 0.80 with this seed
+    assert recall_multi >= recall_single + 0.2
+    # probing stays bounded: every candidate is Hamming<=1, no all-pairs
+    assert all(r["hamming"] <= 1 for r in multi_rows)
+    assert len(multi) < vid * (vid - 1) / 2
 
 
 def test_decode_media_stub_contract():

@@ -1,48 +1,33 @@
 """Registry ordering contract: the driver's correctness artifact only
-records the first ``DRIVER_WINDOW`` entries, so iteration order must
-place every query family inside that window (see registry.py docstring).
+records the first ``DRIVER_WINDOW`` entries, so the explicit ``WINDOW``
+list IS the round's certification window (see registry.py docstring).
 """
 
-from importlib import import_module
+import json
+from pathlib import Path
 
 from chain_sync_spark.registry import (
     DRIVER_WINDOW,
-    _MODULES,
-    _PROMOTED_RELATIONAL,
+    WINDOW,
     all_oracles,
     all_queries,
+    rotation_debt,
 )
 
-
-def _module_names(suffix: str) -> set[str]:
-    mod = next(m for m in _MODULES if m.endswith(suffix))
-    return set(import_module(mod).QUERIES)
+_ROOT = Path(__file__).resolve().parent.parent
 
 
-def test_every_family_inside_driver_window():
-    window = list(all_queries())[:DRIVER_WINDOW]
-    window_set = set(window)
-    for family in ("llm_pipeline", "temporal", "scalars", "sync_queries"):
-        names = _module_names(family)
-        missing = names - window_set
-        assert not missing, f"{family} queries outside driver window: {missing}"
-    for name in _PROMOTED_RELATIONAL:
-        assert name in window_set, f"promoted relational rep {name} fell out of window"
-
-
-def test_window_is_exactly_full():
+def test_window_is_exactly_full_and_unique():
     # A short window wastes driver-green capacity; an overflow silently
-    # drops the tail of a family. Keep it exactly full.
+    # drops the tail. Keep it exactly one driver window, no dup names.
+    assert len(WINDOW) == DRIVER_WINDOW
+    assert len(set(WINDOW)) == len(WINDOW)
+
+
+def test_window_names_resolve_and_lead_iteration():
     names = list(all_queries())
+    assert names[:DRIVER_WINDOW] == WINDOW
     assert len(names) >= DRIVER_WINDOW
-    non_relational = sum(
-        len(_module_names(f))
-        for f in ("llm_pipeline", "temporal", "scalars", "sync_queries")
-    )
-    assert non_relational + len(_PROMOTED_RELATIONAL) == DRIVER_WINDOW, (
-        "window layout drifted: adjust _PROMOTED_RELATIONAL so the first "
-        f"{DRIVER_WINDOW} entries stay exactly one window"
-    )
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():
@@ -51,3 +36,23 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
     assert rows_only == {"sync_markdown_parse"}, (
         f"unexpected rows-only queries: {rows_only}"
     )
+
+
+def test_rotation_ledger_complete_after_r4():
+    """Every registry query must hold a driver row in r2∪r3∪r4-window:
+    names in neither past artifact must sit inside THIS round's window
+    (that is the whole point of the rotation)."""
+    seen = set(WINDOW)
+    for artifact in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        p = _ROOT / artifact
+        if p.exists():
+            seen |= set(json.load(p.open()))
+    missing = [n for n in all_queries() if n not in seen]
+    assert not missing, f"queries with no driver row even after r4: {missing}"
+
+
+def test_rotation_debt_names_resolve():
+    q = all_queries()
+    for name in rotation_debt():
+        assert name in q
+        assert name not in WINDOW
