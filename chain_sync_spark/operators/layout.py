@@ -32,6 +32,12 @@ def interleave_bits(cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     integer column (col i contributes bit position b*n+i for its bit
     b). Pure built-in arithmetic — whole-stage codegen, no UDF."""
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"interleave_bits: {n} columns x {bits} bits = {bits * n} key bits "
+            "exceeds the 63 usable bits of a signed long (the sign bit would "
+            f"flip and corrupt the Morton ordering); use bits <= {63 // n}"
+        )
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -56,7 +62,15 @@ def zorder_layout(
 
     Numeric and timestamp columns are supported; timestamps scale via
     their microsecond instant.
+
+    `bits` is auto-reduced to 63 // len(cols) when the requested
+    interleave would spill into the long's sign bit (e.g. the default
+    16 bits with 4+ columns): a wrapped-negative Morton key would
+    silently corrupt the range ordering, and extra precision beyond
+    the balanced budget adds nothing to pruning.
     """
+    if bits * len(cols) > 63:
+        bits = 63 // len(cols)
     stats_aggs = []
     for c in cols:
         stats_aggs.append(F.min(_as_long(df, c)).alias(f"__mn_{c}"))

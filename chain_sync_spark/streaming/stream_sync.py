@@ -143,6 +143,76 @@ def run_stream_sync(
     return writer.start()
 
 
+# --- rollup store commit protocol -----------------------------------------
+#
+# The stored rollup and its replay marker must commit ATOMICALLY, and a
+# crash at any point must be recoverable:
+#   staging = store.staging   (new merged table, written first)
+#   old     = store.old       (previous table, renamed aside — never rmtree'd
+#                              before the new table is in place)
+# Commit order: write staging (incl. _rollup_commit.json inside it, so
+# marker and data land in the same rename) → rename store → store.old →
+# rename staging → store → remove store.old.  _recover_store() repairs
+# every crash window: leftover staging is discarded (batch replays),
+# a missing store with store.old present is restored, a surviving
+# store.old next to a committed store is cleared.
+#
+# The marker is keyed on (checkpoint identity, batch_id): batch ids
+# restart at 0 under a fresh checkpoint, so a bare high-water mark would
+# silently skip genuinely NEW data.  Contract: the store belongs to its
+# checkpoint — reset them TOGETHER.  Re-pointing an existing store at a
+# new checkpoint over an already-ingested source re-merges (double
+# counts) by design; that is the caller asserting the source only holds
+# new data.
+
+_COMMIT_META = "_rollup_commit.json"
+
+
+def _recover_store(store_dir: str) -> None:
+    """Repair any crash window of the rollup-store swap (idempotent)."""
+    import os
+    import shutil
+
+    staging, old = store_dir + ".staging", store_dir + ".old"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # incomplete write — the batch will replay
+    if os.path.isdir(old):
+        if os.path.isdir(store_dir):
+            shutil.rmtree(old)  # crash after commit, before cleanup
+        else:
+            os.replace(old, store_dir)  # crash mid-swap — restore previous
+
+
+def _read_commit_meta(store_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(store_dir, _COMMIT_META)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _commit_store(merged: DataFrame, store_dir: str, meta: dict) -> None:
+    """Write merged+marker to staging, then swap in recoverably."""
+    import json
+    import os
+    import shutil
+
+    staging, old = store_dir + ".staging", store_dir + ".old"
+    merged.write.mode("overwrite").parquet(staging)
+    # marker inside the staged dir: data and replay mark commit in ONE
+    # rename (underscore prefix → invisible to parquet readers)
+    with open(os.path.join(staging, _COMMIT_META), "w") as fh:
+        json.dump(meta, fh)
+    if os.path.isdir(store_dir):
+        os.replace(store_dir, old)
+    os.replace(staging, store_dir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
 def run_stream_rollup(
     stream_df: DataFrame,
     store_dir: str,
@@ -155,39 +225,34 @@ def run_stream_rollup(
     per-key totals — O(batch) per trigger, the streaming twin of the
     batch incremental.merge_rollup round.
 
-    Idempotence: foreachBatch delivers at-least-once, so a batch-id
-    high-water mark is stored beside the table and replayed batch ids
-    are skipped — replay-safe across restarts (same argument as the
-    sync engine's advance-after-commit cursor, listener.js:140-142).
-    The local store swap is staging-dir + atomic rename; at scale the
-    same delta feeds the partition-pruned MERGE path (sync/merge.py)
-    or a transactional MERGE INTO.
+    Idempotence: foreachBatch delivers at-least-once; a (checkpoint
+    identity, batch-id) high-water mark committed atomically WITH the
+    table (see the commit-protocol note above) skips replayed batches
+    — replay-safe across restarts and crash-recoverable at every step
+    (same advance-after-commit argument as the sync engine's cursor,
+    listener.js:140-142). The store is bound to its checkpoint: reset
+    the two together. The local store swap is staging-dir + recoverable
+    double rename; at scale the same delta feeds the partition-pruned
+    MERGE path (sync/merge.py) or a transactional MERGE INTO.
     """
     import os
-    import shutil
 
     from chain_sync_spark.operators.incremental import merge_rollup, rollup_events
 
-    marker = store_dir + ".batchid"
+    ckpt_id = os.path.realpath(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if int(fh.read().strip() or -1) >= batch_id:
-                    return  # replayed batch — already merged
+        _recover_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return  # replayed batch under the same checkpoint — already merged
         spark = batch_df.sparkSession
         delta = rollup_events(batch_df, keys)
         if os.path.isdir(store_dir):
             merged = merge_rollup(spark.read.parquet(store_dir), delta, keys)
         else:
             merged = delta
-        staging = store_dir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(store_dir):
-            shutil.rmtree(store_dir)
-        os.replace(staging, store_dir)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
+        _commit_store(merged, store_dir, {"checkpoint": ckpt_id, "batch_id": batch_id})
 
     return (
         stream_df.writeStream.foreachBatch(_process)

@@ -344,9 +344,22 @@ class SyncEngine:
                     f"failed batch [{cursor}, {hi}): {stats['bad']} malformed ops"
                 )
             if stats["n"] == 0:
-                # P3: empty batch — advance the cursor, skip all work
-                cursor = hi
+                # P3: empty batch — advance the cursor, skip all work,
+                # but still beat: the reference pings its monitor after
+                # EVERY round (listener.js:145), so a liveness monitor
+                # must not see silence across long empty block spans
+                lo, cursor = cursor, hi
                 write_cursor(self.spark, self.cursor_path, cursor, dry_run=self.dry_run)
+                if self.heartbeat is not None:
+                    self.heartbeat(
+                        {
+                            "cursor": cursor,
+                            "batch_lo": lo,
+                            "batch_hi": hi,
+                            "n_ops": 0,
+                            "elapsed_s": round(time.perf_counter() - t0, 3),
+                        }
+                    )
                 continue
             self.process_batch(batch)
             lo, cursor = cursor, hi

@@ -5,6 +5,7 @@ parquet readers turn into file/row-group skipping at scale."""
 import glob
 
 import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
 from chain_sync_spark.operators.layout import interleave_bits, zorder_layout
@@ -110,3 +111,29 @@ def test_interleave_bits_matches_reference_morton(spark, pairs):
 
     for r in df.collect():
         assert r.z == morton(r.x, r.y)
+
+
+def test_interleave_bits_guards_sign_bit(spark):
+    # 4 cols x 16 bits = 64 key bits would flip the long's sign and
+    # wrap Morton keys negative — must refuse loudly
+    cols = [F.col(c) for c in "abcd"]
+    with pytest.raises(ValueError, match="sign bit"):
+        interleave_bits(cols, bits=16)
+    # 4 x 15 = 60 bits is fine
+    interleave_bits(cols, bits=15)
+
+
+def test_zorder_auto_reduces_bits_for_wide_column_sets(spark, tmp_path):
+    # default bits=16 with 4 columns must not raise (auto-reduced to
+    # 15) and must produce non-negative keys end to end
+    df = spark.createDataFrame(
+        [(i, i * 3 % 17, i * 7 % 13, i * 11 % 19) for i in range(200)],
+        "a long, b long, c long, d long",
+    )
+    out = zorder_layout(df, ["a", "b", "c", "d"], num_files=4)
+    assert out.count() == 200
+    key = out.withColumn(
+        "z",
+        interleave_bits([F.col(c) for c in ["a", "b", "c", "d"]], bits=15),
+    )
+    assert key.filter(F.col("z") < 0).count() == 0

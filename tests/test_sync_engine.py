@@ -510,8 +510,10 @@ def test_legacy_store_migration(spark, tmp_path, ops_batch1):
 
 def test_heartbeat_fires_per_committed_round(spark, tmp_path):
     """S13 parity (listener.js:44-56,145): the heartbeat hook fires
-    once per non-empty committed round, after the cursor advance, with
-    the round's block span, op count, and elapsed time."""
+    once per committed round — EMPTY rounds included (the reference
+    pings its monitor after every round; silence across empty block
+    spans would trip a liveness monitor) — after the cursor advance,
+    with the round's block span, op count, and elapsed time."""
     from chain_sync_spark.sources.blocks import synthesize_ops
     from chain_sync_spark.sync.engine import SyncEngine
 
@@ -523,3 +525,11 @@ def test_heartbeat_fires_per_committed_round(spark, tmp_path):
     assert [b["batch_lo"] for b in beats] == [0, 10]
     assert beats[-1]["cursor"] == final
     assert all(b["n_ops"] == 50 and b["elapsed_s"] > 0 for b in beats)
+
+    # empty rounds still beat: drop blocks 0-9 → round one has no ops
+    beats2 = []
+    sparse = ops.filter(F.col("block_num") >= 10)
+    engine2 = SyncEngine(spark, str(tmp_path / "store2"), heartbeat=beats2.append)
+    engine2.run(sparse, batch_size=10)
+    assert [b["n_ops"] for b in beats2] == [0, 50]
+    assert [b["batch_lo"] for b in beats2] == [0, 10]
