@@ -48,6 +48,7 @@ EXTENDED_SET = [
     "neardup_minhash_bands",
     "embedding_cosine_topk",
     "embedding_ann_lsh_pairs",
+    "embedding_ann_multiprobe",
     "embedding_ivf_topk",
     "training_prep_pipeline",
     "quality_repetition_filter",

@@ -156,11 +156,14 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents; keep the lowest doc_id per group, report group size.
 
     Scale: one hash-partitioned groupBy on a 128-bit key — partial
-    aggregation map-side, shuffle carries (key, argmin state, count)
-    only. Deliberately a groupBy + min_by rather than a row_number
-    window: the window form sorts every partition by (dup_key,
-    doc_id); the aggregate form needs no sort at all and combines
-    map-side, the 100 TB-friendlier plan.
+    aggregation map-side, so the shuffle carries ONE row per distinct
+    key (the window form it replaced shuffled every input row and
+    sorted whole partitions by (dup_key, doc_id)). The string-typed
+    min_by buffers make Spark pick SortAggregate over HashAggregate,
+    so a local map-side sort on dup_key remains — but it runs before
+    the shuffle and the reduce side only sorts the collapsed
+    one-row-per-key stream. The shuffle-volume win is what matters at
+    100 TB.
     """
     d = _docs_norm(spark, sf_dir).withColumn("dup_key", F.md5(F.col("t")))
     return d.groupBy("dup_key").agg(

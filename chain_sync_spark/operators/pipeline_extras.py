@@ -396,8 +396,11 @@ def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate DEDUP: drop every vector that
     has a candidate near-duplicate (cosine ≥ {SEMANTIC_MIN_COS}) with
     a smaller vec_id; survivors are the semantically-deduped corpus.
-    Candidates come from the same deterministic random-hyperplane LSH
-    buckets as embedding_ann_lsh_pairs — no all-pairs product forms.
+    Candidates come from MULTI-PROBE random-hyperplane LSH — the same
+    Hamming-1 probe fan-out as embedding_ann_multiprobe (each vector
+    probes its home bucket plus every single-bit-flip neighbor), so a
+    near-dup pair landing one sign bit apart is still caught; no
+    all-pairs product forms.
 
     Greedy min-id rule (drop b for every near-dup pair a<b) rather
     than connected-components canonicalization: one pass, no
@@ -405,9 +408,10 @@ def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     text. The threshold compares the 4-dp-rounded cosine so the
     boundary decision is engine-independent.
 
-    Scale: bucket self-join is O(N·collisions) at 2^{{planes}}
-    buckets; the dropped set is tiny relative to the corpus, so the
-    final anti-join broadcasts its build side under AQE.
+    Scale: the probe join is a (planes+1)x fan-out equi-join on
+    uniform hash keys — O(N·collisions), probe depth is the
+    recall/cost dial; the dropped set is tiny relative to the corpus,
+    so the final anti-join broadcasts its build side under AQE.
     """
     from chain_sync_spark.operators.llm_pipeline import HYPERPLANES, LSH_PLANES
 
@@ -421,11 +425,16 @@ def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)
         ).otherwise(F.lit(0))
     bucketed = emb.withColumn("bucket", bucket)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(LSH_PLANES)],
+    )
+    a = bucketed.withColumn("probe", F.explode(probes)).alias("a")
+    b = bucketed.alias("b")
     dropped = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.probe") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(
@@ -455,7 +464,7 @@ WITH bucketed AS (
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM bucketed a JOIN bucketed b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
   WHERE round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) >= {SEMANTIC_MIN_COS}
 )
 SELECT e.vec_id, e.label FROM bucketed e

@@ -4,10 +4,12 @@ The reference builds one JSON-RPC batch of `condenser_api.
 get_ops_in_block` calls per fetch round, POSTs it to a random node,
 drops failing nodes from the pool, and hard-exits when the pool is
 empty. Network IO stays OUTSIDE the Spark job (a fetch step writes
-rows; Spark reads rows) — so everything here is pure: request
-building, response parsing, and the failover pool take an injected
-transport, and the output is exactly the op-stream rows
-(`OP_STREAM_SCHEMA`) the sync engine consumes.
+rows; Spark reads rows) — request building, response parsing, and the
+failover pool take an injected transport, and the output is exactly
+the op-stream rows (`OP_STREAM_SCHEMA`) the sync engine consumes.
+`http_transport` is the real wire implementation (stdlib urllib,
+JSON-RPC-over-HTTP POST — tested against a live local HTTP server in
+tests/test_sources.py); everything else stays pure.
 
 Scale note: on a real deployment this stage runs as a thin feeder
 (or a Structured Streaming custom source) whose only job is to land
@@ -87,6 +89,54 @@ def _parse_ts(ts):
     if ts is None or not isinstance(ts, str):
         return ts
     return datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(tzinfo=None)
+
+
+def http_transport(timeout: float = 10.0) -> Callable[[str, list[dict]], list[dict]]:
+    """A REAL JSON-RPC-over-HTTP transport (the network half of S1,
+    listener.js:63-76): POST the batch to the node URL, return the
+    parsed JSON list. stdlib urllib only — plug it into
+    ``NodePool.fetch`` as ``do_request``. Any HTTP error, timeout, or
+    malformed body raises, which is exactly the signal NodePool's
+    failover consumes (S2).
+
+    Deployment note (module docstring): this runs in the thin feeder
+    process that lands rows in object storage — never inside Spark
+    executors."""
+    from urllib.request import Request, urlopen
+
+    def do_request(node: str, payload: list[dict]) -> list[dict]:
+        req = Request(
+            node,
+            data=json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        with urlopen(req, timeout=timeout) as resp:
+            if resp.status != 200:
+                raise RuntimeError(f"HTTP {resp.status} from {node}")
+            body = json.loads(resp.read().decode("utf-8"))
+        if not isinstance(body, list):
+            raise ValueError(f"expected JSON-RPC batch list from {node}")
+        return body
+
+    return do_request
+
+
+def json_rpc_call(
+    node: str,
+    method: str,
+    params: Sequence,
+    *,
+    transport: Callable[[str, list[dict]], list[dict]] | None = None,
+) -> Any:
+    """One non-batched JSON-RPC call (the shape the paginated roles
+    source S8 uses per page, handle_mutings.js:8-14). Returns the
+    `result`; raises on an error response."""
+    transport = transport or http_transport()
+    payload = [{"jsonrpc": "2.0", "method": method, "params": list(params), "id": 0}]
+    (resp,) = transport(node, payload)
+    if "result" not in resp or resp["result"] is None:
+        raise ValueError(f"rpc error from {node}: {resp.get('error')}")
+    return resp["result"]
 
 
 class NodePool:

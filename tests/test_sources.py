@@ -99,3 +99,123 @@ def test_paginated_drain_and_snapshot(spark):
 def test_paginated_never_drains_guard():
     with pytest.raises(RuntimeError, match="did not drain"):
         fetch_all_pages(lambda c: [("same", "x")], max_pages=5)
+
+
+# ---------------------------------------------------------------------------
+# Live-socket transport: S1/S2/S8 over a real local HTTP server
+# ---------------------------------------------------------------------------
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from chain_sync_spark.sources.blocks import OP_STREAM_SCHEMA
+from chain_sync_spark.sources.rpc import http_transport, json_rpc_call
+
+
+class _RpcHandler(BaseHTTPRequestHandler):
+    """Answers JSON-RPC batches the way a block-ops node does: one
+    op per requested block; the roles method pages 2 rows at a time."""
+
+    fail = False
+    roles = [(f"acct{i:02d}", "muted" if i % 3 == 0 else "member") for i in range(5)]
+
+    def do_POST(self):
+        if self.fail:
+            self.send_response(500)
+            self.end_headers()
+            return
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        out = []
+        for req in body:
+            if req["method"] == "condenser_api.get_ops_in_block":
+                block = req["params"][0]
+                out.append({
+                    "id": req["id"],
+                    "result": [{
+                        "timestamp": "2024-03-05T12:00:00",
+                        "op": ["vote", {"voter": f"u{block}", "author": "a",
+                                        "permlink": f"p{block}", "weight": 100}],
+                    }],
+                })
+            elif req["method"] == "bridge.list_community_roles":
+                last = req["params"][1]
+                names = [r[0] for r in self.roles]
+                start = names.index(last) + 1 if last else 0
+                out.append({"id": req["id"],
+                            "result": self.roles[start:start + 2]})
+            else:
+                out.append({"id": req["id"], "error": "unknown method"})
+        payload = json.dumps(out).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *args):  # keep pytest output clean
+        pass
+
+
+class _FailHandler(_RpcHandler):
+    fail = True
+
+
+@pytest.fixture()
+def rpc_servers():
+    """One healthy and one always-500 local node."""
+    servers = []
+    urls = []
+    for handler in (_FailHandler, _RpcHandler):
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+        urls.append(f"http://127.0.0.1:{srv.server_address[1]}/")
+    yield urls  # [bad, good]
+    for srv in servers:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_transport_end_to_end_with_failover(spark, rpc_servers):
+    """S1+S2 over real sockets: the pool tries the 500-node, drops it,
+    and the healthy node's batch response flows through parse →
+    DataFrame with the exact op-stream schema."""
+    bad, good = rpc_servers
+    pool = NodePool([bad, good])
+    payload = build_block_requests(start_block=7, n_blocks=3)
+    responses = pool.fetch(http_transport(timeout=5.0), payload)
+    assert pool.nodes == [good]  # failing node dropped over the wire
+    df = ops_from_rpc(spark, 7, responses)
+    rows = {r["block_num"]: r for r in df.collect()}
+    assert sorted(rows) == [7, 8, 9]
+    assert json.loads(rows[8]["op"])["voter"] == "u8"
+    assert df.schema.simpleString() == spark.createDataFrame(
+        [], OP_STREAM_SCHEMA
+    ).schema.simpleString()
+
+
+def test_http_transport_exhausted_pool_raises(rpc_servers):
+    bad, _ = rpc_servers
+    pool = NodePool([bad])
+    with pytest.raises(RuntimeError, match="no RPC nodes left"):
+        pool.fetch(http_transport(timeout=5.0), build_block_requests(0, 1))
+
+
+def test_paginated_roles_over_http(spark, rpc_servers):
+    """S8 over real sockets: cursor pagination via repeated
+    bridge.list_community_roles calls, 2 rows per page, drained into
+    the roles snapshot."""
+    _, good = rpc_servers
+
+    def fetch_page(cursor):
+        return [
+            tuple(r)
+            for r in json_rpc_call(
+                good, "bridge.list_community_roles", ["comm", cursor, 2]
+            )
+        ]
+
+    snap = roles_snapshot(spark, fetch_page)
+    got = {r["account"]: r["role"] for r in snap.collect()}
+    assert len(got) == 5
+    assert got["acct00"] == "muted" and got["acct01"] == "member"
