@@ -213,6 +213,194 @@ def _commit_store(merged: DataFrame, store_dir: str, meta: dict) -> None:
         shutil.rmtree(old)
 
 
+def _commit_store_tables(
+    tables: dict[str, DataFrame], store_dir: str, meta: dict
+) -> None:
+    """Multi-table variant of _commit_store: each table lands in a
+    subdirectory of ONE staged parent, the marker at the staging root,
+    and the whole parent swaps in with the same recoverable double
+    rename — several relations + the replay mark commit atomically."""
+    import json
+    import os
+    import shutil
+
+    staging, old = store_dir + ".staging", store_dir + ".old"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(staging, name))
+    with open(os.path.join(staging, _COMMIT_META), "w") as fh:
+        json.dump(meta, fh)
+    if os.path.isdir(store_dir):
+        os.replace(store_dir, old)
+    os.replace(staging, store_dir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) for any documents-shaped frame — the streaming
+    sibling of llm_pipeline._docs_shingled (same normalize → words →
+    word-trigram pipeline, ≥3-word eligibility on the cheap word
+    count)."""
+    from chain_sync_spark.functions import sketches as sk
+
+    d = docs.withColumn("t", sk.normalize_text(F.col("text"))).withColumn(
+        "w", sk.words(F.col("t"))
+    )
+    return d.filter(F.size("w") >= 3).select(
+        "doc_id", sk.word_shingles(F.col("w"), 3).alias("sh")
+    )
+
+
+def _band_relation(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, bkey) MinHash-LSH band keys of a (doc_id,
+    sh) relation — identical signature/band constants to the batch
+    operators, so the stored index is interchangeable."""
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.operators.llm_pipeline import (
+        N_BANDS,
+        N_MINHASH,
+        ROWS_PER_BAND,
+    )
+
+    sigs = sh_df.select(
+        "doc_id", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
+    )
+
+
+def run_stream_neardup_index(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    min_jaccard: float | None = None,
+) -> StreamingQuery:
+    """Continuously-maintained near-duplicate index — the streaming
+    twin of operators/corpus_ops.neardup_incremental_minhash: each
+    micro-batch of documents (doc_id, text) probes the STORED MinHash
+    band index for collisions (band match → exact shingle-Jaccard
+    verify against historical + smaller-id in-batch docs), appends the
+    surviving (non-duplicate) docs' bands/shingles to the index, and
+    records one decision row per eligible doc.
+
+    Store layout (one atomic parent swap per batch, crash-recoverable
+    via the same protocol as run_stream_rollup):
+      store_dir/bands      (doc_id, band_idx, bkey)   — the LSH index
+      store_dir/shingles   (doc_id, sh)               — verify side
+      store_dir/decisions  (doc_id, is_dup, dup_of, batch_id)
+      store_dir/_rollup_commit.json                   — replay mark
+
+    Scale: per batch the probe join is O(batch · collisions) on
+    uniform band keys, the verify touches candidate ids only, and
+    index maintenance is an append (expressed locally as union +
+    rewrite; on a lakehouse table it is a plain APPEND + an
+    append-only decisions table). Docs with <3 words are ineligible
+    and get no decision row, mirroring the batch operator."""
+    import os
+
+    from chain_sync_spark.operators.llm_pipeline import CLUSTER_MIN_JACCARD
+
+    threshold = CLUSTER_MIN_JACCARD if min_jaccard is None else min_jaccard
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return
+        spark = batch_df.sparkSession
+        sh_b = _doc_shingles(batch_df.select("doc_id", "text")).persist()
+        bands_b = _band_relation(sh_b)
+        have_store = os.path.isdir(os.path.join(store_dir, "bands"))
+        if have_store:
+            idx_bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+            idx_sh = spark.read.parquet(os.path.join(store_dir, "shingles"))
+            old_dec = spark.read.parquet(os.path.join(store_dir, "decisions"))
+        else:
+            idx_bands = spark.createDataFrame(
+                [], "doc_id long, band_idx int, bkey string"
+            )
+            idx_sh = spark.createDataFrame([], "doc_id long, sh array<string>")
+            old_dec = spark.createDataFrame(
+                [], "doc_id long, is_dup boolean, dup_of long, batch_id long"
+            )
+        # candidates: index collisions + smaller-id in-batch collisions
+        all_bands = idx_bands.withColumn("is_new", F.lit(False)).unionByName(
+            bands_b.withColumn("is_new", F.lit(True))
+        )
+        a, b = all_bands.alias("a"), bands_b.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") != F.col("b.doc_id"))
+                & (~F.col("a.is_new") | (F.col("a.doc_id") < F.col("b.doc_id"))),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        all_sh = idx_sh.unionByName(sh_b)
+        sa, sb = all_sh.alias("sa"), sh_b.alias("sb")
+        inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+        dups = (
+            cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .filter((inter / union) >= threshold)
+            .groupBy("doc_b")
+            .agg(F.min("doc_a").alias("dup_of"))
+        )
+        dec_b = (
+            sh_b.select("doc_id")
+            .join(dups, F.col("doc_id") == F.col("doc_b"), "left")
+            .select(
+                "doc_id",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        survivors = dec_b.filter(~F.col("is_dup")).select("doc_id")
+        _commit_store_tables(
+            {
+                "bands": idx_bands.unionByName(
+                    bands_b.join(survivors, "doc_id", "left_semi")
+                ),
+                "shingles": idx_sh.unionByName(
+                    sh_b.join(survivors, "doc_id", "left_semi")
+                ),
+                "decisions": old_dec.unionByName(dec_b),
+            },
+            store_dir,
+            {"checkpoint": ckpt_id, "batch_id": batch_id},
+        )
+        sh_b.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_rollup(
     stream_df: DataFrame,
     store_dir: str,

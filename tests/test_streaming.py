@@ -423,3 +423,70 @@ def test_stream_rollup_crash_recovery_windows(spark, tmp_path):
     shutil.copytree(store, store + ".old")
     _recover_store(store)
     assert os.path.isdir(store) and not os.path.exists(store + ".old")
+
+
+def test_stream_neardup_index_maintains_and_flags(spark, tmp_path):
+    """Streaming near-dup index maintenance: batch 1's docs seed the
+    index; batch 2's near-copy of doc 0 is flagged against the STORED
+    index (cross-batch), its bands never enter the index, and distinct
+    docs survive. Same-checkpoint restart changes nothing."""
+    import json as _json
+    import os
+
+    from chain_sync_spark.streaming.stream_sync import run_stream_neardup_index
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain keeps falling on the quiet grey town tonight")
+    near = base.replace("dog", "cat")
+    other = ("completely different words about spark shuffles parquet files "
+             "and the costs of wide joins at terabyte scale in production")
+    third = ("fresh unrelated sentence mentioning gardens rivers mountains "
+             "painting music chess and long walks beside the autumn shore")
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    def _write(name, rows, mtime):
+        path = os.path.join(src, name)
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    _write("b0.json", [{"doc_id": 0, "text": base},
+                       {"doc_id": 1, "text": other}], 1_700_000_000)
+    _write("b1.json", [{"doc_id": 2, "text": near},
+                       {"doc_id": 3, "text": third}], 1_700_000_100)
+
+    store = str(tmp_path / "nd_store")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    q = run_stream_neardup_index(_stream(), store, ckpt)
+    q.awaitTermination(120)
+
+    dec = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{store}/decisions").collect()}
+    assert len(dec) == 4
+    assert not dec[0]["is_dup"] and not dec[1]["is_dup"] and not dec[3]["is_dup"]
+    assert dec[2]["is_dup"] and dec[2]["dup_of"] == 0      # cross-batch, via stored index
+    assert dec[0]["batch_id"] == 0 and dec[2]["batch_id"] == 1
+
+    # duplicates never enter the index; survivors do
+    indexed = {r["doc_id"] for r in
+               spark.read.parquet(f"{store}/shingles").collect()}
+    assert indexed == {0, 1, 3}
+    bands = spark.read.parquet(f"{store}/bands")
+    assert bands.filter(F.col("doc_id") == 2).count() == 0
+
+    # restart on the same checkpoint: no redelivery, store unchanged
+    before = sorted(map(str, spark.read.parquet(f"{store}/decisions").collect()))
+    q2 = run_stream_neardup_index(_stream(), store, ckpt)
+    q2.awaitTermination(120)
+    after = sorted(map(str, spark.read.parquet(f"{store}/decisions").collect()))
+    assert before == after
