@@ -96,6 +96,49 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize stage: (media_id, kind, payload, meta) → same layout
+    with meta.width/height replaced and the payload re-encoded.
+    The real re-encode would call the codec (PIL .resize / ffmpeg
+    scale); the deterministic stand-in truncates-or-pads the payload
+    to the byte budget implied by the target dimensions, preserving
+    the invariant a real resize has: output size is a function of
+    target dims, not input size.
+
+    Spark-side plumbing is the real thing: Arrow-batched mapInPandas,
+    schema-stable, partition-preserving — payload bytes never
+    shuffle. Aspect-ratio metadata math runs here (not in the codec)
+    so the plan carries it even with the stub."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = target_w * target_h  # 1 byte/px stand-in for the codec
+        for pdf in it:
+            if not _FAKE_DECODE:  # pragma: no cover — real codec seam
+                raise NotImplementedError(
+                    "real resize requires codec libraries (PIL/av) "
+                    "not present in this environment"
+                )
+            payloads = [
+                (p or b"")[:budget].ljust(budget, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": [
+                        {"width": target_w, "height": target_h,
+                         "format": (m or {}).get("format")}
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        _batches, schema=MEDIA_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling stub for video payloads: emits one row per
     sampled "frame" offset (1→N fan-out via posexplode over an offset

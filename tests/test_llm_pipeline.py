@@ -219,3 +219,23 @@ def test_portable_hash_matches_duckdb(spark):
             f"SELECT {sk.hash60_sql('?')}", [v]
         ).fetchone()[0]
         assert got[v] == expect, v
+
+
+def test_resize_media_shape_and_metadata(spark, doc_dir):
+    """Resize stage: schema-stable mapInPandas, payload re-budgeted to
+    the target dims, metadata math applied, format preserved."""
+    docs = spark.read.parquet(f"{doc_dir}/documents.parquet")
+    media = mm.documents_as_media(docs)
+    out = mm.resize_media(media, target_w=16, target_h=4)
+    assert out.schema.simpleString() == media.schema.simpleString()
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert len(r["payload"]) == 16 * 4
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 4
+        assert r["meta"]["format"] == "utf-8"
+    # deterministic: short payloads pad, long payloads truncate
+    a = {r["media_id"]: bytes(r["payload"]) for r in rows}
+    b = {r["media_id"]: bytes(r["payload"])
+         for r in mm.resize_media(media, 16, 4).collect()}
+    assert a == b
