@@ -447,12 +447,304 @@ WHERE s.doc_id % {NEARDUP_NEW_MOD} = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. LM-backed quality score: known-bigram ratio (round 4)
+# ---------------------------------------------------------------------------
+
+LM_MIN_COUNT = 30        # corpus occurrences for a bigram to count as "known"
+LM_KEEP_RATIO = 0.5      # docs below this known-bigram ratio are filtered
+
+
+def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-backed quality filter: score each document by
+    the fraction of its bigrams that are "known" to the corpus LM
+    (corpus count >= LM_MIN_COUNT) — the log-free stand-in for the
+    perplexity filters production pipelines run (a doc whose n-grams
+    the corpus model has never seen is noise/garble; one made
+    entirely of stock n-grams is boilerplate).  Integer counts plus
+    one IEEE division keep the score bit-exact across engines (see
+    module docstring).
+
+    Plan: per-row bigram generation (no join) → one (w1, w2) hash
+    aggregation for the corpus counts [map-side combinable,
+    vocabulary²-bounded] → fact-side join back on the bigram key
+    [shuffle keyed on (w1, w2)] → per-doc aggregate [map-side
+    combinable].  At 100 TB the count relation is often small enough
+    for AQE to broadcast; nothing here is quadratic and the document
+    text never travels past the first projection."""
+    d = _docs_words(spark, sf_dir)
+    bigrams = F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+    )
+    pairs = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ratio = F.col("n_known").cast("double") / F.col("n_bigrams").cast("double")
+    return (
+        pairs.join(counts, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("cnt") >= LM_MIN_COUNT).cast("long")).alias("n_known"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_known",
+            ratio.alias("known_ratio"),
+            (ratio >= LM_KEEP_RATIO).alias("keep"),
+        )
+    )
+
+
+_LM_SCORE_ORACLE = f"""
+WITH {_NORM_CTE},
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM docs_words, UNNEST(range(1, GREATEST(len(w), 1))) AS u(i)
+),
+counts AS (SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY w1, w2)
+SELECT doc_id, n_bigrams, n_known,
+       CAST(n_known AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS known_ratio,
+       CAST(n_known AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= {LM_KEEP_RATIO}
+         AS keep
+FROM (
+  SELECT p.doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN cnt >= {LM_MIN_COUNT} THEN 1 ELSE 0 END) AS n_known
+  FROM pairs p JOIN counts USING (w1, w2)
+  GROUP BY p.doc_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Sub-document segment dedup ratio (round 4)
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 3            # words per non-overlapping segment (prod: ~50)
+SEG_FLAG_RATIO = 0.5     # docs above this duplicated-segment ratio are flagged
+
+
+def segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup — the segment-granularity sibling of
+    whole-document dedup: cut every document into non-overlapping
+    SEG_WORDS-word segments, count each segment's corpus-wide
+    occurrences, and report per document how much of it is made of
+    segments that appear elsewhere (boilerplate headers, licence
+    blocks, templated spans).  Production runs this at ~50-token
+    segments; the constant is scaled to the synthetic corpus's
+    31-word vocabulary so the ratio distribution is non-degenerate.
+
+    Plan: per-row segment generation (transform over the token
+    array, zero joins) → explode → corpus occurrence counts via a
+    count-over-segment-window [one shuffle, keyed on the segment
+    hash] → per-doc aggregate [map-side combinable].  Only the
+    16-byte segment md5 shuffles, never the text; nothing is
+    quadratic — this is the same inverted-index shape as TF-IDF's
+    df stage."""
+    d = _docs_words(spark, sf_dir)
+    segs = F.expr(
+        f"transform(sequence(1, size(w) div {SEG_WORDS}),"
+        f" i -> array_join(slice(w, (i - 1) * {SEG_WORDS} + 1, {SEG_WORDS}), ' '))"
+    )
+    exploded = (
+        d.filter(F.size("w") >= SEG_WORDS)
+        .select("doc_id", F.explode(segs).alias("seg"))
+        .select("doc_id", F.md5("seg").alias("seg_md5"))
+    )
+    wseg = Window.partitionBy("seg_md5")
+    ratio = F.col("dup_segs").cast("double") / F.col("n_segs").cast("double")
+    return (
+        exploded.withColumn("cnt", F.count(F.lit(1)).over(wseg))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum((F.col("cnt") >= 2).cast("long")).alias("dup_segs"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "dup_segs",
+            ratio.alias("dup_ratio"),
+            (ratio > SEG_FLAG_RATIO).alias("flagged"),
+        )
+    )
+
+
+_SEG_DEDUP_ORACLE = f"""
+WITH {_NORM_CTE},
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(w[i * {SEG_WORDS} + 1 : i * {SEG_WORDS} + {SEG_WORDS}],
+                             ' ')) AS seg_md5
+  FROM docs_words, UNNEST(range(0, len(w) // {SEG_WORDS})) AS u(i)
+),
+c AS (SELECT seg_md5, COUNT(*) AS cnt FROM segs GROUP BY seg_md5)
+SELECT doc_id, n_segs, dup_segs,
+       CAST(dup_segs AS DOUBLE) / CAST(n_segs AS DOUBLE) AS dup_ratio,
+       CAST(dup_segs AS DOUBLE) / CAST(n_segs AS DOUBLE) > {SEG_FLAG_RATIO}
+         AS flagged
+FROM (
+  SELECT s.doc_id, COUNT(*) AS n_segs,
+         SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS dup_segs
+  FROM segs s JOIN c USING (seg_md5)
+  GROUP BY s.doc_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Mixture resampling by deterministic hash acceptance (round 4)
+# ---------------------------------------------------------------------------
+
+MIX_HASH_MOD = 1_000_000
+
+
+def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a domain-mixture policy: down-sample every over-represented
+    source to the uniform target share with per-document hash
+    acceptance — the executable half of ``domain_mixture_weights``
+    (which only REPORTS the weights).  A doc survives when
+    ``hash(doc_id) % 1e6 < min(1, weight) · 1e6``; hash-keyed (not
+    ``rand()``) so the sample is stable across runs, engines, and
+    repartitioning, and re-running on a grown corpus never flips
+    prior decisions for surviving sources.
+
+    Output is the per-source audit row: docs before/after, the
+    applied weight, and the realized keep rate.
+
+    Plan: one hash aggregation to source grain (bounded cardinality)
+    → broadcast the weight relation back onto the corpus → filter →
+    second source-grain aggregation.  Row-grain data is scanned
+    twice but never shuffled; both aggregates are map-side
+    combinable."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    totals = per_src.agg(
+        F.sum("n_before").alias("tot_docs"), F.count(F.lit(1)).alias("n_sources")
+    )
+    weight = F.least(
+        F.lit(1.0),
+        (F.lit(1.0) / F.col("n_sources"))
+        / (F.col("n_before") / F.col("tot_docs")),
+    )
+    weights = per_src.crossJoin(F.broadcast(totals)).select(
+        "source", "n_before", weight.alias("weight")
+    )
+    bucket = F.pmod(
+        sk.hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.lit(MIX_HASH_MOD),
+    )
+    kept = (
+        docs.join(F.broadcast(weights), "source")
+        .filter(bucket.cast("double") < F.col("weight") * MIX_HASH_MOD)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return weights.join(kept, "source", "left").select(
+        "source",
+        "n_before",
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        F.round("weight", 6).alias("weight"),
+        F.round(
+            F.coalesce("n_after", F.lit(0)).cast("double")
+            / F.col("n_before").cast("double"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
+_MIX_RESAMPLE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_before,
+         LEAST(1.0, (1.0 / COUNT(*) OVER ())
+                    / (n_before / SUM(n_before) OVER ())) AS weight
+  FROM per_src
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_after
+  FROM documents d JOIN w USING (source)
+  WHERE CAST({sk.hash60_sql("'mix:' || d.doc_id::VARCHAR")} % {MIX_HASH_MOD}
+             AS DOUBLE) < weight * {MIX_HASH_MOD}
+  GROUP BY d.source
+)
+SELECT w.source, w.n_before, COALESCE(kept.n_after, 0) AS n_after,
+       round(w.weight, 6) AS weight,
+       round(CAST(COALESCE(kept.n_after, 0) AS DOUBLE)
+             / CAST(w.n_before AS DOUBLE), 6) AS keep_rate
+FROM w LEFT JOIN kept USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Single-pass column profiling (round 4)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of a table — the observability step every
+    ingestion pipeline runs before training data enters the mix: per
+    column, row count, null count, exact distinct count, and
+    lexicographic min/max (values rendered as strings so one schema
+    covers every column type).
+
+    Plan: ONE scan — a single aggregate computes every column's
+    stats together (multi-distinct goes through Spark's Expand,
+    multiplying rows by the number of distinct aggregates but
+    keeping the pass count at one), then a ``stack`` projection
+    unpivots the 1-row result into a row per column.  The oracle
+    intentionally takes the naive per-column UNION ALL route, so the
+    hash match proves the single-pass rewrite."""
+    cols = PROFILE_COLS
+    o = table(spark, sf_dir, "orders").select(*cols)
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    one = o.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack})"
+        " AS (col_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({c}::VARCHAR) AS min_val, MAX({c}::VARCHAR) AS max_val
+FROM orders"""
+    for c in PROFILE_COLS
+)
+
+
 QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "tfidf_top_terms": tfidf_top_terms,
     "ngram_lm_topk": ngram_lm_topk,
     "dedup_incremental_batch": dedup_incremental_batch,
     "neardup_incremental_minhash": neardup_incremental_minhash,
+    "lm_known_bigram_score": lm_known_bigram_score,
+    "segment_dedup_ratio": segment_dedup_ratio,
+    "mixture_resample_documents": mixture_resample_documents,
+    "profile_column_stats": profile_column_stats,
 }
 
 ORACLE = {
@@ -461,4 +753,8 @@ ORACLE = {
     "ngram_lm_topk": _LM_ORACLE,
     "dedup_incremental_batch": _INCR_ORACLE,
     "neardup_incremental_minhash": _incr_neardup_oracle(),
+    "lm_known_bigram_score": _LM_SCORE_ORACLE,
+    "segment_dedup_ratio": _SEG_DEDUP_ORACLE,
+    "mixture_resample_documents": _MIX_RESAMPLE_ORACLE,
+    "profile_column_stats": _PROFILE_ORACLE,
 }

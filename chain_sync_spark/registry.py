@@ -23,8 +23,13 @@ CORRECTNESS_r* artifact".  Round-4 window composition:
   - 2 whose implementation changed this round and must re-earn green
     (dedup_exact_documents -> groupBy plan; embedding_ann_multiprobe is
     new)
-  - 14 refresh slots for r2-only greens, one per §2 family without a
-    round-3 row
+  - 4 NEW round-4 operators (lm_known_bigram_score,
+    segment_dedup_ratio, mixture_resample_documents,
+    profile_column_stats) — certified on first appearance
+  - 10 refresh slots for r2-only greens, at least one per §2 family
+    without a round-3 row (four refresh slots ceded to the new
+    operators; the displaced names keep their r2 green and join the
+    round-5 rotation_debt)
 
 Everything outside the window holds a green row in CORRECTNESS_r02 or
 _r03; round 5 should rotate the oldest of those back in (see
@@ -101,21 +106,22 @@ WINDOW = [
     # -- implementation changed this round: must re-earn green --
     "dedup_exact_documents",
     "embedding_ann_multiprobe",
-    # -- refresh slots: r2-only greens, one per §2 family --
+    # -- new round-4 operators: certified on first appearance --
+    "lm_known_bigram_score",
+    "segment_dedup_ratio",
+    "mixture_resample_documents",
+    "profile_column_stats",
+    # -- refresh slots: r2-only greens, >=1 per §2 family --
     "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
     "filter_project_events",
-    "isin_allowlist_filter",
     "case_when_sign_branch",
     "distinct_users_per_type",
     "grouping_sets_status_priority",
     "window_rank_variants",
     "window_lag_event_gap",
-    "window_running_revenue",
     "sort_limit_top_orders",
     "set_ops_segments",
     "surrogate_key_md5",
-    "json_extract_events_props",
 ]
 
 
@@ -150,6 +156,11 @@ def rotation_debt() -> list[str]:
     rotation candidates (everything not in this round's WINDOW whose
     last green was r2)."""
     r2_only = {
+        # refresh slots ceded to the four new round-4 operators:
+        "join_anti_customers_without_orders",
+        "isin_allowlist_filter",
+        "window_running_revenue",
+        "json_extract_events_props",
         "flagship_sync_digest",
         "rollup_nation_segment",
         "cube_status_priority",

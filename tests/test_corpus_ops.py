@@ -123,3 +123,90 @@ def test_incremental_neardup_flags_hist_and_inbatch_dups(spark, tmp_path):
         15: (True, 10),
         20: (False, None),
     }
+
+
+def test_lm_score_separates_known_from_novel_bigrams(spark, tmp_path):
+    # "a b" repeated >= LM_MIN_COUNT times makes (a,b) and (b,a) known;
+    # every other bigram occurs once and stays novel.
+    boiler = "a b " * 35
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, boiler.strip(), "en", "s", len(boiler)),
+            (2, "c d e", "en", "s", 5),
+            (3, "a b x y", "en", "s", 7),
+        ],
+    )
+    out = {r.doc_id: r for r in co.lm_known_bigram_score(spark, d).collect()}
+    assert out[1].n_bigrams == 69 and out[1].n_known == 69
+    assert out[1].known_ratio == 1.0 and out[1].keep
+    assert out[2].n_bigrams == 2 and out[2].n_known == 0 and not out[2].keep
+    # doc 3: (a,b) known (count 36), (b,x) and (x,y) novel
+    assert out[3].n_bigrams == 3 and out[3].n_known == 1
+    assert out[3].known_ratio == pytest.approx(1 / 3) and not out[3].keep
+
+
+def test_segment_dedup_counts_cross_doc_and_self_repeats(spark, tmp_path):
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "p q r s t u", "en", "s", 11),    # shares "p q r" with doc 2
+            (2, "p q r x y z", "en", "s", 11),
+            (3, "p q r p q r", "en", "s", 11),    # self-repeat
+            (4, "w w", "en", "s", 3),             # < SEG_WORDS: no segments
+        ],
+    )
+    out = {r.doc_id: r for r in co.segment_dedup_ratio(spark, d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_segs, out[1].dup_segs, out[1].dup_ratio) == (2, 1, 0.5)
+    assert not out[1].flagged  # strictly-greater threshold
+    assert (out[2].n_segs, out[2].dup_segs) == (2, 1)
+    assert (out[3].n_segs, out[3].dup_segs, out[3].dup_ratio) == (2, 2, 1.0)
+    assert out[3].flagged
+
+
+def test_mixture_resample_downweights_majority_source_only(spark, tmp_path):
+    rows = [(i, f"text {i}", "en", "srcA" if i < 30 else "srcB", 8)
+            for i in range(40)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in co.mixture_resample_documents(spark, d).collect()}
+    # srcB is under target share: weight clamps to 1.0, everything kept
+    assert out["srcB"].n_before == 10 and out["srcB"].n_after == 10
+    assert out["srcB"].weight == 1.0 and out["srcB"].keep_rate == 1.0
+    # srcA is over-represented: weight = (1/2) / (30/40) = 2/3
+    assert out["srcA"].n_before == 30
+    assert out["srcA"].weight == pytest.approx(2 / 3, abs=1e-6)
+    assert 0 < out["srcA"].n_after < 30
+    # hash acceptance is deterministic: a second run decides identically
+    again = {r.source: r.n_after
+             for r in co.mixture_resample_documents(spark, d).collect()}
+    assert again == {s: r.n_after for s, r in out.items()}
+
+
+def test_profile_column_stats_single_pass_counts(spark, tmp_path):
+    spark.createDataFrame(
+        [
+            (1, 10, "O", "p1"),
+            (2, None, "F", "p1"),
+            (3, 10, None, "p2"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {r.col_name: r for r in
+           co.profile_column_stats(spark, str(tmp_path)).collect()}
+    assert set(out) == set(co.PROFILE_COLS)
+    assert all(r.n_rows == 3 for r in out.values())
+    assert (out["o_custkey"].n_nulls, out["o_custkey"].n_distinct) == (1, 1)
+    assert (out["o_orderstatus"].n_nulls, out["o_orderstatus"].n_distinct) == (1, 2)
+    assert (out["o_orderkey"].min_val, out["o_orderkey"].max_val) == ("1", "3")
+    assert (out["o_orderpriority"].min_val, out["o_orderpriority"].max_val) == (
+        "p1", "p2",
+    )
+    # single-pass contract: exactly one scan of the orders relation
+    plan = co.profile_column_stats(
+        spark, str(tmp_path)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
