@@ -465,13 +465,14 @@ def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     one IEEE division keep the score bit-exact across engines (see
     module docstring).
 
-    Plan: per-row bigram generation (no join) → one (w1, w2) hash
-    aggregation for the corpus counts [map-side combinable,
-    vocabulary²-bounded] → fact-side join back on the bigram key
-    [shuffle keyed on (w1, w2)] → per-doc aggregate [map-side
-    combinable].  At 100 TB the count relation is often small enough
-    for AQE to broadcast; nothing here is quadratic and the document
-    text never travels past the first projection."""
+    Plan: per-row bigram generation (no join) → corpus counts via a
+    count-over-(w1, w2)-window [ONE shuffle of the pairs relation and
+    ONE scan — the same rewrite TF-IDF's df stage uses; a separate
+    count aggregate joined back would re-derive the exploded pairs
+    from a second scan and shuffle them a second time for the join]
+    → per-doc aggregate [map-side combinable].  Nothing here is
+    quadratic and the document text never travels past the first
+    projection."""
     d = _docs_words(spark, sf_dir)
     bigrams = F.expr(
         "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
@@ -480,10 +481,10 @@ def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", "b.w1", "b.w2"
     )
-    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    wpair = Window.partitionBy("w1", "w2")
     ratio = F.col("n_known").cast("double") / F.col("n_bigrams").cast("double")
     return (
-        pairs.join(counts, ["w1", "w2"])
+        pairs.withColumn("cnt", F.count(F.lit(1)).over(wpair))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
