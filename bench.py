@@ -56,6 +56,10 @@ EXTENDED_SET = [
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
     "dedup_embedding_semantic",
+    "embedding_quantized_topk",
+    "lm_known_bigram_score",
+    "segment_dedup_ratio",
+    "profile_column_stats",
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

