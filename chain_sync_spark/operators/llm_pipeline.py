@@ -1088,18 +1088,32 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 QUANT_LEVELS = 127  # symmetric int8: codes in [-127, 127]
 
 
+def _maxabs_fold(e):
+    return F.aggregate(e, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+
+
 def _quant_codes(e):
     """Symmetric max-abs int8 quantization of a double array column:
     scale = max|x| / 127, code = floor(x/scale + 0.5) — floor-of-
     shifted rather than round() because floor is defined identically
     in Spark and DuckDB while round() half-ties differ (HALF_UP vs
-    HALF_EVEN). Zero vectors quantize to all-zero codes."""
-    maxabs = F.array_max(F.transform(e, lambda x: F.abs(x)))
-    scale = maxabs / QUANT_LEVELS
-    codes = F.transform(
+    HALF_EVEN). Zero vectors quantize to all-zero codes.
+
+    The max|x| fold is bound through ``aggregate``'s finish lambda —
+    NOT a separate projection column — because projection collapse
+    inlines aliased expressions into transform lambdas, which would
+    re-evaluate the O(d) max once per ELEMENT (O(d²) per row; ~30x
+    slower at d=64, measured). A lambda variable evaluates once."""
+    scale = _maxabs_fold(e) / QUANT_LEVELS
+    codes = F.aggregate(
         e,
-        lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
-            F.floor(x / scale + F.lit(0.5)).cast("int")
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+        lambda m: F.transform(
+            e,
+            lambda x: F.when(m == 0.0, F.lit(0)).otherwise(
+                F.floor(x / (m / QUANT_LEVELS) + F.lit(0.5)).cast("int")
+            ),
         ),
     )
     return scale, codes
@@ -1179,25 +1193,37 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, one corpus pass — but every vector in flight is int8
     codes, 4x less shuffle/broadcast traffic than float32. A pytest
     measures recall@{ANN_TOPK} against the exact float ranking."""
+    release_caches()  # previous query's scope ends here
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", sk.vec_double(F.col("embedding")).alias("e")
     )
     _, codes = _quant_codes(F.col("e"))
-    quant = emb.select("vec_id", codes.alias("c"))
-    q = quant.filter(F.col("vec_id") < ANN_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
-    )
     isum = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0).cast("long"), lambda a, x: a + x
     )
+    # codes + norm sums hoisted OUT of the per-pair work and pinned
+    # with a scoped persist: projection collapse would otherwise
+    # re-inline the quantization into the join output and recompute it
+    # once per PAIR instead of once per vector. In production this
+    # persist is the stored codes table every ANN stage reads
+    # (DEPLOY.md); the join's inner loop is then just the integer dot.
+    quant = _scoped_persist(
+        emb.select("vec_id", codes.alias("c")).select(
+            "vec_id", "c", isum(F.transform(F.col("c"), lambda x: x * x)).alias("csq")
+        )
+    )
+    q = quant.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c").alias("qc"),
+        F.col("csq").alias("qsq"),
+    )
     dot_i = isum(F.zip_with(F.col("qc"), F.col("c"), lambda x, y: x * y))
-    qsq = isum(F.transform(F.col("qc"), lambda x: x * x))
-    csq = isum(F.transform(F.col("c"), lambda x: x * x))
     scored = quant.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(
-            dot_i.cast("double") / (F.sqrt(qsq.cast("double")) * F.sqrt(csq.cast("double"))),
+            dot_i.cast("double")
+            / (F.sqrt(F.col("qsq").cast("double")) * F.sqrt(F.col("csq").cast("double"))),
             4,
         ).alias("qcos"),
     )
