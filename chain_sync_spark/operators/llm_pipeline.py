@@ -584,18 +584,30 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single pass — the correct baseline plan at any corpus size.
     For large query sets, switch to the LSH variant below.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    # Query-side L2 norms hoisted out of the per-pair expression: the
+    # projection under the broadcast exchange is materialized once at
+    # broadcast build, so qnrm is computed per QUERY vector, not per
+    # pair. (The corpus-side norm is left inline — persisting the
+    # corpus to pin it would be the wrong trade at scale; a stored
+    # norms column is the production form.)
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", sk.vec_double(F.col("embedding")).alias("e"))
+        .select("vec_id", "e", sk.l2norm(F.col("e")).alias("nrm"))
     )
     q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(sk.cosine(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+            F.round(
+                sk.dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 4
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
