@@ -656,7 +656,12 @@ def embedding_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = bucket + F.when(sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)).otherwise(
             F.lit(0)
         )
-    bucketed = emb.withColumn("bucket", bucket)
+    # nrm rides through the shuffle exchange (computed once per row at
+    # shuffle write — CollapseProject cannot cross an Exchange), so the
+    # per-candidate-pair work is just the dot + one division
+    bucketed = emb.withColumn("bucket", bucket).withColumn(
+        "nrm", sk.l2norm(F.col("e"))
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
@@ -668,7 +673,11 @@ def embedding_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.bucket").alias("bucket"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(sk.cosine(F.col("a.e"), F.col("b.e")), 4).alias("cos_sim"),
+            F.round(
+                sk.dot(F.col("a.e"), F.col("b.e"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
 
@@ -714,7 +723,10 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = bucket + F.when(sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)).otherwise(
             F.lit(0)
         )
-    bucketed = emb.withColumn("bucket", bucket)
+    # nrm rides through the shuffle exchange (see embedding_ann_lsh_pairs)
+    bucketed = emb.withColumn("bucket", bucket).withColumn(
+        "nrm", sk.l2norm(F.col("e"))
+    )
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(LSH_PLANES)],
@@ -735,7 +747,11 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
             .cast("int")
             .alias("hamming"),
-            F.round(sk.cosine(F.col("a.e"), F.col("b.e")), 4).alias("cos_sim"),
+            F.round(
+                sk.dot(F.col("a.e"), F.col("b.e"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
 

@@ -424,7 +424,11 @@ def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = bucket + F.when(
             sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)
         ).otherwise(F.lit(0))
-    bucketed = emb.withColumn("bucket", bucket)
+    # nrm rides through the shuffle exchange (computed once per row at
+    # shuffle write), so the per-candidate work is the dot + a division
+    bucketed = emb.withColumn("bucket", bucket).withColumn(
+        "nrm", sk.l2norm(F.col("e"))
+    )
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(LSH_PLANES)],
@@ -438,7 +442,12 @@ def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(
-            F.round(sk.cosine(F.col("a.e"), F.col("b.e")), 4) >= SEMANTIC_MIN_COS
+            F.round(
+                sk.dot(F.col("a.e"), F.col("b.e"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            )
+            >= SEMANTIC_MIN_COS
         )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
