@@ -89,9 +89,22 @@ def _bench_sync_round(spark) -> float:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def _cpu_probe() -> float:
+    """Pure-Python 20M-iteration loop — the host-throttle probe
+    BENCH.md's cross-round comparisons rely on. ~0.5 s on an
+    unthrottled core; readings of 1.5 s+ mean the host is throttled
+    and every wall-clock number in this artifact scales with it."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    probe = _cpu_probe()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -134,10 +147,13 @@ def main() -> None:
             sum(t for n, t in cold.items() if n in BASELINE_SET), 3
         ),
         "extended_set_total": extended,
+        "cpu_probe_sec": probe,
         "note": (
             "value covers the BENCH_r01 baseline query set, warm (2nd run); "
             "queries_cold/baseline_set_total_cold are the 1st-run numbers "
-            "(see BENCH.md); sync_round is one 300-block engine round"
+            "(see BENCH.md); sync_round is one 300-block engine round; "
+            "cpu_probe_sec ~0.5 unthrottled, 1.5+ means host throttling "
+            "inflates every number"
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
