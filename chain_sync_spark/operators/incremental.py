@@ -69,6 +69,49 @@ def merge_rollup(existing: DataFrame, delta: DataFrame, keys: list[str]) -> Data
     )
 
 
+def profile_stats(batch: DataFrame, cols: list[str]) -> DataFrame:
+    """Mergeable column-profile partial of one batch: per column,
+    row count, null count, and lexicographic min/max (values as
+    strings so one schema covers every column type) — the
+    incremental sibling of operators/corpus_ops.profile_column_stats.
+    Exact distinct counts are HOLISTIC (their partials are the value
+    sets themselves) and deliberately absent here; the batch profiler
+    covers them on full recomputes.
+
+    Single pass: one aggregate computes every column's stats, a
+    ``stack`` projection unpivots to a row per column."""
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    one = batch.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack = ", ".join(f"'{c}', {c}__nulls, {c}__min, {c}__max" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "min_val", "max_val")
+
+
+def merge_profile(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two profile partials: counts add, min/max fold — every
+    stat is algebraic, so merge order never changes the result.
+    Cost is O(columns), independent of either side's row history."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("col_name")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+    )
+
+
 def finalize_rollup(agg: DataFrame) -> DataFrame:
     """Read-side projection: derived measures (avg) computed from the
     algebraic state; DECIMAL sums surface as double."""

@@ -336,6 +336,63 @@ FROM orders GROUP BY 1
 """
 
 
+def profile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day dataset drift profile — the monitoring query an
+    ingestion pipeline runs before a batch enters training data: per
+    calendar day, row volume, distinct-user and distinct-type
+    cardinality, and exact value totals (double → DECIMAL before
+    summation; raw double sums are summation-order-dependent and
+    never hash-match across engines), with lag deltas and a volume
+    ratio so a day whose shape diverges from its predecessor stands
+    out (NULLs on the first day).
+
+    Scale: one hash aggregate on day (bounded cardinality, multi-
+    distinct via a single Expand pass), then a lag window over the
+    day-grain relation — rows = days, negligible. The events scan is
+    the only full pass."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        )
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("n_events").over(w)
+    return daily.select(
+        "day",
+        "n_events",
+        "n_users",
+        "n_types",
+        "sum_value",
+        (F.col("n_events") - prev).alias("d_events"),
+        F.round(F.col("n_events").cast("double") / prev.cast("double"), 6).alias(
+            "ratio_events"
+        ),
+    )
+
+
+_DRIFT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT event_type) AS n_types,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, n_events, n_users, n_types, sum_value,
+       n_events - LAG(n_events) OVER (ORDER BY day) AS d_events,
+       round(CAST(n_events AS DOUBLE)
+             / CAST(LAG(n_events) OVER (ORDER BY day) AS DOUBLE), 6)
+         AS ratio_events
+FROM daily
+"""
+
+
 QUERIES = {
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
@@ -345,6 +402,7 @@ QUERIES = {
     "funnel_session_conversion": funnel_session_conversion,
     "resample_daily_gapfill": resample_daily_gapfill,
     "percentile_order_prices": percentile_order_prices,
+    "profile_drift_events": profile_drift_events,
 }
 
 ORACLE = {
@@ -356,4 +414,5 @@ ORACLE = {
     "funnel_session_conversion": _FUNNEL_ORACLE,
     "resample_daily_gapfill": _RESAMPLE_ORACLE,
     "percentile_order_prices": _PERCENTILE_ORACLE,
+    "profile_drift_events": _DRIFT_ORACLE,
 }

@@ -23,12 +23,13 @@ CORRECTNESS_r* artifact".  Round-4 window composition:
   - 2 whose implementation changed this round and must re-earn green
     (dedup_exact_documents -> groupBy plan; embedding_ann_multiprobe is
     new)
-  - 6 NEW round-4 operators (lm_known_bigram_score,
+  - 7 NEW round-4 operators (lm_known_bigram_score,
     segment_dedup_ratio, mixture_resample_documents,
     profile_column_stats, embedding_quantize_int8,
-    embedding_quantized_topk) — certified on first appearance
-  - 8 refresh slots for r2-only greens, at least one per §2 family
-    without a round-3 row (six refresh slots ceded to the new
+    embedding_quantized_topk, profile_drift_events) — certified on
+    first appearance
+  - 7 refresh slots for r2-only greens, at least one per §2 family
+    without a round-3 row (seven refresh slots ceded to the new
     operators; the displaced names keep their r2 green and join the
     round-5 rotation_debt)
 
@@ -114,10 +115,10 @@ WINDOW = [
     "profile_column_stats",
     "embedding_quantize_int8",
     "embedding_quantized_topk",
+    "profile_drift_events",
     # -- refresh slots: r2-only greens, >=1 per §2 family --
     "join_semi_customers_with_orders",
     "filter_project_events",
-    "case_when_sign_branch",
     "grouping_sets_status_priority",
     "window_rank_variants",
     "sort_limit_top_orders",
@@ -157,13 +158,14 @@ def rotation_debt() -> list[str]:
     rotation candidates (everything not in this round's WINDOW whose
     last green was r2)."""
     r2_only = {
-        # refresh slots ceded to the six new round-4 operators:
+        # refresh slots ceded to the seven new round-4 operators:
         "join_anti_customers_without_orders",
         "isin_allowlist_filter",
         "window_running_revenue",
         "json_extract_events_props",
         "distinct_users_per_type",
         "window_lag_event_gap",
+        "case_when_sign_branch",
         "flagship_sync_digest",
         "rollup_nation_segment",
         "cube_status_priority",

@@ -448,3 +448,49 @@ def run_stream_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_profile(
+    stream_df: DataFrame,
+    store_dir: str,
+    cols: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming data-quality profile maintenance: each micro-batch's
+    mergeable column profile (operators/incremental.profile_stats —
+    row/null counts, lexicographic min/max per column) merges into the
+    stored profile, O(columns) per trigger — the observability monitor
+    that watches an ingestion stream's shape drift without ever
+    rescanning history.
+
+    Same idempotence/commit contract as run_stream_rollup: the
+    (checkpoint identity, batch-id) high-water mark commits atomically
+    with the table, replays are no-ops, the store is bound to its
+    checkpoint. Exact distinct counts are holistic and intentionally
+    absent (profile_stats docstring); schedule the batch profiler
+    (corpus_ops.profile_column_stats) for those on full recomputes."""
+    import os
+
+    from chain_sync_spark.operators.incremental import merge_profile, profile_stats
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return  # replayed batch under the same checkpoint — already merged
+        spark = batch_df.sparkSession
+        delta = profile_stats(batch_df, cols)
+        if os.path.isdir(store_dir):
+            merged = merge_profile(spark.read.parquet(store_dir), delta)
+        else:
+            merged = delta
+        _commit_store(merged, store_dir, {"checkpoint": ckpt_id, "batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

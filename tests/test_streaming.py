@@ -490,3 +490,42 @@ def test_stream_neardup_index_maintains_and_flags(spark, tmp_path):
     q2.awaitTermination(120)
     after = sorted(map(str, spark.read.parquet(f"{store}/decisions").collect()))
     assert before == after
+
+
+def test_stream_profile_matches_batch_profile_and_replays_safely(spark, tmp_path):
+    """Streaming profile maintenance: merging per-micro-batch partial
+    profiles reproduces the single-pass batch profile over the same
+    rows (all stats algebraic — counts add, min/max fold), and a
+    replayed batch under the same checkpoint is a no-op."""
+    from chain_sync_spark.operators.incremental import profile_stats
+    from chain_sync_spark.streaming.stream_sync import run_stream_profile
+    from chain_sync_spark.tables import table
+
+    cols = ["user_id", "event_type", "value"]
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(*cols)
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "profile_store")
+
+    def _stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_profile(_stream(), store, cols, ckpt).awaitTermination(120)
+
+    def _canon(df):
+        return sorted(map(str, df.select(sorted(df.columns)).collect()))
+
+    ev_json = spark.read.schema(ev.schema).json(src)
+    exp = profile_stats(ev_json, cols)
+    got = spark.read.parquet(store)
+    assert _canon(got) == _canon(exp)
+    assert got.count() == len(cols)
+
+    # restart on the SAME checkpoint: no new files, nothing re-merges
+    run_stream_profile(_stream(), store, cols, ckpt).awaitTermination(120)
+    assert _canon(spark.read.parquet(store)) == _canon(exp)
