@@ -736,6 +736,110 @@ FROM orders"""
 )
 
 
+# ---------------------------------------------------------------------------
+# 10. BM25 top-k retrieval (round 4)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ["window", "join", "filter"]
+BM25_TOP_K = 20
+
+
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: rank documents against a fixed query-term set —
+    the scoring function behind retrieval eval and RAG-corpus search.
+    The idf uses the repo's log-free convention (the raw
+    ``(N - df + 0.5)/(df + 0.5)`` fraction without the log wrapper;
+    JVM and libm ``log`` may differ in the last ulp) and the per-term
+    scores are rounded to 6 dp then summed as DECIMAL, so the per-doc
+    total is merge-order independent and bit-exact across engines.
+
+    Plan: explode → filter to the query terms (a tiny IN-list, pushed
+    into the scan's row filter) → (doc, dl, term) hash aggregate for
+    tf [map-side combinable; dl rides as a grouping column so no
+    doc-length join is ever needed] → df via count-over-term window
+    [bounded: one row per (doc, matched term)] → corpus-stats 1-row
+    broadcast → per-doc DECIMAL sum → top-k window. Only rows
+    matching query terms survive the first filter, so every later
+    stage is query-sized, not corpus-sized."""
+    d = _docs_words(spark, sf_dir).select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+    )
+    tf = (
+        d.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = _docs_words(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size("w")).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    wterm = Window.partitionBy("term")
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(wterm))
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 6).cast("decimal(18,6)").alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("s").cast("double").alias("score"),
+    )
+    wk = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("doc_id", "n_terms_matched", "score", "rk")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+_BM25_ORACLE = f"""
+WITH {_NORM_CTE},
+tok AS (
+  SELECT doc_id, len(w) AS dl, UNNEST(w) AS term FROM docs_words
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, dl, term
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(w)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM docs_words
+),
+scored AS (
+  SELECT doc_id,
+         CAST(round(
+           ((n_docs - df + 0.5) / (df + 0.5))
+           * ((tf * ({BM25_K1} + 1))
+              / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))),
+           6) AS DECIMAL(18,6)) AS s
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf), stats
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_terms_matched,
+         CAST(SUM(s) AS DOUBLE) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms_matched, score, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+  FROM per_doc
+) WHERE rk <= {BM25_TOP_K}
+"""
+
+
 QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "tfidf_top_terms": tfidf_top_terms,
@@ -746,6 +850,7 @@ QUERIES = {
     "segment_dedup_ratio": segment_dedup_ratio,
     "mixture_resample_documents": mixture_resample_documents,
     "profile_column_stats": profile_column_stats,
+    "bm25_topk_documents": bm25_topk_documents,
 }
 
 ORACLE = {
@@ -758,4 +863,5 @@ ORACLE = {
     "segment_dedup_ratio": _SEG_DEDUP_ORACLE,
     "mixture_resample_documents": _MIX_RESAMPLE_ORACLE,
     "profile_column_stats": _PROFILE_ORACLE,
+    "bm25_topk_documents": _BM25_ORACLE,
 }

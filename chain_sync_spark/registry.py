@@ -23,15 +23,15 @@ CORRECTNESS_r* artifact".  Round-4 window composition:
   - 2 whose implementation changed this round and must re-earn green
     (dedup_exact_documents -> groupBy plan; embedding_ann_multiprobe is
     new)
-  - 7 NEW round-4 operators (lm_known_bigram_score,
+  - 8 NEW round-4 operators (lm_known_bigram_score,
     segment_dedup_ratio, mixture_resample_documents,
     profile_column_stats, embedding_quantize_int8,
-    embedding_quantized_topk, profile_drift_events) — certified on
-    first appearance
-  - 7 refresh slots for r2-only greens, at least one per §2 family
-    without a round-3 row (seven refresh slots ceded to the new
-    operators; the displaced names keep their r2 green and join the
-    round-5 rotation_debt)
+    embedding_quantized_topk, profile_drift_events,
+    bm25_topk_documents) — certified on first appearance
+  - 6 refresh slots for r2-only greens (eight refresh slots ceded to
+    the new operators; the displaced names keep their r2 green and
+    join the round-5 rotation_debt, and every §2 family keeps at
+    least one green row across the r3∪r4 artifacts)
 
 Everything outside the window holds a green row in CORRECTNESS_r02 or
 _r03; round 5 should rotate the oldest of those back in (see
@@ -116,11 +116,11 @@ WINDOW = [
     "embedding_quantize_int8",
     "embedding_quantized_topk",
     "profile_drift_events",
-    # -- refresh slots: r2-only greens, >=1 per §2 family --
+    "bm25_topk_documents",
+    # -- refresh slots: r2-only greens --
     "join_semi_customers_with_orders",
     "filter_project_events",
     "grouping_sets_status_priority",
-    "window_rank_variants",
     "sort_limit_top_orders",
     "set_ops_segments",
     "surrogate_key_md5",
@@ -166,6 +166,7 @@ def rotation_debt() -> list[str]:
         "distinct_users_per_type",
         "window_lag_event_gap",
         "case_when_sign_branch",
+        "window_rank_variants",
         "flagship_sync_digest",
         "rollup_nation_segment",
         "cube_status_priority",

@@ -210,3 +210,38 @@ def test_profile_column_stats_single_pass_counts(spark, tmp_path):
         spark, str(tmp_path)
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_bm25_ranks_rare_term_matches_first(spark, tmp_path):
+    """Known-answer BM25 on a literal fixture: scores reproduce the
+    hand-computed formula (log-free idf, 6-dp-rounded per-term scores
+    summed), multi-term matches accumulate, non-matching docs are
+    absent."""
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "window window join x", "en", "s", 20),
+            (2, "window y z a", "en", "s", 12),
+            (3, "filter b c", "en", "s", 10),
+            (4, "noise terms only", "en", "s", 16),
+        ],
+    )
+    out = {r.doc_id: r for r in co.bm25_topk_documents(spark, d).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 matches no query term
+
+    def term_score(tf, df, dl, n_docs=4, avgdl=14 / 4):
+        idf = (n_docs - df + 0.5) / (df + 0.5)
+        k1, b = co.BM25_K1, co.BM25_B
+        return round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    exp1 = term_score(2, 2, 4) + term_score(1, 1, 4)   # window x2 + join
+    exp2 = term_score(1, 2, 4)                          # window
+    exp3 = term_score(1, 1, 3)                          # filter (rare)
+    assert out[1].score == pytest.approx(exp1, abs=1e-9)
+    assert out[2].score == pytest.approx(exp2, abs=1e-9)
+    assert out[3].score == pytest.approx(exp3, abs=1e-9)
+    assert out[1].n_terms_matched == 2
+    # two-term doc outranks both single-term docs; the rare-term match
+    # outranks the common-term match at equal tf
+    assert out[1].rk == 1 and out[3].score > out[2].score
