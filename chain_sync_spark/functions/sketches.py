@@ -269,6 +269,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def floor_round(c: Column, digits: int) -> Column:
+    """Tie-safe fixed-digit rounding: floor(x·10^d + 0.5)/10^d.
+    ``round()`` half-tie rules differ across engines (Spark HALF_UP,
+    DuckDB HALF_EVEN on doubles), and ratios of small integers CAN
+    land on exact representable half-ties (1/128 at 6 dp); ``floor``
+    is defined identically everywhere. Use this for any rounded
+    integer-ratio output; irrational-valued scores (cosines) cannot
+    tie and may keep plain round()."""
+    m = 10 ** digits
+    return F.floor(c * m + F.lit(0.5)) / m
+
+
+def floor_round_sql(expr: str, digits: int) -> str:
+    """DuckDB rendering of the same tie-safe rounding."""
+    m = 10 ** digits
+    return f"FLOOR(({expr}) * {m} + 0.5) / {m}"
+
+
+def cos_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from PREcomputed L2 norms — bit-identical association to
+    ``cosine()`` (dot / (na * nb)), for join sites where the norms
+    were hoisted out of the per-pair expression (materialized through
+    a shuffle exchange or a broadcast build)."""
+    return dot(a, b) / (na * nb)
+
+
 def dot_sql(a: str, b: str) -> str:
     return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
 

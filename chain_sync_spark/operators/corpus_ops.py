@@ -45,6 +45,27 @@ def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("w", sk.words(sk.normalize_text(F.col("text"))))
 
 
+# Shared bigram generation — ONE definition for every bigram consumer
+# (ngram_lm_topk, lm_known_bigram_score) in both engines, so a
+# tokenization-edge fix lands everywhere at once.
+_PAIRS_CTE = """pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM docs_words, UNNEST(range(1, GREATEST(len(w), 1))) AS u(i)
+)"""
+
+
+def _bigram_pairs(d: DataFrame, *cols: str) -> DataFrame:
+    """(w1, w2) bigram rows from a docs_words relation, keeping *cols.
+    Per-row generation over the token array — no join, no shuffle."""
+    bigrams = F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+    )
+    return d.select(*cols, F.explode(bigrams).alias("b")).select(
+        *cols, "b.w1", "b.w2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. Context-window chunking with overlap
 # ---------------------------------------------------------------------------
@@ -182,12 +203,7 @@ def ngram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join) → one hash aggregation on (w1, w2) [map-side
     combinable] → per-head window.  The aggregated relation is
     vocabulary²-bounded, far smaller than the corpus."""
-    d = _docs_words(spark, sf_dir)
-    bigrams = F.expr(
-        "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
-        " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
-    )
-    pairs = d.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    pairs = _bigram_pairs(_docs_words(spark, sf_dir))
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     w_head = Window.partitionBy("w1")
     w_rank = Window.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
@@ -210,10 +226,7 @@ def ngram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_ORACLE = f"""
 WITH {_NORM_CTE},
-pairs AS (
-  SELECT w[i] AS w1, w[i + 1] AS w2
-  FROM docs_words, UNNEST(range(1, GREATEST(len(w), 1))) AS u(i)
-),
+{_PAIRS_CTE},
 counts AS (SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY w1, w2)
 SELECT w1, w2, cnt, head_total,
        CAST(cnt AS DOUBLE) / CAST(head_total AS DOUBLE) AS cond_p, rank
@@ -473,14 +486,7 @@ def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-doc aggregate [map-side combinable].  Nothing here is
     quadratic and the document text never travels past the first
     projection."""
-    d = _docs_words(spark, sf_dir)
-    bigrams = F.expr(
-        "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
-        " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
-    )
-    pairs = d.select("doc_id", F.explode(bigrams).alias("b")).select(
-        "doc_id", "b.w1", "b.w2"
-    )
+    pairs = _bigram_pairs(_docs_words(spark, sf_dir), "doc_id")
     wpair = Window.partitionBy("w1", "w2")
     ratio = F.col("n_known").cast("double") / F.col("n_bigrams").cast("double")
     return (
@@ -502,10 +508,7 @@ def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_SCORE_ORACLE = f"""
 WITH {_NORM_CTE},
-pairs AS (
-  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-  FROM docs_words, UNNEST(range(1, GREATEST(len(w), 1))) AS u(i)
-),
+{_PAIRS_CTE},
 counts AS (SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY w1, w2)
 SELECT doc_id, n_bigrams, n_known,
        CAST(n_known AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS known_ratio,
@@ -644,12 +647,15 @@ def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_after"))
     )
+    # tie-safe rounding (sk.floor_round): these are ratios of small
+    # integers, which CAN land on exact half-ties where round()'s
+    # half-tie rule diverges across engines
     return weights.join(kept, "source", "left").select(
         "source",
         "n_before",
         F.coalesce("n_after", F.lit(0)).alias("n_after"),
-        F.round("weight", 6).alias("weight"),
-        F.round(
+        sk.floor_round(F.col("weight"), 6).alias("weight"),
+        sk.floor_round(
             F.coalesce("n_after", F.lit(0)).cast("double")
             / F.col("n_before").cast("double"),
             6,
@@ -675,9 +681,11 @@ kept AS (
   GROUP BY d.source
 )
 SELECT w.source, w.n_before, COALESCE(kept.n_after, 0) AS n_after,
-       round(w.weight, 6) AS weight,
-       round(CAST(COALESCE(kept.n_after, 0) AS DOUBLE)
-             / CAST(w.n_before AS DOUBLE), 6) AS keep_rate
+       {sk.floor_round_sql('w.weight', 6)} AS weight,
+       {sk.floor_round_sql(
+           'CAST(COALESCE(kept.n_after, 0) AS DOUBLE)'
+           ' / CAST(w.n_before AS DOUBLE)', 6)}
+         AS keep_rate
 FROM w LEFT JOIN kept USING (source)
 """
 
@@ -702,27 +710,14 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the pass count at one), then a ``stack`` projection
     unpivots the 1-row result into a row per column.  The oracle
     intentionally takes the naive per-column UNION ALL route, so the
-    hash match proves the single-pass rewrite."""
-    cols = PROFILE_COLS
-    o = table(spark, sf_dir, "orders").select(*cols)
-    aggs = []
-    for c in cols:
-        s = F.col(c).cast("string")
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(s).alias(f"{c}__min"),
-            F.max(s).alias(f"{c}__max"),
-        ]
-    one = o.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
-    stack = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
-    )
-    return one.selectExpr(
-        f"stack({len(cols)}, {stack})"
-        " AS (col_name, n_nulls, n_distinct, min_val, max_val)",
-        "n_rows",
-    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+    hash match proves the single-pass rewrite. The agg+stack builder
+    is shared with the streaming profile partial
+    (operators/incremental.build_profile) so the two schemas cannot
+    drift apart."""
+    from chain_sync_spark.operators.incremental import build_profile
+
+    o = table(spark, sf_dir, "orders").select(*PROFILE_COLS)
+    return build_profile(o, PROFILE_COLS, include_distinct=True)
 
 
 _PROFILE_ORACLE = "\nUNION ALL\n".join(
@@ -760,21 +755,33 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf [map-side combinable; dl rides as a grouping column so no
     doc-length join is ever needed] → df via count-over-term window
     [bounded: one row per (doc, matched term)] → corpus-stats 1-row
-    broadcast → per-doc DECIMAL sum → top-k window. Only rows
-    matching query terms survive the first filter, so every later
-    stage is query-sized, not corpus-sized."""
-    d = _docs_words(spark, sf_dir).select(
-        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+    broadcast → per-doc DECIMAL sum → top-k window. The tokenized
+    (doc_id, dl) relation is computed ONCE under a scoped persist and
+    feeds both the tf branch and the corpus-stats aggregate (the
+    stats need every document's length, so a second full
+    tokenization pass is what the persist saves); past the term
+    filter every stage is query-sized, not corpus-sized."""
+    from chain_sync_spark.operators.llm_pipeline import (
+        _scoped_persist,
+        release_caches,
+    )
+
+    release_caches()  # previous query's scope ends here
+    dw = _scoped_persist(
+        _docs_words(spark, sf_dir).select(
+            "doc_id", F.size("w").alias("dl"), "w"
+        )
     )
     tf = (
-        d.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        dw.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    stats = _docs_words(spark, sf_dir).agg(
+    stats = dw.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
-            F.sum(F.size("w")).cast("double") / F.count(F.lit(1)).cast("double")
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
     wterm = Window.partitionBy("term")

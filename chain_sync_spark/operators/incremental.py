@@ -69,31 +69,52 @@ def merge_rollup(existing: DataFrame, delta: DataFrame, keys: list[str]) -> Data
     )
 
 
-def profile_stats(batch: DataFrame, cols: list[str]) -> DataFrame:
-    """Mergeable column-profile partial of one batch: per column,
-    row count, null count, and lexicographic min/max (values as
-    strings so one schema covers every column type) — the
-    incremental sibling of operators/corpus_ops.profile_column_stats.
-    Exact distinct counts are HOLISTIC (their partials are the value
-    sets themselves) and deliberately absent here; the batch profiler
-    covers them on full recomputes.
-
-    Single pass: one aggregate computes every column's stats, a
-    ``stack`` projection unpivots to a row per column."""
+def build_profile(
+    batch: DataFrame, cols: list[str], include_distinct: bool = False
+) -> DataFrame:
+    """Single-pass column profile: ONE aggregate computes every
+    column's stats (row count, null count, lexicographic min/max as
+    strings so one schema covers every type; optionally an exact
+    distinct count via Expand), then a ``stack`` projection unpivots
+    to a row per column. The ONE shared builder behind the batch
+    profiler (corpus_ops.profile_column_stats) and the streaming
+    profile partial (profile_stats) — the two schemas must stay
+    merge-compatible, so they come from one place."""
     aggs = []
     for c in cols:
         s = F.col(c).cast("string")
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.min(s).alias(f"{c}__min"),
-            F.max(s).alias(f"{c}__max"),
-        ]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        if include_distinct:
+            aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        aggs += [F.min(s).alias(f"{c}__min"), F.max(s).alias(f"{c}__max")]
     one = batch.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
-    stack = ", ".join(f"'{c}', {c}__nulls, {c}__min, {c}__max" for c in cols)
+    mid = "__distinct, " if include_distinct else ""
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, " + (f"{c}{mid}" if include_distinct else "")
+        + f"{c}__min, {c}__max"
+        for c in cols
+    )
+    fields = (
+        "(col_name, n_nulls, "
+        + ("n_distinct, " if include_distinct else "")
+        + "min_val, max_val)"
+    )
+    out = ["col_name", "n_rows", "n_nulls"]
+    if include_distinct:
+        out.append("n_distinct")
+    out += ["min_val", "max_val"]
     return one.selectExpr(
-        f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, min_val, max_val)",
-        "n_rows",
-    ).select("col_name", "n_rows", "n_nulls", "min_val", "max_val")
+        f"stack({len(cols)}, {stack}) AS {fields}", "n_rows"
+    ).select(*out)
+
+
+def profile_stats(batch: DataFrame, cols: list[str]) -> DataFrame:
+    """Mergeable column-profile partial of one batch — the streaming
+    form of the profile: row/null counts and min/max only. Exact
+    distinct counts are HOLISTIC (their partials are the value sets
+    themselves) and deliberately absent; the batch profiler covers
+    them on full recomputes."""
+    return build_profile(batch, cols, include_distinct=False)
 
 
 def merge_profile(existing: DataFrame, delta: DataFrame) -> DataFrame:

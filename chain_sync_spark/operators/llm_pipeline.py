@@ -606,7 +606,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                sk.dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 4
+                sk.cos_prenorm(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")), 4
             ).alias("cos_sim"),
         )
     )
@@ -674,8 +674,9 @@ def embedding_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
-                sk.dot(F.col("a.e"), F.col("b.e"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
+                sk.cos_prenorm(
+                    F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
+                ),
                 4,
             ).alias("cos_sim"),
         )
@@ -748,8 +749,9 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("hamming"),
             F.round(
-                sk.dot(F.col("a.e"), F.col("b.e"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
+                sk.cos_prenorm(
+                    F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
+                ),
                 4,
             ).alias("cos_sim"),
         )

@@ -180,7 +180,8 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_cnt"),
     )
-    ratio = F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
+    # tie-safe rounding: integer ratios can land on exact half-ties
+    ratio = sk.floor_round(F.col("top_cnt") / F.col("n_tokens"), 6)
     return per_doc.select(
         "doc_id",
         "n_tokens",
@@ -202,8 +203,8 @@ per_doc AS (
   FROM per_tok GROUP BY 1
 )
 SELECT doc_id, n_tokens, n_distinct,
-       round(top_cnt / n_tokens, 6) AS top_token_ratio,
-       round(top_cnt / n_tokens, 6) <= {TOP_TOKEN_MAX_RATIO} AS keep
+       {sk.floor_round_sql('top_cnt / n_tokens', 6)} AS top_token_ratio,
+       {sk.floor_round_sql('top_cnt / n_tokens', 6)} <= {TOP_TOKEN_MAX_RATIO} AS keep
 FROM per_doc
 """
 
@@ -293,8 +294,8 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(share, 6).alias("actual_share"),
-        F.round(target / share, 6).alias("sampling_weight"),
+        sk.floor_round(share, 6).alias("actual_share"),
+        sk.floor_round(target / share, 6).alias("sampling_weight"),
     )
 
 
@@ -305,9 +306,8 @@ WITH per_src AS (
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,
-       round(n_tokens / SUM(n_tokens) OVER (), 6) AS actual_share,
-       round((1.0 / COUNT(*) OVER ())
-             / (n_tokens / SUM(n_tokens) OVER ()), 6) AS sampling_weight
+       {sk.floor_round_sql('n_tokens / SUM(n_tokens) OVER ()', 6)} AS actual_share,
+       {sk.floor_round_sql('(1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ())', 6)} AS sampling_weight
 FROM per_src
 """
 
@@ -443,8 +443,9 @@ def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             F.round(
-                sk.dot(F.col("a.e"), F.col("b.e"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
+                sk.cos_prenorm(
+                    F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
+                ),
                 4,
             )
             >= SEMANTIC_MIN_COS

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from chain_sync_spark.functions import sketches as sk
 from chain_sync_spark.tables import table
 
 
@@ -876,18 +877,18 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.dense_rank().over(w).alias("price_dense_rank"),
-        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        sk.floor_round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
         F.ntile(4).over(w).alias("price_quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        sk.floor_round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
     )
 
 
-_RANK_VARIANTS_ORACLE = """
+_RANK_VARIANTS_ORACLE = f"""
 SELECT o_custkey, o_orderkey,
        CAST(DENSE_RANK() OVER w AS INT) AS price_dense_rank,
-       round(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+       {sk.floor_round_sql('PERCENT_RANK() OVER w', 6)} AS price_pct_rank,
        CAST(NTILE(4) OVER w AS INT) AS price_quartile,
-       round(CUME_DIST() OVER w, 6) AS price_cume_dist
+       {sk.floor_round_sql('CUME_DIST() OVER w', 6)} AS price_cume_dist
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 """

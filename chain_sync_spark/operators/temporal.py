@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from chain_sync_spark.functions import sketches as sk
 from chain_sync_spark.tables import table
 
 
@@ -369,13 +370,15 @@ def profile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         "sum_value",
         (F.col("n_events") - prev).alias("d_events"),
-        F.round(F.col("n_events").cast("double") / prev.cast("double"), 6).alias(
-            "ratio_events"
-        ),
+        # tie-safe rounding: a ratio of two integers can land on an
+        # exact half-tie where round()'s tie rule diverges across engines
+        sk.floor_round(
+            F.col("n_events").cast("double") / prev.cast("double"), 6
+        ).alias("ratio_events"),
     )
 
 
-_DRIFT_ORACLE = """
+_DRIFT_ORACLE = f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
          COUNT(*) AS n_events,
@@ -386,8 +389,9 @@ WITH daily AS (
 )
 SELECT day, n_events, n_users, n_types, sum_value,
        n_events - LAG(n_events) OVER (ORDER BY day) AS d_events,
-       round(CAST(n_events AS DOUBLE)
-             / CAST(LAG(n_events) OVER (ORDER BY day) AS DOUBLE), 6)
+       {sk.floor_round_sql(
+           'CAST(n_events AS DOUBLE)'
+           ' / CAST(LAG(n_events) OVER (ORDER BY day) AS DOUBLE)', 6)}
          AS ratio_events
 FROM daily
 """

@@ -158,7 +158,7 @@ def rotation_debt() -> list[str]:
     rotation candidates (everything not in this round's WINDOW whose
     last green was r2)."""
     r2_only = {
-        # refresh slots ceded to the seven new round-4 operators:
+        # refresh slots ceded to the eight new round-4 operators:
         "join_anti_customers_without_orders",
         "isin_allowlist_filter",
         "window_running_revenue",
