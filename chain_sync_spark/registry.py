@@ -28,10 +28,15 @@ CORRECTNESS_r* artifact".  Round-4 window composition:
     profile_column_stats, embedding_quantize_int8,
     embedding_quantized_topk, profile_drift_events,
     bm25_topk_documents) — certified on first appearance
-  - 6 refresh slots for r2-only greens (eight refresh slots ceded to
-    the new operators; the displaced names keep their r2 green and
-    join the round-5 rotation_debt, and every §2 family keeps at
-    least one green row across the r3∪r4 artifacts)
+  - 1 late-round implementation change (window_rank_variants picked
+    up tie-safe percent_rank/cume_dist rounding) re-windowed to
+    re-earn green; quality_repetition_filter and
+    domain_mixture_weights changed identically but were already in
+    this window
+  - 5 refresh slots for r2-only greens (the refresh slots ceded to
+    the new operators keep their r2 green and join the round-5
+    rotation_debt; every §2 family keeps at least one green row
+    across the r3∪r4 artifacts)
 
 Everything outside the window holds a green row in CORRECTNESS_r02 or
 _r03; round 5 should rotate the oldest of those back in (see
@@ -117,10 +122,12 @@ WINDOW = [
     "embedding_quantized_topk",
     "profile_drift_events",
     "bm25_topk_documents",
+    # -- implementation changed late in round 4 (tie-safe rounding):
+    #    must re-earn green like the other changed queries --
+    "window_rank_variants",
     # -- refresh slots: r2-only greens --
     "join_semi_customers_with_orders",
     "filter_project_events",
-    "grouping_sets_status_priority",
     "sort_limit_top_orders",
     "set_ops_segments",
     "surrogate_key_md5",
@@ -166,7 +173,7 @@ def rotation_debt() -> list[str]:
         "distinct_users_per_type",
         "window_lag_event_gap",
         "case_when_sign_branch",
-        "window_rank_variants",
+        "grouping_sets_status_priority",
         "flagship_sync_digest",
         "rollup_nation_segment",
         "cube_status_priority",
