@@ -42,6 +42,12 @@ Everything outside the window holds a green row in CORRECTNESS_r02 or
 _r03; round 5 should rotate the oldest of those back in (see
 ``rotation_debt`` below for the candidates).
 
+Round-5 window plan: all ``rotation_debt()`` names first (r2-only
+greens — the oldest rows), then fill the remaining slots with the
+oldest r3-only greens (llm_pipeline sketch family), keeping any query
+whose implementation changes in round 5 in the window to re-earn its
+green. Update this plan in place when composing the r5 WINDOW.
+
 Pre-flight: ``tools/oracle_check.py`` now canonicalizes exactly like
 the driver (pandas sort_values — rejects list-typed output columns), so
 run it over the WINDOW before each round submits.

@@ -245,3 +245,47 @@ def test_bm25_ranks_rare_term_matches_first(spark, tmp_path):
     # two-term doc outranks both single-term docs; the rare-term match
     # outranks the common-term match at equal tf
     assert out[1].rk == 1 and out[3].score > out[2].score
+
+
+def test_new_ops_edge_cases(spark, tmp_path):
+    """Degenerate inputs the 100 TB versions will meet: a corpus with
+    no query-term matches (BM25 → empty, not error), a single source
+    (mixture weight clamps to 1.0, everything kept), and an all-null
+    profiled column (distinct 0, min/max NULL)."""
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "nothing relevant here", "en", "only_src", 21),
+         (2, "still nothing", "en", "only_src", 13)],
+    )
+    assert co.bm25_topk_documents(spark, d).count() == 0
+
+    out = {r.source: r for r in co.mixture_resample_documents(spark, d).collect()}
+    assert out["only_src"].weight == 1.0
+    assert out["only_src"].n_after == 2 and out["only_src"].keep_rate == 1.0
+
+    spark.createDataFrame(
+        [(1, None, None, "p"), (2, None, None, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    prof = {r.col_name: r for r in
+            co.profile_column_stats(spark, str(tmp_path)).collect()}
+    assert (prof["o_custkey"].n_nulls, prof["o_custkey"].n_distinct) == (2, 0)
+    assert prof["o_custkey"].min_val is None and prof["o_custkey"].max_val is None
+
+
+def test_bm25_single_corpus_scan_plan(spark):
+    """Plan evidence for the one-tokenization-pass claim: both the tf
+    branch and the corpus-stats branch read the persisted (doc_id,
+    dl, w) relation (two InMemoryTableScans), so the documents
+    parquet is only read — and the corpus only tokenized — once, at
+    cache materialization. (The cached relation's own plan is echoed
+    inside each InMemoryTableScan, so counting 'Scan parquet' in the
+    plan STRING would overcount.)"""
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    df = co.bm25_topk_documents(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lp.release_caches()
+    assert plan.count("InMemoryTableScan") == 2
