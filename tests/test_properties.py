@@ -87,3 +87,37 @@ def test_hash60_range_batch(spark):
         assert 0 <= r["h"] < 2**60
     again = {r["s"]: r["h"] for r in df.select("s", hash60(F.col("s")).alias("h")).collect()}
     assert {r["s"]: r["h"] for r in rows} == again
+
+
+def test_floor_round_cross_engine_parity_batch(spark):
+    """The tie-safe rounding contract: Spark floor_round and DuckDB
+    floor_round_sql agree on EVERY p/q ratio — including the exact
+    representable half-ties (q a power of two) where round()'s
+    HALF_UP vs HALF_EVEN rules diverge, which is the whole reason the
+    helper exists."""
+    import duckdb
+
+    from chain_sync_spark.functions.sketches import floor_round, floor_round_sql
+
+    # every (p, q) with q in the tie-prone power-of-two family plus
+    # odd/composite denominators; includes 1/128 (= 0.0078125, an
+    # exact 6-dp half-tie) and friends
+    cases = [(p, q) for q in (2, 3, 7, 8, 16, 64, 128, 256, 10_000)
+             for p in range(1, min(q, 20))]
+    df = spark.createDataFrame(cases, "p long, q long")
+    got = {
+        (r.p, r.q): r.r
+        for r in df.select(
+            "p", "q",
+            floor_round(F.col("p").cast("double") / F.col("q").cast("double"), 6)
+            .alias("r"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for (p, q), spark_val in got.items():
+        duck_val = con.execute(
+            f"SELECT {floor_round_sql(f'CAST({p} AS DOUBLE) / CAST({q} AS DOUBLE)', 6)}"
+        ).fetchone()[0]
+        assert spark_val == duck_val, (p, q, spark_val, duck_val)
+    # and the motivating case really is a divergent round() tie
+    assert got[(1, 128)] == 0.007813  # floor-of-shifted rounds the tie UP
