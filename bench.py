@@ -46,6 +46,7 @@ EXTENDED_SET = [
     "window_session_events",
     "dedup_exact_documents",
     "neardup_minhash_bands",
+    "neardup_prefix_filter_pairs",
     "embedding_cosine_topk",
     "embedding_ann_lsh_pairs",
     "embedding_ann_multiprobe",

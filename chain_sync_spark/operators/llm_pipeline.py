@@ -1112,6 +1112,111 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 
 
 # ---------------------------------------------------------------------------
+# Near-dup: prefix-filtering set-similarity join (SSJoin/PPJoin family)
+# ---------------------------------------------------------------------------
+
+PREFIX_MIN_JACCARD = CLUSTER_MIN_JACCARD  # same threshold as the MinHash family
+
+
+def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    published SSJoin/PPJoin candidate-generation strategy, and the
+    zero-false-negative counterpart to the MinHash/SimHash families:
+    under a global rare-token-first order (df asc, token asc), two
+    shingle sets with Jaccard >= t MUST share a token within each
+    set's first ``n - ceil(t*n) + 1`` tokens, so candidates are an
+    ordinary equi-join on prefix tokens only; the length filter
+    ``min >= t*max`` prunes size-incompatible pairs before the join.
+    Output is every pair with exact shingle Jaccard >= t — ground
+    truth the probabilistic families can be measured against.
+
+    Scale: prefix tokens are BY CONSTRUCTION the rare ones, so the
+    inverted lists the join shuffles are short (contrast a naive
+    token join, where one stopword-shaped shingle produces a
+    quadratic bucket); the verify join touches candidate ids only.
+    One shuffle keyed on token for df, one per-doc window, one
+    prefix-token equi-join, one candidate-bounded verify."""
+    release_caches()  # previous query's scope ends here
+    t = PREFIX_MIN_JACCARD
+    shingled = _scoped_persist(_docs_shingled(spark, sf_dir))
+    tok = shingled.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("tok")
+    )
+    wdf = Window.partitionBy("tok")
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = (
+        tok.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "n", "tok")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= F.lit(t) * F.col("b.n"))
+            & (F.col("b.n") >= F.lit(t) * F.col("a.n")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = shingled.alias("sa"), shingled.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_n"),
+            union.alias("union_n"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+def _prefix_filter_oracle() -> str:
+    t = PREFIX_MIN_JACCARD
+    return f"""
+WITH {_SHINGLE_CTE.lstrip()},
+tok AS (SELECT doc_id, len(sh) AS n, UNNEST(sh) AS tok FROM sh),
+dfs AS (
+  SELECT doc_id, n, tok, COUNT(*) OVER (PARTITION BY tok) AS df FROM tok
+),
+pref AS (
+  SELECT doc_id, n, tok FROM (
+    SELECT doc_id, n, tok,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, tok) AS rn
+    FROM dfs
+  ) WHERE rn <= n - CEIL({t} * n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND a.n >= {t} * b.n AND b.n >= {t} * a.n
+)
+SELECT doc_a, doc_b, inter_n, union_n, jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS inter_n,
+         CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS INT)
+           AS union_n,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                  AS DOUBLE) AS jaccard
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id
+)
+WHERE jaccard >= {t}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity search: int8 quantization (shuffle-bytes lever)
 # ---------------------------------------------------------------------------
 
@@ -1643,6 +1748,7 @@ QUERIES = {
     "neardup_levenshtein_names": neardup_levenshtein_names,
     "embedding_ivf_assign": embedding_ivf_assign,
     "embedding_ivf_topk": embedding_ivf_topk,
+    "neardup_prefix_filter_pairs": neardup_prefix_filter_pairs,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_quantized_topk": embedding_quantized_topk,
 }
@@ -1671,6 +1777,7 @@ ORACLE = {
     "neardup_levenshtein_names": _LEVENSHTEIN_ORACLE,
     "embedding_ivf_assign": _IVF_ORACLE,
     "embedding_ivf_topk": _ivf_topk_oracle(),
+    "neardup_prefix_filter_pairs": _prefix_filter_oracle(),
     "embedding_quantize_int8": _QUANTIZE_ORACLE,
     "embedding_quantized_topk": _QUANT_TOPK_ORACLE,
 }

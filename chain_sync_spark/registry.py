@@ -23,17 +23,18 @@ CORRECTNESS_r* artifact".  Round-4 window composition:
   - 2 whose implementation changed this round and must re-earn green
     (dedup_exact_documents -> groupBy plan; embedding_ann_multiprobe is
     new)
-  - 8 NEW round-4 operators (lm_known_bigram_score,
+  - 9 NEW round-4 operators (lm_known_bigram_score,
     segment_dedup_ratio, mixture_resample_documents,
     profile_column_stats, embedding_quantize_int8,
     embedding_quantized_topk, profile_drift_events,
-    bm25_topk_documents) — certified on first appearance
+    bm25_topk_documents, neardup_prefix_filter_pairs) — certified on
+    first appearance
   - 1 late-round implementation change (window_rank_variants picked
     up tie-safe percent_rank/cume_dist rounding) re-windowed to
     re-earn green; quality_repetition_filter and
     domain_mixture_weights changed identically but were already in
     this window
-  - 5 refresh slots for r2-only greens (the refresh slots ceded to
+  - 4 refresh slots for r2-only greens (the refresh slots ceded to
     the new operators keep their r2 green and join the round-5
     rotation_debt; every §2 family keeps at least one green row
     across the r3∪r4 artifacts)
@@ -128,11 +129,11 @@ WINDOW = [
     "embedding_quantized_topk",
     "profile_drift_events",
     "bm25_topk_documents",
+    "neardup_prefix_filter_pairs",
     # -- implementation changed late in round 4 (tie-safe rounding):
     #    must re-earn green like the other changed queries --
     "window_rank_variants",
     # -- refresh slots: r2-only greens --
-    "join_semi_customers_with_orders",
     "filter_project_events",
     "sort_limit_top_orders",
     "set_ops_segments",
@@ -180,6 +181,7 @@ def rotation_debt() -> list[str]:
         "window_lag_event_gap",
         "case_when_sign_branch",
         "grouping_sets_status_priority",
+        "join_semi_customers_with_orders",
         "flagship_sync_digest",
         "rollup_nation_segment",
         "cube_status_priority",

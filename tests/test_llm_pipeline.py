@@ -201,6 +201,44 @@ def test_ann_multiprobe_recall_beats_single_probe(spark, tmp_path):
     assert len(multi) < vid * (vid - 1) / 2
 
 
+def test_prefix_filter_join_is_exact(spark, tmp_path):
+    """Prefix filtering must have ZERO false negatives: its output
+    equals the brute-force all-pairs exact-Jaccard join on a fixture
+    with near-dups at several overlap levels (the published
+    SSJoin/PPJoin guarantee the implementation relies on)."""
+    from itertools import combinations
+
+    from chain_sync_spark.operators.llm_pipeline import (
+        PREFIX_MIN_JACCARD,
+        _docs_shingled,
+        neardup_prefix_filter_pairs,
+        release_caches,
+    )
+
+    base = [f"tok{i:03d}" for i in range(30)]
+    rows = []
+    for i, drop in enumerate([0, 1, 3, 8, 15, 25]):  # increasing divergence
+        words = base[drop:] + [f"uniq{i}x{j}" for j in range(drop)]
+        rows.append((i, " ".join(words), "en", "s", 200))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {(r.doc_a, r.doc_b)
+           for r in neardup_prefix_filter_pairs(spark, str(tmp_path)).collect()}
+    release_caches()
+    sh = {r.doc_id: set(r.sh) for r in _docs_shingled(spark, str(tmp_path)).collect()}
+    release_caches()
+    brute = set()
+    for x, y in combinations(sorted(sh), 2):
+        inter = len(sh[x] & sh[y])
+        union = len(sh[x] | sh[y])
+        if union and inter / union >= PREFIX_MIN_JACCARD:
+            brute.add((x, y))
+    assert got == brute
+    assert brute  # fixture actually produces similar pairs
+
+
 def test_quantize_int8_codes_and_error_bound(spark):
     """Known-answer codes for a literal vector (floor-of-shifted
     semantics, zero-vector guard) and the reconstruction bound
