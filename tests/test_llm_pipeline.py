@@ -329,3 +329,87 @@ def test_resize_media_shape_and_metadata(spark, doc_dir):
     b = {r["media_id"]: bytes(r["payload"])
          for r in mm.resize_media(media, 16, 4).collect()}
     assert a == b
+
+
+def test_quant_codes_match_duckdb_batch(spark):
+    """Cross-engine contract for the int8 quantizer: Spark codes and
+    the oracle SQL rendering agree byte-for-byte, including the
+    boundary cases (exact half-tie code values, negative components,
+    zero vectors)."""
+    import duckdb
+
+    from chain_sync_spark.operators.llm_pipeline import (
+        _QUANT_CODES_SQL,
+        _quant_codes,
+    )
+
+    vecs = [
+        [0.5, -0.25, 0.1, 0.0],
+        [1.0, 1.0, 1.0, 1.0],
+        [0.0, 0.0, 0.0, 0.0],
+        [-0.3, 0.15, -0.075, 0.0375],
+        [127.0, -127.0, 63.5, -63.5],      # half-tie code values
+        [1e-8, -1e-8, 5e-9, 0.0],          # tiny magnitudes
+    ]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, e array<double>"
+    )
+    _, codes = _quant_codes(F.col("e"))
+    got = {r.i: r.c for r in sdf.select("i", codes.alias("c")).collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(vecs):
+        duck = con.execute(
+            f"""WITH sc AS (
+                  SELECT {v}::DOUBLE[] AS e,
+                         list_max(list_transform({v}::DOUBLE[], x -> abs(x))) / 127
+                           AS scale
+                )
+                SELECT {_QUANT_CODES_SQL} FROM sc"""
+        ).fetchone()[0]
+        assert got[i] == duck, (i, got[i], duck)
+
+
+def test_prefix_filter_randomized_against_brute_force(spark, tmp_path):
+    """Randomized adversarial check of the prefix + length + POSITIONAL
+    filters: 40 seeded documents with heavily varied sizes and overlap
+    structure (shared pools + per-doc noise) must yield exactly the
+    brute-force pair set — any over-tight bound shows up as a missing
+    pair here."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from chain_sync_spark.operators.llm_pipeline import (
+        PREFIX_MIN_JACCARD,
+        _docs_shingled,
+        neardup_prefix_filter_pairs,
+        release_caches,
+    )
+
+    rng = np.random.default_rng(23)
+    pools = [[f"p{p}w{j:02d}" for j in range(40)] for p in range(4)]
+    rows = []
+    for i in range(40):
+        pool = pools[i % 4]
+        k = int(rng.integers(5, 38))
+        words = list(rng.choice(pool, size=k, replace=False))
+        for j in range(int(rng.integers(0, 6))):
+            words.append(f"noise{i}x{j}")
+        rng.shuffle(words)
+        rows.append((i, " ".join(words), "en", "s", 300))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {(r.doc_a, r.doc_b)
+           for r in neardup_prefix_filter_pairs(spark, str(tmp_path)).collect()}
+    release_caches()
+    sh = {r.doc_id: set(r.sh) for r in _docs_shingled(spark, str(tmp_path)).collect()}
+    release_caches()
+    brute = set()
+    for x, y in combinations(sorted(sh), 2):
+        inter = len(sh[x] & sh[y])
+        union = len(sh[x] | sh[y])
+        if union and inter / union >= PREFIX_MIN_JACCARD:
+            brute.add((x, y))
+    assert got == brute
