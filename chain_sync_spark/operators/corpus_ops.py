@@ -600,6 +600,126 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# 8. Segment dedup REWRITE (round 4 continuation)
+# ---------------------------------------------------------------------------
+
+
+def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite completing segment_dedup_ratio's detection:
+    corpus-wide first-occurrence-wins segment dedup that actually
+    REBUILDS each document — every non-overlapping SEG_WORDS-word
+    segment is kept only at its globally first occurrence (ordered by
+    (doc_id, position)); later occurrences anywhere in the corpus are
+    dropped, and each document's surviving segments are reassembled
+    in original order (the sub-segment word tail is kept verbatim).
+    This is boilerplate/licence-block removal as production pipelines
+    run it, not just a ratio report.
+
+    Plan: per-row segment generate+posexplode → ONE first-occurrence
+    window keyed on the segment md5 [the only corpus shuffle of
+    segment text] → per-doc ordered reassembly via a hash aggregate
+    on doc_id → left join back to the per-doc spine (docs with <
+    SEG_WORDS words pass through untouched). Nothing quadratic; the
+    window state per key is one row. At 100 TB the md5-keyed window
+    shuffles segment text once — the alternative (dedup on md5 only,
+    join text back by (doc_id, idx)) trades that for an extra join;
+    at 3-word segments the text IS roughly the key size, so the
+    single-shuffle form wins."""
+    d = _docs_words(spark, sf_dir)
+    # NB: sequence(1, 0) is DESCENDING in Spark — the if() guard keeps
+    # sub-SEG_WORDS docs at zero segments instead of two bogus ones.
+    segs = F.expr(
+        f"if(size(w) >= {SEG_WORDS},"
+        f" transform(sequence(1, size(w) div {SEG_WORDS}),"
+        f" i -> array_join(slice(w, (i - 1) * {SEG_WORDS} + 1, {SEG_WORDS}), ' ')),"
+        f" array())"
+    )
+    tail = F.expr(
+        f"array_join(slice(w, (size(w) div {SEG_WORDS}) * {SEG_WORDS} + 1,"
+        f" size(w)), ' ')"
+    )
+    base = d.select("doc_id", segs.alias("segs"), tail.alias("tail"))
+    segrows = base.select(
+        "doc_id", F.posexplode("segs").alias("idx", "seg")
+    ).withColumn("seg_md5", F.md5("seg"))
+    w_first = Window.partitionBy("seg_md5").orderBy("doc_id", "idx")
+    kept = (
+        segrows.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seg_md5")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_segs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                lambda s: s.getField("seg"),
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    spine = base.select("doc_id", F.size("segs").alias("n_segs"), "tail")
+    n, k = F.col("n_segs"), F.coalesce(F.col("kept_segs"), F.lit(0))
+    drop_ratio = sk.floor_round(
+        (n - k).cast("double") / n.cast("double"), 6
+    )
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        n.cast("int").alias("n_segs"),
+        k.cast("int").alias("kept_segs"),
+        F.array_join(
+            F.filter(
+                F.array(F.coalesce(F.col("kept_text"), F.lit("")), F.col("tail")),
+                lambda x: x != "",
+            ),
+            " ",
+        ).alias("new_text"),
+        F.when(n > 0, drop_ratio).alias("drop_ratio"),
+    )
+
+
+_SEG_REWRITE_ORACLE = f"""
+WITH {_NORM_CTE},
+base AS (
+  SELECT doc_id, len(w) // {SEG_WORDS} AS n_segs,
+         array_to_string(w[(len(w) // {SEG_WORDS}) * {SEG_WORDS} + 1 :], ' ')
+           AS tail
+  FROM docs_words
+),
+segrows AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(w[(i - 1) * {SEG_WORDS} + 1 : i * {SEG_WORDS}], ' ')
+           AS seg
+  FROM docs_words, UNNEST(range(1, len(w) // {SEG_WORDS} + 1)) AS u(i)
+),
+kept AS (
+  SELECT doc_id, idx, seg FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                 ORDER BY doc_id, idx) AS rn
+    FROM segrows
+  ) WHERE rn = 1
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS kept_segs,
+         string_agg(seg, ' ' ORDER BY idx) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_segs AS INT) AS n_segs,
+       CAST(COALESCE(r.kept_segs, 0) AS INT) AS kept_segs,
+       COALESCE(array_to_string(
+         list_filter([COALESCE(r.kept_text, ''), b.tail], x -> x <> ''), ' '),
+         '') AS new_text,
+       CASE WHEN b.n_segs > 0 THEN
+         {sk.floor_round_sql(
+             'CAST(b.n_segs - COALESCE(r.kept_segs, 0) AS DOUBLE)'
+             ' / CAST(b.n_segs AS DOUBLE)', 6)}
+       END AS drop_ratio
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 8. Mixture resampling by deterministic hash acceptance (round 4)
 # ---------------------------------------------------------------------------
 
@@ -855,6 +975,7 @@ QUERIES = {
     "neardup_incremental_minhash": neardup_incremental_minhash,
     "lm_known_bigram_score": lm_known_bigram_score,
     "segment_dedup_ratio": segment_dedup_ratio,
+    "dedup_segment_rewrite": dedup_segment_rewrite,
     "mixture_resample_documents": mixture_resample_documents,
     "profile_column_stats": profile_column_stats,
     "bm25_topk_documents": bm25_topk_documents,
@@ -868,6 +989,7 @@ ORACLE = {
     "neardup_incremental_minhash": _incr_neardup_oracle(),
     "lm_known_bigram_score": _LM_SCORE_ORACLE,
     "segment_dedup_ratio": _SEG_DEDUP_ORACLE,
+    "dedup_segment_rewrite": _SEG_REWRITE_ORACLE,
     "mixture_resample_documents": _MIX_RESAMPLE_ORACLE,
     "profile_column_stats": _PROFILE_ORACLE,
     "bm25_topk_documents": _BM25_ORACLE,

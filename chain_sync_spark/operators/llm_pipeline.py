@@ -1425,6 +1425,250 @@ SELECT query_id, neighbor_id, qcos, rk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (round 4 continuation)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                       # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M    # dims per subspace (64 / 4 = 16)
+PQ_K = 16                      # codewords per subspace (4 bits)
+PQ_DIST_SCALE = 1_000_000      # 6-dp fixed-point micros for distances
+
+
+def _pq_subvectors(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, m, sub) — every vector split into its PQ_M contiguous
+    subvectors. Pure per-row generate+inline: zero joins, zero
+    shuffles; only the PQ_SUBDIM-float slice travels, not the full
+    vector."""
+    subs = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> struct("
+        f"cast(m as int) as m, slice(e, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) as sub))"
+    )
+    return df.select(F.col("vec_id").alias(id_col), F.inline(subs))
+
+
+def _pq_dist_micro(a, b):
+    """Squared-L2 subvector distance in exact 6-dp fixed point
+    (BIGINT micros). The float fold is sequential left-to-right in
+    both engines; the single floor-of-shifted conversion makes every
+    downstream SUM exact integer arithmetic — no float summation
+    order to pin across engines (same trick as BM25's DECIMAL sum)."""
+    sq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(sq * PQ_DIST_SCALE + F.lit(0.5)).cast("long")
+
+
+_PQ_DIST_MICRO_SQL = (
+    "CAST(FLOOR(list_sum(list_transform(range(1, {n} + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    f" * {PQ_DIST_SCALE} + 0.5) AS BIGINT)"
+)
+
+_PQ_BASE_CTE = f"""
+ed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, CAST(m AS INT) AS m,
+         e[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+  FROM ed, UNNEST(range(0, {PQ_M})) AS u(m)
+),
+cb AS (
+  SELECT vec_id AS code_id, m, sub AS csub FROM subs WHERE vec_id < {PQ_K}
+),
+assigned AS (
+  SELECT vec_id, m, code_id, dmicro FROM (
+    SELECT s.vec_id, s.m, c.code_id,
+           {_PQ_DIST_MICRO_SQL.format(n=PQ_SUBDIM, a='s.sub', b='c.csub')} AS dmicro,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_DIST_MICRO_SQL.format(n=PQ_SUBDIM, a='s.sub', b='c.csub')},
+                                       c.code_id) AS rn
+    FROM subs s JOIN cb c USING (m)
+  ) WHERE rn = 1
+)"""
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """(code_id, m, csub) — PQ_K seed vectors (vec_id < PQ_K, the
+    deterministic stand-in for per-subspace k-means training, same
+    convention as embedding_ivf_assign's seeds) sliced into subspace
+    codewords. PQ_K * PQ_M rows — always broadcast."""
+    return _pq_subvectors(emb.filter(F.col("vec_id") < PQ_K), "code_id").select(
+        "code_id", "m", F.col("sub").alias("csub")
+    )
+
+
+def _pq_assigned(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, code_id, dmicro) — nearest codeword per subspace.
+
+    Plan: per-row subvector generate → broadcast codebook join (the
+    corpus never shuffles for the join) → argmin via a map-side
+    combinable min(struct(dmicro, code_id)) hash aggregate keyed on
+    (vec_id, m). The only shuffle carries one 24-byte row per
+    (vector, subspace) — never the floats."""
+    scored = (
+        _pq_subvectors(emb, "vec_id")
+        .join(F.broadcast(_pq_codebook(emb)), "m")
+        .select(
+            "vec_id",
+            "m",
+            "code_id",
+            _pq_dist_micro(F.col("sub"), F.col("csub")).alias("dmicro"),
+        )
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct(F.col("dmicro").alias("d"), F.col("code_id").alias("cid"))).alias("b")
+    )
+    return best.select(
+        "vec_id", "m", F.col("b.cid").alias("code_id"), F.col("b.d").alias("dmicro")
+    )
+
+
+def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the high-compression sibling of
+    embedding_quantize_int8: each vector's {PQ_M} contiguous
+    {PQ_SUBDIM}-dim subvectors are replaced by the id of their
+    nearest subspace codeword ({PQ_K} codewords → 4 bits per
+    subspace, 16 bits per vector vs 2048 for float32). Output per
+    vector: the per-subspace codes, the packed single-BIGINT code
+    (the ANN bucket / storage key), and the exact-integer total
+    reconstruction error.
+
+    Scale: one broadcast codebook join + one map-side-combinable
+    hash aggregate per (vector, subspace) + one per-vector pivot
+    aggregate — the corpus floats are read once and never shuffled.
+    At 100 TB the codes table (2 bytes/vector + key) IS the ANN
+    index every query stage reads instead of the embeddings."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    best = _pq_assigned(emb)
+    code_m = [
+        F.max(F.when(F.col("m") == i, F.col("code_id"))).alias(f"code_{i}")
+        for i in range(PQ_M)
+    ]
+    out = best.groupBy("vec_id").agg(
+        *code_m, F.sum("dmicro").alias("recon_micro")
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(PQ_M):
+        packed = packed * PQ_K + F.col(f"code_{i}")
+    return out.select(
+        "vec_id",
+        *[F.col(f"code_{i}").cast("int").alias(f"code_{i}") for i in range(PQ_M)],
+        packed.cast("long").alias("pq_code"),
+        (F.col("recon_micro").cast("double") / PQ_DIST_SCALE).alias("recon_dist"),
+    )
+
+
+def _pq_assign_oracle() -> str:
+    code_cols = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN m = {i} THEN code_id END) AS INT) AS code_{i}"
+        for i in range(PQ_M)
+    )
+    packed = "0"
+    for i in range(PQ_M):
+        packed = f"({packed} * {PQ_K} + MAX(CASE WHEN m = {i} THEN code_id END))"
+    return f"""
+WITH {_PQ_BASE_CTE.lstrip()}
+SELECT vec_id,
+       {code_cols},
+       CAST({packed} AS BIGINT) AS pq_code,
+       CAST(SUM(dmicro) AS DOUBLE) / {PQ_DIST_SCALE} AS recon_dist
+FROM assigned
+GROUP BY vec_id
+"""
+
+
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-{ANN_TOPK} search over the PQ
+    codes — the query path on top of embedding_pq_assign: each query
+    precomputes a {PQ_M}×{PQ_K} lookup table of exact
+    query-subvector→codeword distances, and every database vector is
+    scored as the SUM of {PQ_M} table entries selected by its codes —
+    never touching the database floats. Distances stay in 6-dp
+    fixed-point BIGINT so the sum is exact integer math (engine- and
+    order-independent); the single final division produces the
+    reported double.
+
+    Scale: the LUT is queries×{PQ_M}×{PQ_K} rows — broadcast; the
+    codes relation (built once by embedding_pq_assign, scoped-persist
+    here standing in for the stored codes table) is the ONLY corpus-
+    sized input, 3 ints per row. One broadcast join + one hash
+    aggregate keyed (query, vector) + a top-k window over scored rows.
+    Queries are vec_id in [{PQ_K}, {PQ_K + ANN_QUERIES}) — disjoint
+    from the codebook seeds, mirroring embedding_ivf_topk."""
+    release_caches()  # previous query's scope ends here
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    codes = _scoped_persist(
+        _pq_assigned(emb).select("vec_id", "m", "code_id")
+    )
+    q = emb.filter(
+        (F.col("vec_id") >= PQ_K) & (F.col("vec_id") < PQ_K + ANN_QUERIES)
+    )
+    lut = (
+        _pq_subvectors(q, "query_id")
+        .join(F.broadcast(_pq_codebook(emb)), "m")
+        .select(
+            "query_id",
+            "m",
+            "code_id",
+            _pq_dist_micro(F.col("sub"), F.col("csub")).alias("dmicro"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dmicro").alias("admicro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("admicro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANN_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("admicro").cast("double") / PQ_DIST_SCALE).alias("adc_dist"),
+            "rk",
+        )
+    )
+
+
+def _pq_adc_oracle() -> str:
+    return f"""
+WITH {_PQ_BASE_CTE.lstrip()},
+qsubs AS (
+  SELECT vec_id AS query_id, m, sub FROM subs
+  WHERE vec_id >= {PQ_K} AND vec_id < {PQ_K + ANN_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, q.m, c.code_id,
+         {_PQ_DIST_MICRO_SQL.format(n=PQ_SUBDIM, a='q.sub', b='c.csub')} AS dmicro
+  FROM qsubs q JOIN cb c USING (m)
+),
+scored AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, SUM(l.dmicro) AS admicro
+  FROM assigned a JOIN lut l ON a.m = l.m AND a.code_id = l.code_id
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(admicro AS DOUBLE) / {PQ_DIST_SCALE} AS adc_dist, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY admicro, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {ANN_TOPK}
+"""
+
+
 LEV_NEIGHBORS = 5  # sorted-neighborhood width w
 LEV_MAX_DIST = 10
 
@@ -1780,6 +2024,8 @@ QUERIES = {
     "neardup_prefix_filter_pairs": neardup_prefix_filter_pairs,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_quantized_topk": embedding_quantized_topk,
+    "embedding_pq_assign": embedding_pq_assign,
+    "embedding_pq_adc_topk": embedding_pq_adc_topk,
 }
 
 ORACLE = {
@@ -1809,4 +2055,6 @@ ORACLE = {
     "neardup_prefix_filter_pairs": _prefix_filter_oracle(),
     "embedding_quantize_int8": _QUANTIZE_ORACLE,
     "embedding_quantized_topk": _QUANT_TOPK_ORACLE,
+    "embedding_pq_assign": _pq_assign_oracle(),
+    "embedding_pq_adc_topk": _pq_adc_oracle(),
 }

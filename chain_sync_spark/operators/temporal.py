@@ -397,6 +397,78 @@ FROM daily
 """
 
 
+def retention_cohort_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the classic product-analytics matrix
+    over the events stream: every user is assigned to the cohort of
+    their first active ISO week, and each (cohort, week-offset) cell
+    reports how many cohort members were active that many weeks
+    later, as a count and as a tie-safe-rounded share of the cohort.
+    Week 0 retention is 1.0 by construction (an invariant a pytest
+    pins).
+
+    Scale: the events scan reduces immediately to distinct
+    (user, week) pairs [shuffle 1, map-side combinable]; cohorts are
+    a per-user min over that relation [same user_id key — AQE reuses
+    the partitioning for the self-join]; the cell aggregate is keyed
+    on (cohort_week, offset) — bounded by weeks², tiny; cohort sizes
+    broadcast back. The raw event volume is touched exactly once."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    user_weeks = ev.distinct()
+    cohort = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        user_weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        "active_users",
+        sk.floor_round(
+            F.col("active_users").cast("double")
+            / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+_RETENTION_ORACLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_week
+),
+cells AS (
+  SELECT c.cohort_week,
+         CAST(datediff('day', c.cohort_week, u.wk) // 7 AS INT) AS week_offset,
+         COUNT(*) AS active_users
+  FROM uw u JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, cohort_size, active_users,
+       {sk.floor_round_sql(
+           'CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)', 6)}
+         AS retention
+FROM cells JOIN sizes USING (cohort_week)
+"""
+
+
 QUERIES = {
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
@@ -407,6 +479,7 @@ QUERIES = {
     "resample_daily_gapfill": resample_daily_gapfill,
     "percentile_order_prices": percentile_order_prices,
     "profile_drift_events": profile_drift_events,
+    "retention_cohort_weeks": retention_cohort_weeks,
 }
 
 ORACLE = {
@@ -419,4 +492,5 @@ ORACLE = {
     "resample_daily_gapfill": _RESAMPLE_ORACLE,
     "percentile_order_prices": _PERCENTILE_ORACLE,
     "profile_drift_events": _DRIFT_ORACLE,
+    "retention_cohort_weeks": _RETENTION_ORACLE,
 }

@@ -23,21 +23,23 @@ CORRECTNESS_r* artifact".  Round-4 window composition:
   - 2 whose implementation changed this round and must re-earn green
     (dedup_exact_documents -> groupBy plan; embedding_ann_multiprobe is
     new)
-  - 9 NEW round-4 operators (lm_known_bigram_score,
+  - 13 NEW round-4 operators (lm_known_bigram_score,
     segment_dedup_ratio, mixture_resample_documents,
     profile_column_stats, embedding_quantize_int8,
     embedding_quantized_topk, profile_drift_events,
-    bm25_topk_documents, neardup_prefix_filter_pairs) — certified on
+    bm25_topk_documents, neardup_prefix_filter_pairs, and from the
+    continuation session: embedding_pq_assign, embedding_pq_adc_topk,
+    dedup_segment_rewrite, retention_cohort_weeks) — certified on
     first appearance
   - 1 late-round implementation change (window_rank_variants picked
     up tie-safe percent_rank/cume_dist rounding) re-windowed to
     re-earn green; quality_repetition_filter and
     domain_mixture_weights changed identically but were already in
     this window
-  - 4 refresh slots for r2-only greens (the refresh slots ceded to
-    the new operators keep their r2 green and join the round-5
-    rotation_debt; every §2 family keeps at least one green row
-    across the r3∪r4 artifacts)
+  - the 4 remaining refresh slots ceded to the continuation-session
+    operators; every displaced r2-green name keeps its r2 row and
+    joins the round-5 rotation_debt (every §2 family keeps at least
+    one green row across the r3∪r4 artifacts)
 
 Everything outside the window holds a green row in CORRECTNESS_r02 or
 _r03; round 5 should rotate the oldest of those back in (see
@@ -133,11 +135,12 @@ WINDOW = [
     # -- implementation changed late in round 4 (tie-safe rounding):
     #    must re-earn green like the other changed queries --
     "window_rank_variants",
-    # -- refresh slots: r2-only greens --
-    "filter_project_events",
-    "sort_limit_top_orders",
-    "set_ops_segments",
-    "surrogate_key_md5",
+    # -- continuation-session operators: certified on first appearance
+    #    (took the four r2-green refresh slots, which join rotation_debt) --
+    "embedding_pq_assign",
+    "embedding_pq_adc_topk",
+    "dedup_segment_rewrite",
+    "retention_cohort_weeks",
 ]
 
 
@@ -172,7 +175,11 @@ def rotation_debt() -> list[str]:
     rotation candidates (everything not in this round's WINDOW whose
     last green was r2)."""
     r2_only = {
-        # refresh slots ceded to the eight new round-4 operators:
+        # refresh slots ceded to the new round-4 operators:
+        "filter_project_events",
+        "sort_limit_top_orders",
+        "set_ops_segments",
+        "surrogate_key_md5",
         "join_anti_customers_without_orders",
         "isin_allowlist_filter",
         "window_running_revenue",

@@ -289,3 +289,30 @@ def test_bm25_single_corpus_scan_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     lp.release_caches()
     assert plan.count("InMemoryTableScan") == 2
+
+
+def test_segment_rewrite_first_occurrence_wins(spark, tmp_path):
+    """Global first-occurrence-wins rewrite: a segment duplicated
+    across docs survives only in the lowest (doc_id, position); an
+    in-doc repeat keeps its first copy; the sub-segment tail always
+    passes through verbatim; short docs are untouched."""
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c d e f x", "en", "s", 13),     # 2 segs + tail "x"
+            (2, "d e f g h i", "en", "s", 11),       # "d e f" dup of doc1
+            (3, "p q r p q r", "en", "s", 11),       # in-doc repeat
+            (4, "z z", "en", "s", 3),                # below SEG_WORDS
+        ],
+    )
+    out = {r.doc_id: r for r in co.dedup_segment_rewrite(spark, d).collect()}
+    assert (out[1].n_segs, out[1].kept_segs) == (2, 2)
+    assert out[1].new_text == "a b c d e f x"
+    assert (out[2].n_segs, out[2].kept_segs) == (2, 1)
+    assert out[2].new_text == "g h i"
+    assert (out[3].n_segs, out[3].kept_segs) == (2, 1)
+    assert out[3].new_text == "p q r"
+    assert out[3].drop_ratio == 0.5
+    assert (out[4].n_segs, out[4].kept_segs) == (0, 0)
+    assert out[4].new_text == "z z" and out[4].drop_ratio is None
