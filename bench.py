@@ -60,6 +60,9 @@ EXTENDED_SET = [
     "embedding_quantized_topk",
     "lm_known_bigram_score",
     "segment_dedup_ratio",
+    "dedup_segment_rewrite",
+    "retention_cohort_weeks",
+    "embedding_pq_adc_topk",
     "profile_column_stats",
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]

@@ -626,19 +626,26 @@ def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 3-word segments the text IS roughly the key size, so the
     single-shuffle form wins."""
     d = _docs_words(spark, sf_dir)
-    # NB: sequence(1, 0) is DESCENDING in Spark — the if() guard keeps
-    # sub-SEG_WORDS docs at zero segments instead of two bogus ones.
-    segs = F.expr(
-        f"if(size(w) >= {SEG_WORDS},"
-        f" transform(sequence(1, size(w) div {SEG_WORDS}),"
-        f" i -> array_join(slice(w, (i - 1) * {SEG_WORDS} + 1, {SEG_WORDS}), ' ')),"
-        f" array())"
+    # NB 1: sequence(1, 0) is DESCENDING in Spark — the if() guard
+    # keeps sub-SEG_WORDS docs at zero segments instead of two bogus
+    # ones. NB 2: the token array is bound ONCE per row as the lambda
+    # variable ww — referencing the aliased column w directly lets
+    # CollapseProject inline the whole tokenization into the transform
+    # lambda and re-run the regex once per segment ELEMENT (measured
+    # ~12x slower at sf0.1; same trap _quant_codes documents).
+    seg_tail = F.expr(
+        f"transform(array(w), ww -> struct("
+        f" if(size(ww) >= {SEG_WORDS},"
+        f"    transform(sequence(1, size(ww) div {SEG_WORDS}),"
+        f"      i -> array_join(slice(ww, (i - 1) * {SEG_WORDS} + 1,"
+        f"                            {SEG_WORDS}), ' ')),"
+        f"    array()) AS segs,"
+        f" array_join(slice(ww, (size(ww) div {SEG_WORDS}) * {SEG_WORDS} + 1,"
+        f"                  size(ww)), ' ') AS tail))[0]"
     )
-    tail = F.expr(
-        f"array_join(slice(w, (size(w) div {SEG_WORDS}) * {SEG_WORDS} + 1,"
-        f" size(w)), ' ')"
+    base = d.select("doc_id", seg_tail.alias("st")).select(
+        "doc_id", F.col("st.segs").alias("segs"), F.col("st.tail").alias("tail")
     )
-    base = d.select("doc_id", segs.alias("segs"), tail.alias("tail"))
     segrows = base.select(
         "doc_id", F.posexplode("segs").alias("idx", "seg")
     ).withColumn("seg_md5", F.md5("seg"))

@@ -1502,17 +1502,21 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_assigned(emb: DataFrame) -> DataFrame:
-    """(vec_id, m, code_id, dmicro) — nearest codeword per subspace.
+def _pq_assigned(emb: DataFrame, codebook: DataFrame | None = None) -> DataFrame:
+    """(vec_id, m, code_id, dmicro) — nearest codeword per subspace,
+    against ``codebook`` (a stored, previously-trained one — the
+    streaming index passes this) or the deterministic seed codebook
+    derived from ``emb`` itself.
 
     Plan: per-row subvector generate → broadcast codebook join (the
     corpus never shuffles for the join) → argmin via a map-side
     combinable min(struct(dmicro, code_id)) hash aggregate keyed on
     (vec_id, m). The only shuffle carries one 24-byte row per
     (vector, subspace) — never the floats."""
+    cb = _pq_codebook(emb) if codebook is None else codebook
     scored = (
         _pq_subvectors(emb, "vec_id")
-        .join(F.broadcast(_pq_codebook(emb)), "m")
+        .join(F.broadcast(cb), "m")
         .select(
             "vec_id",
             "m",

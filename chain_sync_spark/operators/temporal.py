@@ -406,31 +406,32 @@ def retention_cohort_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Week 0 retention is 1.0 by construction (an invariant a pytest
     pins).
 
-    Scale: the events scan reduces immediately to distinct
-    (user, week) pairs [shuffle 1, map-side combinable]; cohorts are
-    a per-user min over that relation [same user_id key — AQE reuses
-    the partitioning for the self-join]; the cell aggregate is keyed
-    on (cohort_week, offset) — bounded by weeks², tiny; cohort sizes
-    broadcast back. The raw event volume is touched exactly once."""
+    Scale: ONE events scan (plan-audited) reducing immediately to
+    distinct (user, week) pairs [shuffle 1, map-side combinable]; the
+    cohort week rides along as a min-over-user window (no self-join);
+    the cell aggregate is keyed on (cohort_week, offset) — bounded by
+    weeks², tiny — and the cohort size is the offset-0 cell of the
+    same relation, attached by a window rather than a join so the
+    cells lineage (and the events scan under it) is never computed
+    twice. Every user is active in their own cohort week, so the
+    offset-0 cell always exists."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
     )
-    user_weeks = ev.distinct()
-    cohort = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
-    sizes = cohort.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
+    user_weeks = ev.distinct().withColumn(
+        "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))
     )
-    cells = (
-        user_weeks.join(cohort, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
-            .cast("int")
-            .alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("active_users"))
-    )
-    return cells.join(F.broadcast(sizes), "cohort_week").select(
+    cells = user_weeks.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+    size_w = Window.partitionBy("cohort_week")
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("active_users"))
+    ).over(size_w)
+    return cells.withColumn("cohort_size", cohort_size).select(
         "cohort_week",
         "week_offset",
         "cohort_size",

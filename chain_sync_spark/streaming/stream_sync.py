@@ -401,6 +401,79 @@ def run_stream_neardup_index(
     )
 
 
+def run_stream_pq_index(
+    stream_emb: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuously-maintained product-quantization ANN index — the
+    streaming twin of operators/llm_pipeline.embedding_pq_assign: the
+    FIRST micro-batch trains the codebook (deterministic seed-vector
+    stand-in, vec_id < PQ_K, exactly as the batch operator); every
+    batch then assigns codes against the STORED codebook — frozen
+    after training, the production contract for a PQ index (codes are
+    only comparable under one codebook) — and appends the new
+    vectors' code rows. Re-delivered vec_ids keep their first codes.
+
+    Store layout (atomic parent swap per batch, crash-recoverable via
+    the same protocol as run_stream_rollup):
+      store_dir/codebook  (code_id, m, csub)            — frozen
+      store_dir/codes     (vec_id, m, code_id, batch_id) — the index
+      store_dir/_rollup_commit.json                      — replay mark
+
+    Scale: per batch the work is the batch-sized broadcast-codebook
+    assign (O(batch · PQ_M · PQ_K) distance rows, map-side argmin)
+    plus an append; the historical index is touched only by the
+    anti-join id probe. ADC queries (embedding_pq_adc_topk's shape)
+    read codes + codebook directly."""
+    import os
+
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return
+        spark = batch_df.sparkSession
+        emb = batch_df.select(
+            "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+        )
+        have_store = os.path.isdir(os.path.join(store_dir, "codebook"))
+        if have_store:
+            cb = spark.read.parquet(os.path.join(store_dir, "codebook"))
+            old_codes = spark.read.parquet(os.path.join(store_dir, "codes"))
+        else:
+            cb = lp._pq_codebook(emb)
+            old_codes = spark.createDataFrame(
+                [], "vec_id long, m int, code_id long, batch_id long"
+            )
+        assigned = lp._pq_assigned(emb, codebook=cb).select(
+            "vec_id",
+            "m",
+            "code_id",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        fresh = assigned.join(
+            old_codes.select("vec_id").distinct(), "vec_id", "left_anti"
+        )
+        _commit_store_tables(
+            {"codebook": cb, "codes": old_codes.unionByName(fresh)},
+            store_dir,
+            {"checkpoint": ckpt_id, "batch_id": batch_id},
+        )
+
+    return (
+        stream_emb.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_rollup(
     stream_df: DataFrame,
     store_dir: str,

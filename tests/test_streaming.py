@@ -529,3 +529,81 @@ def test_stream_profile_matches_batch_profile_and_replays_safely(spark, tmp_path
     # restart on the SAME checkpoint: no new files, nothing re-merges
     run_stream_profile(_stream(), store, cols, ckpt).awaitTermination(120)
     assert _canon(spark.read.parquet(store)) == _canon(exp)
+
+
+def test_stream_pq_index_frozen_codebook_and_replay(spark, tmp_path):
+    """Streaming PQ index: batch 0 trains the codebook and indexes its
+    vectors; batch 1 is coded against the STORED (frozen) codebook; a
+    re-delivered vec_id keeps its first codes; the resulting codes
+    table equals the batch operator's assignment under the same
+    codebook; restart on the same checkpoint changes nothing."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.streaming.stream_sync import run_stream_pq_index
+
+    rng = np.random.default_rng(5)
+    vecs = {i: [float(x) for x in rng.normal(size=lp.EMB_DIM)] for i in range(24)}
+
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src)
+
+    def _write(name, ids, mtime):
+        with open(os.path.join(src, name), "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"vec_id": i, "embedding": vecs[i]}) + "\n")
+        os.utime(os.path.join(src, name), (mtime, mtime))
+
+    _write("b0.json", range(20), 1_700_000_000)
+    _write("b1.json", [20, 21, 22, 23, 0], 1_700_000_100)  # 0 re-delivered
+
+    store = str(tmp_path / "pq_store")
+    ckpt = str(tmp_path / "pq_ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    run_stream_pq_index(_stream(), store, ckpt).awaitTermination(120)
+
+    codes = spark.read.parquet(f"{store}/codes")
+    rows = codes.collect()
+    # every vector coded exactly once per subspace; redelivery kept batch-0 rows
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, []).append(r)
+    assert set(per_vec) == set(range(24))
+    assert all(len(v) == lp.PQ_M for v in per_vec.values())
+    assert all(r.batch_id == 0 for r in per_vec[0])
+    assert all(r.batch_id == 1 for r in per_vec[20])
+
+    # codebook is frozen batch-0 training output: PQ_K * PQ_M codewords
+    cb = spark.read.parquet(f"{store}/codebook")
+    assert cb.count() == lp.PQ_K * lp.PQ_M
+    assert {r.code_id for r in cb.select("code_id").distinct().collect()} == set(
+        range(lp.PQ_K)
+    )
+
+    # codes equal the batch operator's assignment under the same codebook
+    all_emb = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(24)], "vec_id long, embedding array<float>"
+    ).select("vec_id", sk.vec_double(F.col("embedding")).alias("e"))
+    want = {
+        (r.vec_id, r.m): r.code_id
+        for r in lp._pq_assigned(all_emb, codebook=cb).collect()
+    }
+    got = {(r.vec_id, r.m): r.code_id for r in rows}
+    assert got == want
+
+    # restart on the same checkpoint: replay mark short-circuits
+    before = sorted(map(str, rows))
+    run_stream_pq_index(_stream(), store, ckpt).awaitTermination(120)
+    after = sorted(map(str, spark.read.parquet(f"{store}/codes").collect()))
+    assert before == after
