@@ -1673,6 +1673,100 @@ FROM (
 """
 
 
+def embedding_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nprobe: int = IVF_PROBES,
+    topk: int = ANN_TOPK,
+) -> DataFrame:
+    """IVF-PQ composed search — the production ANN shape at 100 TB,
+    built from the two certified parts: the IVF coarse quantizer
+    ({IVF_CLUSTERS} cells, embedding_ivf_assign's plan) prunes the
+    candidate set to each query's ``nprobe`` nearest cells, and PQ
+    asymmetric distance (embedding_pq_adc_topk's scoring — broadcast
+    per-query LUT over the codes, exact fixed-point integer sums)
+    ranks inside those cells without ever touching the stored floats.
+
+    Pytest-gated library operator (not in the certification registry:
+    the round-4 window is full; its parts hold their own oracle rows,
+    and ``nprobe = all cells`` is provably identical to
+    embedding_pq_adc_topk — the equivalence a pytest asserts).
+
+    Scale: the inverted index (cell id + {PQ_M} codes per vector) is
+    the ONLY corpus-sized relation; cells and probe sets broadcast;
+    the scoring join touches probed cells' members only, so cost is
+    O(corpus/cells · nprobe) per query batch instead of O(corpus)."""
+    release_caches()  # previous query's scope ends here
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    seeds = emb.filter(F.col("vec_id") < IVF_CLUSTERS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    cells = (
+        emb.join(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(sk.cosine(F.col("e"), F.col("ce")), 4).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    # the stored index: cell id + PQ codes per vector (scoped persist
+    # stands in for the precomputed index table a deployment reads)
+    index = _scoped_persist(
+        cells.join(_pq_assigned(emb).select("vec_id", "m", "code_id"), "vec_id")
+    )
+    q = emb.filter(
+        (F.col("vec_id") >= PQ_K) & (F.col("vec_id") < PQ_K + ANN_QUERIES)
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .join(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(sk.cosine(F.col("qe"), F.col("ce")), 4).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    lut = (
+        _pq_subvectors(q, "query_id")
+        .join(F.broadcast(_pq_codebook(emb)), "m")
+        .select(
+            "query_id",
+            "m",
+            "code_id",
+            _pq_dist_micro(F.col("sub"), F.col("csub")).alias("dmicro"),
+        )
+    )
+    scored = (
+        index.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dmicro").alias("admicro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("admicro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("admicro").cast("double") / PQ_DIST_SCALE).alias("adc_dist"),
+            "rk",
+        )
+    )
+
+
 LEV_NEIGHBORS = 5  # sorted-neighborhood width w
 LEV_MAX_DIST = 10
 
