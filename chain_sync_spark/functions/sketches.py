@@ -67,6 +67,22 @@ def words(c: Column) -> Column:
 WORDS_SQL = "list_filter(string_split({c}, ' '), t -> t <> '')"
 
 
+def bind1(col: Column, f) -> Column:
+    """Evaluate ``col`` ONCE per row and pass it to ``f`` as a bound
+    lambda variable. Use whenever a COMPUTED expression feeds a
+    helper that references its argument inside per-element lambdas
+    (word_shingles, char_ngrams, segmenters): each reference embeds a
+    full COPY of the argument tree at build time, and higher-order
+    lambdas evaluate free-variable copies once per ELEMENT — measured
+    20x on contamination_ngram_overlap and 16x on
+    dedup_segment_rewrite. The transform-over-1-element-array is the
+    binding; no Catalyst rule re-inlines through it. Raw column
+    attributes don't need this; aliased columns behind a Project are
+    protected only by CollapseProject's repeated-reference guard,
+    which is fragile — prefer bind1 for any non-attribute input."""
+    return F.transform(F.array(col), lambda x: f(x))[0]
+
+
 def word_shingles(w: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; empty array when < n words.
     1-based indices to mirror the DuckDB rendering exactly."""

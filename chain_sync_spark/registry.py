@@ -50,6 +50,11 @@ greens — the oldest rows), then fill the remaining slots with the
 oldest r3-only greens (llm_pipeline sketch family), keeping any query
 whose implementation changes in round 5 in the window to re-earn its
 green. Update this plan in place when composing the r5 WINDOW.
+Scheduled round-5 change: migrate word_shingles/char_ngrams internals
+onto sketches.bind1 (per-element re-evaluation guard; see BENCH.md
+"Expression-binding audit") — value-identical, but it touches the
+minhash/simhash/fingerprint family, which is exactly the r3-green
+fill set re-certifying in that window.
 
 Pre-flight: ``tools/oracle_check.py`` now canonicalizes exactly like
 the driver (pandas sort_values — rejects list-typed output columns), so
