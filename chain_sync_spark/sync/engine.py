@@ -191,13 +191,47 @@ class SyncEngine:
         return self.spark.createDataFrame([], INDEX_SCHEMA)
 
     def process_batch(self, ops: DataFrame) -> None:
-        """One sync round over an op-stream micro-batch."""
+        """One sync round over an op-stream micro-batch.
+
+        The accounts merge runs CONCURRENTLY with the posts/index/
+        votes chain: it touches a disjoint store and derives only from
+        the batch, so the Spark scheduler overlaps its jobs with the
+        chain's (thread-submitted jobs interleave; on a cluster the
+        two stores' IO overlaps the same way). Replay safety is
+        unchanged — the cursor advances only after BOTH paths commit,
+        and every merge is idempotent. The posts chain itself is
+        order-dependent (posts → index → vote set-add on the same
+        tables) and stays sequential."""
+        from concurrent.futures import ThreadPoolExecutor
+
         if not self._migrated:
             self.migrate_store()
             self._migrated = True
         typed = classify(ops)
         comments, votes, accounts = typed["comment"], typed["vote"], typed["account_update"]
 
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            acct_future = pool.submit(self._merge_accounts, comments, votes, accounts)
+            self._process_posts_chain(comments, votes)
+            acct_future.result()  # re-raises merge errors before commit
+
+    def _merge_accounts(self, comments, votes, accounts) -> None:
+        # accounts: last_active max + latest profile (A2/F9), hash-
+        # bucketed so the merge rewrites only touched buckets.
+        acct_upserts = account_activity_upserts(comments, votes, accounts).withColumn(
+            "bucket", _bucket("name", N_ACCOUNT_BUCKETS)
+        )
+        merge_parquet(
+            self.spark,
+            self.accounts_dir,
+            acct_upserts,
+            key_cols=["name"],
+            merge_exprs={"last_active": max_of, "profile": take_source},
+            partition_cols=["bucket"],
+            partition_stable=True,
+        )
+
+    def _process_posts_chain(self, comments: DataFrame, votes: DataFrame) -> None:
         idx = self.posts_index()
         slim_idx = idx.select("post_id", "year", "month")
 
@@ -297,21 +331,6 @@ class SyncEngine:
                 partition_cols=["year", "month"],
                 partition_stable=True,  # year/month come from the index
             )
-
-        # accounts: last_active max + latest profile (A2/F9), hash-
-        # bucketed so the merge rewrites only touched buckets.
-        acct_upserts = account_activity_upserts(comments, votes, accounts).withColumn(
-            "bucket", _bucket("name", N_ACCOUNT_BUCKETS)
-        )
-        merge_parquet(
-            self.spark,
-            self.accounts_dir,
-            acct_upserts,
-            key_cols=["name"],
-            merge_exprs={"last_active": max_of, "profile": take_source},
-            partition_cols=["bucket"],
-            partition_stable=True,
-        )
 
     def run(self, source: DataFrame, batch_size: int = 30, stop_block: int | None = None) -> int:
         """Reference main loop (listener.js:157-195): consume
