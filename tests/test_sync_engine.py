@@ -533,3 +533,32 @@ def test_heartbeat_fires_per_committed_round(spark, tmp_path):
     engine2.run(sparse, batch_size=10)
     assert [b["n_ops"] for b in beats2] == [0, 50]
     assert [b["batch_lo"] for b in beats2] == [0, 10]
+
+
+def test_accounts_merge_failure_aborts_round(spark, tmp_path, ops_batch1, monkeypatch):
+    """The accounts merge runs in a worker thread concurrent with the
+    posts chain; its failure must still fail the ROUND before the
+    cursor advances (replay then redoes the whole batch — merges are
+    idempotent, so the half-committed posts chain is safe)."""
+    from chain_sync_spark.sources.checkpoint import read_cursor
+    from chain_sync_spark.sync.engine import SyncEngine
+
+    eng = SyncEngine(spark, str(tmp_path))
+
+    def boom(*a, **k):
+        raise RuntimeError("accounts store unavailable")
+
+    monkeypatch.setattr(eng, "_merge_accounts", boom)
+    with pytest.raises(RuntimeError, match="accounts store unavailable"):
+        eng.run(ops_batch1.withColumn("block_num", F.lit(0)), batch_size=10)
+    # cursor never advanced: the batch replays in full on restart
+    assert read_cursor(spark, f"{tmp_path}/checkpoint", default=0) == 0
+
+    # restart with the real merge: round completes and converges to
+    # the same store state a clean run produces (idempotent replay
+    # over the posts chain's partial commit)
+    eng2 = SyncEngine(spark, str(tmp_path))
+    cur = eng2.run(ops_batch1.withColumn("block_num", F.lit(0)), batch_size=10)
+    assert cur == 1
+    accounts = {r["name"] for r in _accounts(spark, tmp_path).collect()}
+    assert "alice" in accounts
