@@ -474,6 +474,67 @@ def run_stream_pq_index(
     )
 
 
+def search_pq_index(
+    spark: SparkSession,
+    store_dir: str,
+    query_emb: DataFrame,
+    *,
+    topk: int | None = None,
+) -> DataFrame:
+    """ADC top-k search over a run_stream_pq_index store — the query
+    path that makes the streamed index useful: reads the frozen
+    codebook + codes tables, builds each query's distance lookup
+    table against the codebook, and ranks every indexed vector by the
+    exact-integer sum of its codes' table entries. Identical scoring
+    to operators/llm_pipeline.embedding_pq_adc_topk (a pytest asserts
+    result equality when the store indexes the same corpus), but the
+    corpus floats are never read — only the 3-int code rows.
+
+    ``query_emb`` is (vec_id, embedding array<float>); queries are
+    NOT excluded from results unless their vec_id matches an indexed
+    id (self-match suppressed, mirroring the batch operator)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    k = lp.ANN_TOPK if topk is None else topk
+    cb = spark.read.parquet(os.path.join(store_dir, "codebook"))
+    codes = spark.read.parquet(os.path.join(store_dir, "codes"))
+    q = query_emb.select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    lut = (
+        lp._pq_subvectors(q, "query_id")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "code_id",
+            lp._pq_dist_micro(F.col("sub"), F.col("csub")).alias("dmicro"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dmicro").alias("admicro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("admicro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("admicro").cast("double") / lp.PQ_DIST_SCALE).alias("adc_dist"),
+            "rk",
+        )
+    )
+
+
 def run_stream_rollup(
     stream_df: DataFrame,
     store_dir: str,

@@ -607,3 +607,52 @@ def test_stream_pq_index_frozen_codebook_and_replay(spark, tmp_path):
     run_stream_pq_index(_stream(), store, ckpt).awaitTermination(120)
     after = sorted(map(str, spark.read.parquet(f"{store}/codes").collect()))
     assert before == after
+
+
+def test_search_pq_index_matches_batch_adc(spark, tmp_path):
+    """The streamed PQ store must serve queries identically to the
+    batch operator: index the whole embeddings table in one batch
+    (same deterministic codebook), search with the batch operator's
+    query set, and require exact result equality — neighbors,
+    distances, ranks."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.streaming.stream_sync import (
+        run_stream_pq_index,
+        search_pq_index,
+    )
+
+    rng = np.random.default_rng(13)
+    n = lp.PQ_K + lp.ANN_QUERIES + 40
+    vecs = {i: [float(x) for x in rng.normal(size=lp.EMB_DIM)] for i in range(n)}
+    emb_df = spark.createDataFrame(
+        [(i, vecs[i], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb_df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for i in range(n):
+            fh.write(_json.dumps({"vec_id": i, "embedding": vecs[i]}) + "\n")
+
+    store = str(tmp_path / "pq_store")
+    run_stream_pq_index(
+        spark.readStream.schema("vec_id long, embedding array<float>").json(src),
+        store,
+        str(tmp_path / "pq_ckpt"),
+    ).awaitTermination(120)
+
+    queries = emb_df.filter(
+        (F.col("vec_id") >= lp.PQ_K) & (F.col("vec_id") < lp.PQ_K + lp.ANN_QUERIES)
+    ).select("vec_id", "embedding")
+    got = {(r.query_id, r.neighbor_id, r.adc_dist, r.rk)
+           for r in search_pq_index(spark, store, queries).collect()}
+    want = {(r.query_id, r.neighbor_id, r.adc_dist, r.rk)
+            for r in lp.embedding_pq_adc_topk(spark, str(tmp_path)).collect()}
+    assert got == want and len(got) == lp.ANN_QUERIES * lp.ANN_TOPK
