@@ -121,3 +121,39 @@ def test_floor_round_cross_engine_parity_batch(spark):
         assert spark_val == duck_val, (p, q, spark_val, duck_val)
     # and the motivating case really is a divergent round() tie
     assert got[(1, 128)] == 0.007813  # floor-of-shifted rounds the tie UP
+
+
+def test_bind1_transparent_for_shingles_batch(spark):
+    """bind1 is a performance binding, never a semantic change: for
+    arbitrary text, word_shingles over a bind1-bound tokenize
+    expression equals word_shingles over the same expression passed
+    raw (the slow inlined form) AND over a materialized column. The
+    guard for migrating helper internals onto bind1 in round 5."""
+    import random
+    import string
+
+    from chain_sync_spark.functions import sketches as sk
+
+    rng = random.Random(99)
+    words = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 6)))
+             for _ in range(30)]
+    rows = [
+        (i, " ".join(rng.choices(words, k=rng.randint(0, 12)))
+         + rng.choice(["", " !!", " Mixed.Case", " 123"]))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    tok = lambda: sk.words(sk.normalize_text(F.col("text")))  # noqa: E731
+
+    bound = df.select(
+        "id", sk.bind1(tok(), sk.word_shingles).alias("sh")
+    ).collect()
+    raw = df.select("id", sk.word_shingles(tok()).alias("sh")).collect()
+    via_col = (
+        df.withColumn("w", tok())
+        .filter(F.size("w") >= 0)
+        .select("id", sk.word_shingles(F.col("w")).alias("sh"))
+        .collect()
+    )
+    canon = lambda rs: {r.id: list(r.sh) for r in rs}  # noqa: E731
+    assert canon(bound) == canon(raw) == canon(via_col)
