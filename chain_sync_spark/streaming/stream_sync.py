@@ -284,6 +284,89 @@ def _band_relation(sh_df: DataFrame) -> DataFrame:
     )
 
 
+def _probe_collisions(
+    idx_bands: DataFrame,
+    idx_sh: DataFrame,
+    bands_b: DataFrame,
+    sh_b: DataFrame,
+    threshold: float,
+    *,
+    in_batch: bool,
+) -> DataFrame:
+    """(doc_b, dup_of) — batch docs whose bands collide with the
+    stored index (and, when ``in_batch``, with smaller-id docs of the
+    same batch), confirmed by exact shingle Jaccard >= threshold.
+    Shared by the index-maintenance stream (in_batch=True) and the
+    read-only probe (in_batch=False)."""
+    all_bands = idx_bands.withColumn("is_new", F.lit(False))
+    if in_batch:
+        all_bands = all_bands.unionByName(
+            bands_b.withColumn("is_new", F.lit(True))
+        )
+    a, b = all_bands.alias("a"), bands_b.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (~F.col("a.is_new") | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    all_sh = idx_sh.unionByName(sh_b) if in_batch else idx_sh
+    sa, sb = all_sh.alias("sa"), sh_b.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter((inter / union) >= threshold)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("dup_of"))
+    )
+
+
+def probe_neardup_index(
+    spark: SparkSession,
+    store_dir: str,
+    docs: DataFrame,
+    *,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """Read-only duplicate probe against a run_stream_neardup_index
+    store: for each shingle-eligible input doc (doc_id, text), report
+    whether it near-duplicates a STORED document (band collision +
+    exact-Jaccard confirm) — without mutating the index. The serving/
+    dry-run path: "would this crawl batch be flagged?" Uses the same
+    collision logic as the maintenance stream (a pytest asserts
+    decision parity for a batch with no in-batch duplicates), minus
+    the in-batch smaller-id rule — membership is against the store
+    only."""
+    import os
+
+    from chain_sync_spark.operators.llm_pipeline import CLUSTER_MIN_JACCARD
+
+    threshold = CLUSTER_MIN_JACCARD if min_jaccard is None else min_jaccard
+    idx_bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+    idx_sh = spark.read.parquet(os.path.join(store_dir, "shingles"))
+    sh_b = _doc_shingles(docs.select("doc_id", "text"))
+    bands_b = _band_relation(sh_b)
+    dups = _probe_collisions(
+        idx_bands, idx_sh, bands_b, sh_b, threshold, in_batch=False
+    )
+    return (
+        sh_b.select("doc_id")
+        .join(dups, F.col("doc_id") == F.col("doc_b"), "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
 def run_stream_neardup_index(
     stream_docs: DataFrame,
     store_dir: str,
@@ -340,32 +423,8 @@ def run_stream_neardup_index(
             old_dec = spark.createDataFrame(
                 [], "doc_id long, is_dup boolean, dup_of long, batch_id long"
             )
-        # candidates: index collisions + smaller-id in-batch collisions
-        all_bands = idx_bands.withColumn("is_new", F.lit(False)).unionByName(
-            bands_b.withColumn("is_new", F.lit(True))
-        )
-        a, b = all_bands.alias("a"), bands_b.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.doc_id") != F.col("b.doc_id"))
-                & (~F.col("a.is_new") | (F.col("a.doc_id") < F.col("b.doc_id"))),
-            )
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
-        all_sh = idx_sh.unionByName(sh_b)
-        sa, sb = all_sh.alias("sa"), sh_b.alias("sb")
-        inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-        union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
-        dups = (
-            cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-            .filter((inter / union) >= threshold)
-            .groupBy("doc_b")
-            .agg(F.min("doc_a").alias("dup_of"))
+        dups = _probe_collisions(
+            idx_bands, idx_sh, bands_b, sh_b, threshold, in_batch=True
         )
         dec_b = (
             sh_b.select("doc_id")

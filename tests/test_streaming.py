@@ -656,3 +656,71 @@ def test_search_pq_index_matches_batch_adc(spark, tmp_path):
     want = {(r.query_id, r.neighbor_id, r.adc_dist, r.rk)
             for r in lp.embedding_pq_adc_topk(spark, str(tmp_path)).collect()}
     assert got == want and len(got) == lp.ANN_QUERIES * lp.ANN_TOPK
+
+
+def test_probe_neardup_index_readonly_parity(spark, tmp_path):
+    """The read-only probe must (1) agree with the maintenance
+    stream's decisions for a batch with no in-batch duplicates and
+    (2) leave the store byte-identical."""
+    import json as _json
+    import os
+
+    from chain_sync_spark.streaming.stream_sync import (
+        probe_neardup_index,
+        run_stream_neardup_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain keeps falling on the quiet grey town tonight")
+    near = base.replace("dog", "cat")
+    other = ("completely different words about spark shuffles parquet files "
+             "and the costs of wide joins at terabyte scale in production")
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for r in [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": other}]:
+            fh.write(_json.dumps(r) + "\n")
+
+    store = str(tmp_path / "nd_store")
+    run_stream_neardup_index(
+        spark.readStream.schema("doc_id long, text string").json(src),
+        store,
+        str(tmp_path / "nd_ckpt"),
+    ).awaitTermination(120)
+
+    def _store_state():
+        return sorted(
+            (p, os.path.getsize(os.path.join(dp, p)))
+            for dp, _, fs in os.walk(store) for p in fs
+        )
+
+    before = _store_state()
+    batch2 = spark.createDataFrame(
+        [(2, near), (3, "fresh unrelated sentence about gardens and rivers "
+                        "painting music chess and long autumn walks")],
+        "doc_id long, text string",
+    )
+    probed = {r.doc_id: r for r in
+              probe_neardup_index(spark, store, batch2).collect()}
+    assert probed[2].is_dup and probed[2].dup_of == 0
+    assert not probed[3].is_dup and probed[3].dup_of is None
+    assert _store_state() == before  # read-only: store untouched
+
+    # the maintenance stream reaches the same decisions for this batch
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        for r in [{"doc_id": 2, "text": near},
+                  {"doc_id": 3, "text": "fresh unrelated sentence about gardens"
+                                        " and rivers painting music chess and"
+                                        " long autumn walks"}]:
+            fh.write(_json.dumps(r) + "\n")
+    run_stream_neardup_index(
+        spark.readStream.schema("doc_id long, text string").json(src),
+        store,
+        str(tmp_path / "nd_ckpt"),
+    ).awaitTermination(120)
+    dec = {r.doc_id: r for r in
+           spark.read.parquet(f"{store}/decisions").collect()
+           if r.doc_id in (2, 3)}
+    assert (dec[2].is_dup, dec[2].dup_of) == (True, 0)
+    assert (dec[3].is_dup, dec[3].dup_of) == (False, None)
