@@ -503,6 +503,8 @@ def test_pq_adc_recall_vs_exact_l2(spark, tmp_path):
         total += ANN_TOPK
     recall = hits / total
     assert recall >= 0.9  # measured 1.0 with this seed (clustered data)
+    from chain_sync_spark.operators.llm_pipeline import release_caches
+    release_caches()  # the ADC query scope-persists the codes table
 
 
 def test_ivfpq_equals_adc_when_probing_all_cells(spark, tmp_path):
@@ -557,3 +559,5 @@ def test_ivfpq_equals_adc_when_probing_all_cells(spark, tmp_path):
         hits += len(exact & nbrs)
         total += ANN_TOPK
     assert hits / total >= 0.9  # clustered data: cells contain the true neighbors
+    from chain_sync_spark.operators.llm_pipeline import release_caches
+    release_caches()  # ivfpq scope-persists its index relation

@@ -656,6 +656,7 @@ def test_search_pq_index_matches_batch_adc(spark, tmp_path):
     want = {(r.query_id, r.neighbor_id, r.adc_dist, r.rk)
             for r in lp.embedding_pq_adc_topk(spark, str(tmp_path)).collect()}
     assert got == want and len(got) == lp.ANN_QUERIES * lp.ANN_TOPK
+    lp.release_caches()  # the batch ADC comparator scope-persists
 
 
 def test_probe_neardup_index_readonly_parity(spark, tmp_path):
