@@ -974,6 +974,185 @@ SELECT doc_id, n_terms_matched, score, rk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# 12. Tokenizer-vocabulary coverage / OOV-rate audit
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_V = 16
+
+
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build the top-``VOCAB_TOP_V``
+    vocabulary by corpus term frequency and report, per document, how
+    many tokens fall OUTSIDE it — the out-of-vocabulary rate a
+    tokenizer-prep pipeline checks before freezing a vocab (high OOV
+    on a slice means the vocab under-serves that slice). Vocabulary
+    rank ties break on the term string so the cut is deterministic in
+    both engines; the constant is scaled to the synthetic corpus's
+    ~31-word vocabulary so roughly half the token mass is in-vocab
+    and the OOV distribution is non-degenerate.
+
+    Plan: one vocabulary-sized hash aggregate for term counts
+    [shuffle keyed on term, map-side combinable], a top-V sort of
+    that PRE-AGGREGATED relation (vocabulary-sized — millions of rows
+    at 100 TB, not corpus-sized; a single-partition row_number over
+    it is the standard shape, same as bm25's top-k), then the vocab —
+    V rows — broadcasts into a left join against the token stream and
+    a per-doc count aggregate [map-side combinable]. The corpus-sized
+    relation is never joined on a non-broadcast side and never sorted.
+    """
+    dw = _docs_words(spark, sf_dir)
+    tok = dw.select("doc_id", F.explode("w").alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (
+        tc.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= VOCAB_TOP_V)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    cov = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return cov.select(
+        "doc_id",
+        "n_tok",
+        "n_oov",
+        sk.floor_round(
+            F.col("n_oov").cast("double") / F.col("n_tok").cast("double"), 4
+        ).alias("oov_ratio"),
+    )
+
+
+_VOCAB_ORACLE = f"""
+WITH {_NORM_CTE},
+tok AS (
+  SELECT doc_id, UNNEST(w) AS term FROM docs_words
+),
+tc AS (
+  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk FROM tc
+  ) WHERE rk <= {VOCAB_TOP_V}
+)
+SELECT doc_id,
+       COUNT(*) AS n_tok,
+       COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS n_oov,
+       {sk.floor_round_sql(
+           "CAST(COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS DOUBLE)"
+           " / CAST(COUNT(*) AS DOUBLE)", 4)} AS oov_ratio
+FROM tok LEFT JOIN vocab v ON tok.term = v.term
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. Count-min-sketch heavy hitters (estimate vs exact)
+# ---------------------------------------------------------------------------
+
+CMS_ROWS = 3
+CMS_WIDTH = 16
+CMS_TOP_K = 10
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a count-min sketch, certified
+    against exact counts: every term hashes into ``CMS_ROWS``
+    independent rows of a ``CMS_WIDTH``-bucket sketch, each cell sums
+    the counts of every term that lands in it, and a term's estimate
+    is the MIN over its cells — always >= the exact count, with
+    collisions (deliberately forced here by the narrow width against
+    the ~31-term vocabulary) visible as a positive ``overestimate``
+    column. Output is the top-``CMS_TOP_K`` terms by estimated count.
+
+    Scale: the sketch is CONSTANT-size (rows x width cells) however
+    large the corpus — at 100 TB the sketch stage is a map-side-
+    combining hash aggregate keyed on (row, bucket) over the raw
+    token stream (sums are associative, so building it from the
+    per-term count relation, as here, is value-identical), and the
+    48-cell result broadcasts back for estimation. That is the whole
+    point of the sketch: heavy hitters without shuffling a
+    corpus-sized vocabulary. Hashing uses the repo's portable 60-bit
+    md5 (`sketches.hash60`) so Spark and DuckDB agree bucket-by-
+    bucket."""
+    dw = _docs_words(spark, sf_dir)
+    tc = (
+        dw.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    rows = tc.select(
+        "term",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            sk.hash60(
+                F.concat(
+                    F.lit("cms"), F.col("r").cast("string"),
+                    F.lit(":"), F.col("term"),
+                )
+            ),
+            F.lit(CMS_WIDTH),
+        ),
+    )
+    sketch = rows.groupBy("r", "bucket").agg(F.sum("exact_cnt").alias("cell"))
+    est = (
+        rows.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+    )
+    wk = Window.orderBy(F.desc("est_cnt"), F.asc("term"))
+    return (
+        est.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= CMS_TOP_K)
+        .select(
+            "term",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
+            "rk",
+        )
+    )
+
+
+_CMS_ROWS_SQL = ", ".join(str(r) for r in range(CMS_ROWS))
+_CMS_ORACLE = f"""
+WITH {_NORM_CTE},
+tc AS (
+  SELECT t AS term, COUNT(*) AS exact_cnt
+  FROM docs_words, UNNEST(w) AS u(t) GROUP BY t
+),
+cells AS (
+  SELECT term, exact_cnt, r,
+         {sk.hash60_sql("'cms' || r::VARCHAR || ':' || term")} % {CMS_WIDTH}
+           AS bucket
+  FROM tc, UNNEST([{_CMS_ROWS_SQL}]) AS rr(r)
+),
+sketch AS (
+  SELECT r, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS cell
+  FROM cells GROUP BY r, bucket
+),
+est AS (
+  SELECT term, exact_cnt, MIN(cell) AS est_cnt
+  FROM cells JOIN sketch USING (r, bucket)
+  GROUP BY term, exact_cnt
+)
+SELECT term, exact_cnt, est_cnt, est_cnt - exact_cnt AS overestimate, rk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY est_cnt DESC, term) AS INT) AS rk
+  FROM est
+) WHERE rk <= {CMS_TOP_K}
+"""
+
+
 QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1000,4 +1179,22 @@ ORACLE = {
     "mixture_resample_documents": _MIX_RESAMPLE_ORACLE,
     "profile_column_stats": _PROFILE_ORACLE,
     "bm25_topk_documents": _BM25_ORACLE,
+}
+
+# Round-5 entrants — implemented, oracled, and locally certified
+# (tests/test_corpus_ops.py runs the Spark query against the DuckDB
+# oracle through tools/oracle_check's driver-faithful canonicalizer),
+# but NOT yet registered: the round-4 WINDOW is full and the registry
+# covenant (tests/test_registry.py::test_rotation_ledger_complete_after_r4)
+# forbids registry entries without a driver row. Round 5 moves these
+# two into QUERIES/ORACLE and gives them WINDOW slots (see the
+# rotation plan in registry.py).
+PENDING_R5_QUERIES = {
+    "vocab_coverage_oov": vocab_coverage_oov,
+    "heavy_hitters_cms": heavy_hitters_cms,
+}
+
+PENDING_R5_ORACLE = {
+    "vocab_coverage_oov": _VOCAB_ORACLE,
+    "heavy_hitters_cms": _CMS_ORACLE,
 }

@@ -46,7 +46,11 @@ _r03; round 5 should rotate the oldest of those back in (see
 ``rotation_debt`` below for the candidates).
 
 Round-5 window plan: all ``rotation_debt()`` names first (r2-only
-greens — the oldest rows), then fill the remaining slots with the
+greens — the oldest rows), then the two staged round-5 entrants
+(``corpus_ops.PENDING_R5_QUERIES``: vocab_coverage_oov,
+heavy_hitters_cms — implemented+oracled this round, held OUT of the
+registry because this window is full; move them into QUERIES/ORACLE
+and the WINDOW together), then fill the remaining slots with the
 oldest r3-only greens (llm_pipeline sketch family), keeping any query
 whose implementation changes in round 5 in the window to re-earn its
 green. Update this plan in place when composing the r5 WINDOW.

@@ -316,3 +316,104 @@ def test_segment_rewrite_first_occurrence_wins(spark, tmp_path):
     assert out[3].drop_ratio == 0.5
     assert (out[4].n_segs, out[4].kept_segs) == (0, 0)
     assert out[4].new_text == "z z" and out[4].drop_ratio is None
+
+
+# ---------------------------------------------------------------------------
+# Round-5 staged operators (PENDING_R5_QUERIES) — known-answer +
+# driver-faithful oracle parity, since they have no driver row yet.
+# ---------------------------------------------------------------------------
+
+def test_vocab_coverage_cuts_topv_with_term_tiebreak(spark, tmp_path):
+    """17 terms tied at count 2 and V=16: the cut keeps w01..w16 by the
+    (count DESC, term ASC) tie-break, so w17 is the only OOV token in
+    docs 1-2 and the all-singleton doc 3 is 100% OOV."""
+    common = " ".join(f"w{i:02d}" for i in range(1, 18))  # w01..w17
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, common, "en", "s", len(common)),
+            (2, common, "en", "s", len(common)),
+            (3, "z1 z2 z3 z4", "en", "s", 11),
+        ],
+    )
+    out = {r.doc_id: r for r in co.vocab_coverage_oov(spark, d).collect()}
+    assert (out[1].n_tok, out[1].n_oov) == (17, 1)
+    assert (out[2].n_tok, out[2].n_oov) == (17, 1)
+    assert (out[3].n_tok, out[3].n_oov) == (4, 4)
+    # tie-safe fixed-point rounding of 1/17 and 4/4
+    assert out[1].oov_ratio == 0.0588
+    assert out[3].oov_ratio == 1.0
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_cms_estimate_matches_python_replica(spark, tmp_path):
+    """The count-min estimate equals a from-scratch Python replica of
+    the sketch (same md5 buckets, same min-over-rows), is always >=
+    the exact count, and ranks by (estimate DESC, term ASC)."""
+    text = "aa aa aa bb bb cc dd dd dd dd"
+    d = _write_docs(spark, tmp_path, [(1, text, "en", "s", len(text))])
+    exact = {"aa": 3, "bb": 2, "cc": 1, "dd": 4}
+    cells: dict[tuple[int, int], int] = {}
+    for term, cnt in exact.items():
+        for r in range(co.CMS_ROWS):
+            b = _py_hash60(f"cms{r}:{term}") % co.CMS_WIDTH
+            cells[(r, b)] = cells.get((r, b), 0) + cnt
+    expect_est = {
+        term: min(
+            cells[(r, _py_hash60(f"cms{r}:{term}") % co.CMS_WIDTH)]
+            for r in range(co.CMS_ROWS)
+        )
+        for term in exact
+    }
+    rows = co.heavy_hitters_cms(spark, d).collect()
+    got = {r.term: r for r in rows}
+    assert set(got) == set(exact)
+    for term, r in got.items():
+        assert r.exact_cnt == exact[term]
+        assert r.est_cnt == expect_est[term]
+        assert r.overestimate == r.est_cnt - r.exact_cnt >= 0
+    ranked = sorted(rows, key=lambda r: (-r.est_cnt, r.term))
+    assert [r.rk for r in ranked] == list(range(1, len(rows) + 1))
+
+
+def test_pending_r5_oracle_parity_at_sf0001(spark):
+    """Driver-faithful certification for the staged round-5 operators:
+    Spark vs the DuckDB oracle on /root/testdata/sf0.001 through the
+    exact canonicalizer tools/oracle_check shares with the driver.
+    This is the stand-in for the driver row they cannot earn until a
+    round-5 WINDOW slot opens (see registry.py rotation plan)."""
+    import duckdb
+    import pandas as pd
+
+    import tools.oracle_check as oc
+    from chain_sync_spark.tables import TABLE_NAMES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name, fn in co.PENDING_R5_QUERIES.items():
+        sdf = fn(spark, sf)
+        assert not oc._complex_cols(sdf), name
+        spdf = pd.DataFrame(
+            [tuple(r) for r in sdf.collect()], columns=sdf.columns
+        )
+        res = con.execute(co.PENDING_R5_ORACLE[name])
+        dpdf = pd.DataFrame(
+            res.fetchall(), columns=[d[0] for d in res.description]
+        )
+        assert len(spdf) == len(dpdf), name
+        assert sorted(spdf.columns) == sorted(dpdf.columns), name
+        assert oc._canon(spdf) == oc._canon(dpdf), name
+
+
+def test_pending_r5_names_not_yet_registered():
+    from chain_sync_spark.registry import all_oracles, all_queries
+
+    assert not set(co.PENDING_R5_QUERIES) & set(all_queries())
+    assert not set(co.PENDING_R5_ORACLE) & set(all_oracles())
+    assert set(co.PENDING_R5_QUERIES) == set(co.PENDING_R5_ORACLE)
