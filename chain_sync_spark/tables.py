@@ -48,6 +48,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # no-op on our own sessions (session.get_spark sets it at build).
     if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Every oracle (and the LTZ-reading choice above) assumes the UTC
+    # session timezone: collected TIMESTAMP values render in session
+    # TZ, so a vanilla driver session on a non-UTC host would shift
+    # every timestamp output against DuckDB's naive values. Same
+    # runtime-fallback pattern as the parquet flags; no-op on our own
+    # sessions (session.get_spark sets it at build).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # session.get_spark sets this at build time; this runtime
         # fallback exists ONLY for externally-built vanilla sessions

@@ -80,3 +80,19 @@ def test_json_lines_source_matches_parquet(spark, tmp_path):
     a = sorted(map(str, docs.select("doc_id", "lang", F.md5("text")).collect()))
     b = sorted(map(str, back.select("doc_id", "lang", F.md5("text")).collect()))
     assert a == b
+
+
+def test_table_restores_utc_timezone_for_vanilla_sessions(spark):
+    """The external driver builds a vanilla session; on a non-UTC host
+    its session timezone would shift every collected TIMESTAMP against
+    the DuckDB oracles' naive values. table() must repair the timezone
+    at read time, the same runtime-fallback contract as the parquet
+    reader flags."""
+    from chain_sync_spark.tables import table
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        table(spark, "/root/testdata/sf0.001", "orders").limit(1).collect()
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
