@@ -133,6 +133,54 @@ def merge_profile(existing: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def cms_stats(batch: DataFrame, term_col: str) -> DataFrame:
+    """Mergeable count-min-sketch partial of one batch's term stream:
+    (r, bucket, cell) over ``corpus_ops.CMS_ROWS`` hash rows x
+    ``CMS_WIDTH`` buckets. Cells are SUMS, so partials merge by
+    cell-wise addition in any order — the sketch is the canonical
+    algebraic summary (constant size however large the batch or the
+    history), which is what makes heavy-hitter tracking maintainable
+    per micro-batch when exact per-term counts would mean a
+    vocabulary-sized state store.
+
+    Same md5 bucketing as the batch operator
+    (corpus_ops.heavy_hitters_cms), so a sketch folded batch-by-batch
+    equals the sketch built in one pass over the union."""
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.operators.corpus_ops import CMS_ROWS, CMS_WIDTH
+
+    per_term = batch.groupBy(F.col(term_col).alias("term")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rows = per_term.select(
+        "term",
+        "cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            sk.hash60(
+                F.concat(
+                    F.lit("cms"), F.col("r").cast("string"),
+                    F.lit(":"), F.col("term"),
+                )
+            ),
+            F.lit(CMS_WIDTH),
+        ),
+    )
+    return rows.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
+
+
+def merge_cms(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Cell-wise addition of two sketch partials — O(rows x width)
+    regardless of history size; merge order never changes the result."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+
+
 def finalize_rollup(agg: DataFrame) -> DataFrame:
     """Read-side projection: derived measures (avg) computed from the
     algebraic state; DECIMAL sums surface as double."""

@@ -643,6 +643,89 @@ def run_stream_rollup(
     )
 
 
+def run_stream_cms(
+    stream_df: DataFrame,
+    store_dir: str,
+    term_col: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming count-min-sketch maintenance: each micro-batch's
+    sketch partial (operators/incremental.cms_stats) folds cell-wise
+    into the stored sketch — heavy-hitter tracking over an unbounded
+    term stream with CONSTANT state (rows x width cells), where exact
+    per-term counts would need a vocabulary-sized state store. The
+    batch certifier (corpus_ops.heavy_hitters_cms) proves the
+    estimate's >=-exact bound against true counts on static data;
+    this maintainer keeps the same sketch fresh per trigger.
+
+    Same idempotence/commit contract as run_stream_rollup: the
+    (checkpoint identity, batch-id) high-water mark commits atomically
+    with the table, replays are no-ops, the store is bound to its
+    checkpoint."""
+    import os
+
+    from chain_sync_spark.operators.incremental import cms_stats, merge_cms
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return  # replayed batch under the same checkpoint — already merged
+        spark = batch_df.sparkSession
+        delta = cms_stats(batch_df, term_col)
+        if os.path.isdir(store_dir):
+            merged = merge_cms(spark.read.parquet(store_dir), delta)
+        else:
+            merged = delta
+        _commit_store(merged, store_dir, {"checkpoint": ckpt_id, "batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def probe_cms(spark, store_dir: str, terms: list[str]) -> DataFrame:
+    """Read-only frequency estimates from a streamed count-min store:
+    hash each probe term into its CMS_ROWS cells and take the MIN —
+    always >= the term's true count over everything the maintainer
+    has folded in (missing cells read as 0: the term never occurred).
+    The store never exceeds rows x width cells, so the serving join
+    broadcasts it however large the stream history."""
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.operators.corpus_ops import CMS_ROWS, CMS_WIDTH
+
+    sketch = spark.read.parquet(store_dir)
+    probes = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            "term",
+            F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(
+                sk.hash60(
+                    F.concat(
+                        F.lit("cms"), F.col("r").cast("string"),
+                        F.lit(":"), F.col("term"),
+                    )
+                ),
+                F.lit(CMS_WIDTH),
+            ),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cell", F.lit(0))).alias("est_cnt"))
+    )
+
+
 def run_stream_profile(
     stream_df: DataFrame,
     store_dir: str,

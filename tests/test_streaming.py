@@ -725,3 +725,57 @@ def test_probe_neardup_index_readonly_parity(spark, tmp_path):
            if r.doc_id in (2, 3)}
     assert (dec[2].is_dup, dec[2].dup_of) == (True, 0)
     assert (dec[3].is_dup, dec[3].dup_of) == (False, None)
+
+
+def test_stream_cms_matches_one_pass_sketch_and_probe_bounds(spark, tmp_path):
+    """Streaming count-min maintenance: folding per-micro-batch sketch
+    partials cell-wise reproduces the one-pass sketch over the same
+    term stream (cells are sums — merge-order invariant), a replayed
+    run on the same checkpoint is a no-op, and the read-only probe's
+    estimate is >= the true count for present terms and >= 0 with
+    missing cells read as zero for absent ones."""
+    from chain_sync_spark.operators.incremental import cms_stats
+    from chain_sync_spark.streaming.stream_sync import probe_cms, run_stream_cms
+    from chain_sync_spark.tables import table
+
+    terms = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .limit(2000)
+    )
+    src = str(tmp_path / "src")
+    terms.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "cms_store")
+
+    def _stream():
+        return (
+            spark.readStream.schema(terms.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_cms(_stream(), store, "term", ckpt).awaitTermination(120)
+
+    def _canon(df):
+        return sorted(map(str, df.select(sorted(df.columns)).collect()))
+
+    all_terms = spark.read.schema(terms.schema).json(src)
+    exp = cms_stats(all_terms, "term")
+    assert _canon(spark.read.parquet(store)) == _canon(exp)
+
+    # restart on the SAME checkpoint: no new files, nothing re-merges
+    run_stream_cms(_stream(), store, "term", ckpt).awaitTermination(120)
+    assert _canon(spark.read.parquet(store)) == _canon(exp)
+
+    exact = {
+        r.term: r.cnt
+        for r in all_terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    some = sorted(exact)[:3] + ["never-seen-term"]
+    est = {r.term: r.est_cnt for r in probe_cms(spark, store, some).collect()}
+    for t in some[:3]:
+        assert est[t] >= exact[t]
+    assert est["never-seen-term"] >= 0
