@@ -25,3 +25,16 @@ def test_no_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian product planned by: {offenders}"
+
+
+def test_no_staged_query_plans_a_cartesian_product(spark):
+    """Round-5 entrants held outside the registry get the same screen
+    they will face once registered."""
+    from chain_sync_spark.operators.corpus_ops import PENDING_R5_QUERIES
+
+    offenders = []
+    for name, fn in PENDING_R5_QUERIES.items():
+        plan = executed_plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian product planned by: {offenders}"
