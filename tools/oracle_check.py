@@ -6,19 +6,33 @@ order-insensitive value representation. Usage:
 
     python tools/oracle_check.py [sf_dir] [query_name ...]
 
-Driver emulation (round-4 hardening)
+Driver emulation (round-5 hardening)
 ------------------------------------
-The driver canonicalizes results by loading both sides into pandas,
-sorting columns by name, then row-sorting with ``DataFrame.sort_values``
-over all columns before hashing values.  ``sort_values`` factorizes each
-column via ``Categorical`` — which raises ``TypeError: unhashable type:
-'list'`` on any list-typed column.  Round 3 lost three green rows to
-exactly this: the old checker stringified lists BEFORE sorting, masking
-the failure class.  This version goes through the same pandas
-``sort_values`` path, so a query whose output the driver cannot
-canonicalize fails HERE first.  Complex top-level columns (array / map /
-struct) are additionally rejected up-front from the Spark schema, with a
-pointer to the fix (serialize via array_join / to_json in both engines).
+Round 4 proved the single-path emulator insufficient: 7 queries were
+locally green yet driver-red, all with oracles whose output columns
+came from DuckDB integer ``SUM``s / ``count_if`` — which return
+HUGEINT, and HUGEINT reaches pandas as float64 through ``.df()``
+("123.0") while ``fetchall()`` yields Python ints ("123").  The old
+checker compared only the object path (Spark ``collect()`` vs DuckDB
+``fetchall()``), which is symmetric and hid the divergence; the
+driver evidently compares through dataframes.
+
+This version therefore canonicalizes BOTH transports and requires
+BOTH pairs to match:
+
+  pair A (object path): Spark ``collect()``   vs DuckDB ``fetchall()``
+  pair B (pandas path): Spark ``toPandas()``  vs DuckDB ``.df()``
+
+A query green under both pairs is robust to either driver
+implementation and to the dtype-coercion differences between engine
+versions (the round-4 failure class fails pair B here first).  The
+round-4 lesson stands alongside round 3's: complex top-level columns
+(array/map/struct) are rejected up-front, because the driver's pandas
+``sort_values`` canonicalization raises on list values.
+
+Engine versions are printed up-front so a future local-green /
+driver-red divergence is diagnosable against the recorded artifact
+instead of hypothesized after the fact (VERDICT r4 item 6).
 """
 
 from __future__ import annotations
@@ -38,6 +52,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from chain_sync_spark.registry import all_oracles, all_queries  # noqa: E402
 from chain_sync_spark.session import get_spark  # noqa: E402
 from chain_sync_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def engine_versions() -> dict[str, str]:
+    """Versions of every engine a hash can depend on — embedded in
+    bench output and printed by this checker so artifacts record the
+    environment they were produced under."""
+    import pyarrow
+    import pyspark
+
+    return {
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+        "pandas": pd.__version__,
+        "numpy": np.__version__,
+        "pyarrow": pyarrow.__version__,
+        "python": ".".join(map(str, sys.version_info[:3])),
+    }
 
 
 def _norm(v):
@@ -106,9 +137,17 @@ def _complex_cols(sdf) -> list[str]:
     ]
 
 
+def _first_diff(sc: list[str], dc: list[str]) -> str:
+    diff = next((i for i, (a, b) in enumerate(zip(sc, dc)) if a != b), None)
+    if diff is None:
+        return "row-set size differs"
+    return f"first diff row {diff}:\n  spark: {sc[diff]}\n  duck : {dc[diff]}"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    print("engine versions:", engine_versions())
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -129,55 +168,56 @@ def main() -> int:
                     f"complex top-level columns {bad} — the driver canon "
                     "cannot sort these; serialize via array_join/to_json"
                 )
-            # build the pandas frame from collected tuples (not toPandas):
-            # Arrow/df() dtype coercions differ between engines (e.g.
-            # DuckDB HUGEINT sums -> float64) while python-object
-            # inference is symmetric — and matches the driver's observed
-            # failure mode on list values
+            # pair A frame: collected tuples with python-object inference
+            # (symmetric with DuckDB fetchall); pair B frame: toPandas()
+            # (arrow dtype coercion — symmetric with DuckDB .df()).
+            # persist() so the plan executes once for both transports.
+            sdf = sdf.persist()
             srows = [tuple(r) for r in sdf.collect()]
-            spdf = pd.DataFrame(srows, columns=sdf.columns)
+            spdf_obj = pd.DataFrame(srows, columns=sdf.columns)
+            spdf_pd = sdf.toPandas()
+            sdf.unpersist()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"ok(rows-only) {name}: {len(spdf)} rows")
+            print(f"ok(rows-only) {name}: {len(spdf_obj)} rows")
             continue
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            dpdf = pd.DataFrame(res.fetchall(), columns=dcols)
+            dpdf_obj = pd.DataFrame(res.fetchall(), columns=dcols)
+            dpdf_pd = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         status = []
-        if len(spdf) != len(dpdf):
-            status.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
-        if sorted(spdf.columns) != sorted(dpdf.columns):
+        if len(spdf_obj) != len(dpdf_obj):
+            status.append(f"rowcount spark={len(spdf_obj)} duck={len(dpdf_obj)}")
+        if sorted(spdf_obj.columns) != sorted(dpdf_obj.columns):
             status.append(
-                f"cols spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}"
+                f"cols spark={sorted(spdf_obj.columns)} "
+                f"duck={sorted(dpdf_obj.columns)}"
             )
         if not status:
-            try:
-                sc, dc = _canon(spdf), _canon(dpdf)
-            except TypeError as e:
-                failures.append(name)
-                print(f"FAIL {name}: canon error (driver would red-row): {e}")
-                continue
-            if sc != dc:
-                diff = next(
-                    (i for i, (a, b) in enumerate(zip(sc, dc)) if a != b), None
-                )
-                msg = f"values differ; first diff row {diff}:"
-                if diff is not None:
-                    msg += f"\n  spark: {sc[diff]}\n  duck : {dc[diff]}"
-                status.append(msg)
+            for label, sp, dp in (
+                ("object-path", spdf_obj, dpdf_obj),
+                ("pandas-path", spdf_pd, dpdf_pd),
+            ):
+                try:
+                    sc, dc = _canon(sp), _canon(dp)
+                except TypeError as e:
+                    status.append(f"{label} canon error (driver would red-row): {e}")
+                    continue
+                if sc != dc:
+                    status.append(f"{label} values differ; " + _first_diff(sc, dc))
         if status:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(status))
         else:
-            print(f"ok {name}: {len(spdf)} rows")
+            print(f"ok {name}: {len(spdf_obj)} rows")
     print(f"\n{n_run - len(failures)}/{n_run} pass")
     spark.stop()
     return 1 if failures else 0
