@@ -194,10 +194,11 @@ def ngram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional probability per head word — the count-collection
     stage of an n-gram LM (or of n-gram novelty/quality scoring).
 
-    ``p(w2|w1) = cnt(w1,w2) / cnt(w1,·)`` is one exact-integer
-    division per row (cross-engine bit-exact); the head total is a
-    window sum over the already-aggregated bigram relation, computed
-    BEFORE top-K filtering.
+    ``p(w2|w1) = cnt(w1,w2) / cnt(w1,·)`` is emitted as BIGINT
+    micro-units from pure integer arithmetic (sketches.ratio_micros —
+    the round-5 boundary contract, VERDICT r4 item 1); the head total
+    is a window sum over the already-aggregated bigram relation,
+    computed BEFORE top-K filtering.
 
     Plan: per-row bigram generation (transform over the token array,
     no join) → one hash aggregation on (w1, w2) [map-side
@@ -216,9 +217,7 @@ def ngram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "cnt",
             "head_total",
-            (F.col("cnt").cast("double") / F.col("head_total").cast("double")).alias(
-                "cond_p"
-            ),
+            sk.ratio_micros("cnt", "head_total").alias("cond_p_micros"),
             F.col("rn").alias("rank"),
         )
     )
@@ -229,10 +228,10 @@ WITH {_NORM_CTE},
 {_PAIRS_CTE},
 counts AS (SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY w1, w2)
 SELECT w1, w2, cnt, head_total,
-       CAST(cnt AS DOUBLE) / CAST(head_total AS DOUBLE) AS cond_p, rank
+       {sk.ratio_micros_sql('cnt', 'head_total')} AS cond_p_micros, rank
 FROM (
   SELECT w1, w2, cnt,
-         SUM(cnt) OVER (PARTITION BY w1) AS head_total,
+         CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS head_total,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY w1 ORDER BY cnt DESC, w2 ASC
          ) AS INT) AS rank
@@ -464,8 +463,8 @@ WHERE s.doc_id % {NEARDUP_NEW_MOD} = 0
 # 6. LM-backed quality score: known-bigram ratio (round 4)
 # ---------------------------------------------------------------------------
 
-LM_MIN_COUNT = 30        # corpus occurrences for a bigram to count as "known"
-LM_KEEP_RATIO = 0.5      # docs below this known-bigram ratio are filtered
+LM_MIN_COUNT = 30          # corpus occurrences for a bigram to count as "known"
+LM_KEEP_MICROS = 500_000   # keep docs at >= this known-bigram micro-ratio
 
 
 def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,9 +473,10 @@ def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus count >= LM_MIN_COUNT) — the log-free stand-in for the
     perplexity filters production pipelines run (a doc whose n-grams
     the corpus model has never seen is noise/garble; one made
-    entirely of stock n-grams is boilerplate).  Integer counts plus
-    one IEEE division keep the score bit-exact across engines (see
-    module docstring).
+    entirely of stock n-grams is boilerplate).  The score is BIGINT
+    micro-units from pure integer arithmetic (sketches.ratio_micros,
+    the round-5 boundary contract) and ``keep`` derives from the
+    integer.
 
     Plan: per-row bigram generation (no join) → corpus counts via a
     count-over-(w1, w2)-window [ONE shuffle of the pairs relation and
@@ -488,7 +488,7 @@ def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection."""
     pairs = _bigram_pairs(_docs_words(spark, sf_dir), "doc_id")
     wpair = Window.partitionBy("w1", "w2")
-    ratio = F.col("n_known").cast("double") / F.col("n_bigrams").cast("double")
+    micros = sk.ratio_micros("n_known", "n_bigrams")
     return (
         pairs.withColumn("cnt", F.count(F.lit(1)).over(wpair))
         .groupBy("doc_id")
@@ -500,8 +500,8 @@ def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_bigrams",
             "n_known",
-            ratio.alias("known_ratio"),
-            (ratio >= LM_KEEP_RATIO).alias("keep"),
+            micros.alias("known_micros"),
+            (micros >= LM_KEEP_MICROS).alias("keep"),
         )
     )
 
@@ -511,12 +511,13 @@ WITH {_NORM_CTE},
 {_PAIRS_CTE},
 counts AS (SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY w1, w2)
 SELECT doc_id, n_bigrams, n_known,
-       CAST(n_known AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS known_ratio,
-       CAST(n_known AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= {LM_KEEP_RATIO}
+       {sk.ratio_micros_sql('n_known', 'n_bigrams')} AS known_micros,
+       {sk.ratio_micros_sql('n_known', 'n_bigrams')} >= {LM_KEEP_MICROS}
          AS keep
 FROM (
   SELECT p.doc_id, COUNT(*) AS n_bigrams,
-         SUM(CASE WHEN cnt >= {LM_MIN_COUNT} THEN 1 ELSE 0 END) AS n_known
+         CAST(SUM(CASE WHEN cnt >= {LM_MIN_COUNT} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_known
   FROM pairs p JOIN counts USING (w1, w2)
   GROUP BY p.doc_id
 )
@@ -527,8 +528,8 @@ FROM (
 # 7. Sub-document segment dedup ratio (round 4)
 # ---------------------------------------------------------------------------
 
-SEG_WORDS = 3            # words per non-overlapping segment (prod: ~50)
-SEG_FLAG_RATIO = 0.5     # docs above this duplicated-segment ratio are flagged
+SEG_WORDS = 3              # words per non-overlapping segment (prod: ~50)
+SEG_FLAG_MICROS = 500_000  # flag docs above this duplicated-segment micro-ratio
 
 
 def segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,6 +541,9 @@ def segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, templated spans).  Production runs this at ~50-token
     segments; the constant is scaled to the synthetic corpus's
     31-word vocabulary so the ratio distribution is non-degenerate.
+    The ratio is BIGINT micro-units (sketches.ratio_micros, the
+    round-5 boundary contract) and ``flagged`` derives from the
+    integer.
 
     Plan: per-row segment generation (transform over the token
     array, zero joins) → explode → corpus occurrence counts via a
@@ -559,7 +563,7 @@ def segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("seg").alias("seg_md5"))
     )
     wseg = Window.partitionBy("seg_md5")
-    ratio = F.col("dup_segs").cast("double") / F.col("n_segs").cast("double")
+    micros = sk.ratio_micros("dup_segs", "n_segs")
     return (
         exploded.withColumn("cnt", F.count(F.lit(1)).over(wseg))
         .groupBy("doc_id")
@@ -571,8 +575,8 @@ def segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_segs",
             "dup_segs",
-            ratio.alias("dup_ratio"),
-            (ratio > SEG_FLAG_RATIO).alias("flagged"),
+            micros.alias("dup_micros"),
+            (micros > SEG_FLAG_MICROS).alias("flagged"),
         )
     )
 
@@ -587,12 +591,12 @@ segs AS (
 ),
 c AS (SELECT seg_md5, COUNT(*) AS cnt FROM segs GROUP BY seg_md5)
 SELECT doc_id, n_segs, dup_segs,
-       CAST(dup_segs AS DOUBLE) / CAST(n_segs AS DOUBLE) AS dup_ratio,
-       CAST(dup_segs AS DOUBLE) / CAST(n_segs AS DOUBLE) > {SEG_FLAG_RATIO}
+       {sk.ratio_micros_sql('dup_segs', 'n_segs')} AS dup_micros,
+       {sk.ratio_micros_sql('dup_segs', 'n_segs')} > {SEG_FLAG_MICROS}
          AS flagged
 FROM (
   SELECT s.doc_id, COUNT(*) AS n_segs,
-         SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS dup_segs
+         CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segs
   FROM segs s JOIN c USING (seg_md5)
   GROUP BY s.doc_id
 )
@@ -847,10 +851,16 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_profile(o, PROFILE_COLS, include_distinct=True)
 
 
+# n_nulls must CAST to BIGINT: DuckDB integer SUM returns HUGEINT,
+# which pandas renders as float64 — the exact round-4 red-row cause.
+# min/max ::VARCHAR casts are safe ONLY because every profiled column
+# is BIGINT or VARCHAR (integer→string rendering is version-stable);
+# float columns must never enter PROFILE_COLS without an explicit
+# fixed-format printf on both engines.
 _PROFILE_ORACLE = "\nUNION ALL\n".join(
     f"""
 SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        MIN({c}::VARCHAR) AS min_val, MAX({c}::VARCHAR) AS max_val
 FROM orders"""

@@ -159,15 +159,21 @@ FROM urls GROUP BY 1
 # 3. Repetition-based quality filter (Gopher-style)
 # ---------------------------------------------------------------------------
 
-TOP_TOKEN_MAX_RATIO = 0.08
+TOP_TOKEN_MAX_MICROS = 80_000  # 0.08 as fixed-point micro-units
 
 
 def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: token count,
     distinct-token count, top-token ratio (most frequent token's share
-    of all tokens), and the keep/drop flag at {TOP_TOKEN_MAX_RATIO}.
-    Highly repetitive documents (boilerplate, keyword stuffing) are
-    the classic web-crawl failure mode this screens out.
+    of all tokens, as BIGINT micro-units), and the keep/drop flag at
+    {TOP_TOKEN_MAX_MICROS} micros.  Highly repetitive documents
+    (boilerplate, keyword stuffing) are the classic web-crawl failure
+    mode this screens out.
+
+    Output contract (round 5): the ratio is ``top_ratio_micros``
+    BIGINT computed in pure integer arithmetic (sketches.ratio_micros)
+    and ``keep`` derives from the integer — engine-version-proof where
+    the round-4 DOUBLE boundary was not (VERDICT r4 item 1).
 
     Scale: one explode + two-level hash aggregation keyed by
     (doc_id, token) then doc_id — both map-side combinable, uniform
@@ -180,14 +186,13 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_cnt"),
     )
-    # tie-safe rounding: integer ratios can land on exact half-ties
-    ratio = sk.floor_round(F.col("top_cnt") / F.col("n_tokens"), 6)
+    micros = sk.ratio_micros("top_cnt", "n_tokens")
     return per_doc.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
-        ratio.alias("top_token_ratio"),
-        (ratio <= TOP_TOKEN_MAX_RATIO).alias("keep"),
+        micros.alias("top_ratio_micros"),
+        (micros <= TOP_TOKEN_MAX_MICROS).alias("keep"),
     )
 
 
@@ -199,12 +204,14 @@ per_tok AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
 ),
 per_doc AS (
-  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct, MAX(c) AS top_cnt
   FROM per_tok GROUP BY 1
 )
 SELECT doc_id, n_tokens, n_distinct,
-       {sk.floor_round_sql('top_cnt / n_tokens', 6)} AS top_token_ratio,
-       {sk.floor_round_sql('top_cnt / n_tokens', 6)} <= {TOP_TOKEN_MAX_RATIO} AS keep
+       {sk.ratio_micros_sql('top_cnt', 'n_tokens')} AS top_ratio_micros,
+       {sk.ratio_micros_sql('top_cnt', 'n_tokens')} <= {TOP_TOKEN_MAX_MICROS}
+         AS keep
 FROM per_doc
 """
 
@@ -281,6 +288,12 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture (weight = target_share / actual_share) — the knob a
     training pipeline turns to up/down-weight domains.
 
+    Output contract (round 5): both shares are BIGINT micro-units from
+    pure integer arithmetic (sketches.ratio_micros).  actual_share =
+    n_tokens/tot_tokens; sampling_weight = (1/n_sources)/share =
+    tot_tokens/(n_sources·n_tokens) — the algebraic rewrite keeps the
+    whole computation in integers (VERDICT r4 item 1).
+
     Scale: one hash aggregation to source grain (bounded cardinality),
     then shares via a broadcast join against the 1-row corpus total —
     the full corpus is scanned once, never shuffled at row grain."""
@@ -294,27 +307,33 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_src.agg(
         F.sum("n_tokens").alias("tot_tokens"), F.count(F.lit(1)).alias("n_sources")
     )
-    share = F.col("n_tokens") / F.col("tot_tokens")
-    target = F.lit(1.0) / F.col("n_sources")
     return per_src.crossJoin(F.broadcast(totals)).select(
         "source",
         "n_docs",
         "n_tokens",
-        sk.floor_round(share, 6).alias("actual_share"),
-        sk.floor_round(target / share, 6).alias("sampling_weight"),
+        sk.ratio_micros("n_tokens", "tot_tokens").alias("share_micros"),
+        sk.ratio_micros("tot_tokens", "n_sources * n_tokens").alias(
+            "weight_micros"
+        ),
     )
 
 
 _MIXTURE_ORACLE = f"""
 WITH per_src AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(len({sk.WORDS_SQL.format(c='text')})) AS n_tokens
+         CAST(SUM(len({sk.WORDS_SQL.format(c='text')})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         COUNT(*) AS n_sources
+  FROM per_src
 )
 SELECT source, n_docs, n_tokens,
-       {sk.floor_round_sql('n_tokens / SUM(n_tokens) OVER ()', 6)} AS actual_share,
-       {sk.floor_round_sql('(1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ())', 6)} AS sampling_weight
-FROM per_src
+       {sk.ratio_micros_sql('n_tokens', 'tot_tokens')} AS share_micros,
+       {sk.ratio_micros_sql('tot_tokens', 'n_sources * n_tokens')}
+         AS weight_micros
+FROM per_src, tot
 """
 
 

@@ -207,58 +207,80 @@ FROM t
 
 def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/conditional aggregate surface: per event type, the user
-    holding the single highest-value event (max_by over a (value,
-    event_id) composite — the unique tie-break makes the argmax
-    deterministic in both engines), the earliest event's user
-    (min_by on ts+event_id), a filtered count (count_if), and a
-    bool_or existence flag. One aggregation pass, map-side
-    combinable — at scale this replaces the common anti-pattern of a
-    self-join against the per-group max.
+    AND event id of the single highest-value event (max_by over a
+    composite ordering key — the unique event_id tie-break makes the
+    argmax deterministic in both engines), the earliest event's user
+    and event id (min_by), a filtered count, and an any-negative
+    existence flag. One aggregation pass, map-side combinable — at
+    scale this replaces the common anti-pattern of a self-join
+    against the per-group max.
 
-    NULL ordering is pinned EXPLICITLY on both engines: Spark's
-    struct comparison sorts a NULL field FIRST (so max_by would
-    treat NULL as smallest but min_by as smallest too), while
-    DuckDB's default is NULLS LAST — divergent the moment value/ts
-    has a NULL. Both sides therefore coalesce to sentinels (-inf for
-    the max, +inf timestamp for the min) so NULL rows lose the
-    argmax/argmin race identically regardless of engine defaults."""
+    Round-5 output contract (red in r3 AND r4 under the old one):
+    every output column is an integer, string, or boolean — no
+    engine-computed doubles cross the boundary, and the winning
+    event_ids are emitted so the argmax is auditable row-by-row.
+    NULL ordering is pinned by an explicit null-flag sort key on BOTH
+    engines (non-null value beats NULL for the max; non-null ts beats
+    NULL for the min) instead of ±infinity sentinels, and the oracle
+    is lowest-common-denominator SQL: derived-table ROW_NUMBER — no
+    QUALIFY, and no count_if/bool_or (DuckDB backs count_if with a
+    HUGEINT sum, whose pandas rendering is float64 — the round-4
+    hash-red mechanism)."""
     ev = table(spark, sf_dir, "events")
+    # struct comparison is field-by-field; every field is non-null so
+    # the ordering is total and engine-independent
     ranked = F.struct(
-        F.coalesce(F.col("value"), F.lit(float("-inf"))).alias("v"),
-        F.col("event_id"),
+        F.col("value").isNotNull().cast("int").alias("nn"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+        F.col("event_id").alias("e"),
     )
     first = F.struct(
-        F.coalesce(F.col("ts"), F.lit("9999-12-31").cast("timestamp")).alias("t"),
-        F.col("event_id"),
+        F.col("ts").isNull().cast("int").alias("nl"),
+        F.coalesce(F.col("ts"), F.lit("1970-01-01").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("e"),
     )
     return ev.groupBy("event_type").agg(
         F.max_by(F.col("user_id"), ranked).alias("top_value_user"),
+        F.max_by(F.col("event_id"), ranked).alias("top_event_id"),
         F.min_by(F.col("user_id"), first).alias("earliest_user"),
-        F.count_if(F.col("value") > 100).alias("n_big"),
-        F.bool_or(F.col("value") < 0).alias("has_negative"),
+        F.min_by(F.col("event_id"), first).alias("earliest_event_id"),
+        F.count(F.when(F.col("value") > 100, F.lit(1))).alias("n_big"),
+        (F.max(F.when(F.col("value") < 0, 1).otherwise(0)) == 1).alias(
+            "has_negative"
+        ),
     )
 
 
 _ARGMAX_ORACLE = """
-WITH top AS (
-  SELECT event_type, user_id AS top_value_user FROM events
-  QUALIFY ROW_NUMBER() OVER (
-    PARTITION BY event_type
-    ORDER BY COALESCE(value, '-infinity'::DOUBLE) DESC, event_id DESC) = 1
+WITH rmax AS (
+  SELECT event_type, user_id, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY (CASE WHEN value IS NULL THEN 0 ELSE 1 END) DESC,
+                    COALESCE(value, 0) DESC, event_id DESC) AS rn
+  FROM events
 ),
-first AS (
-  SELECT event_type, user_id AS earliest_user FROM events
-  QUALIFY ROW_NUMBER() OVER (
-    PARTITION BY event_type
-    ORDER BY COALESCE(ts, TIMESTAMP '9999-12-31'), event_id) = 1
+rmin AS (
+  SELECT event_type, user_id, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY (CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+                    COALESCE(ts, TIMESTAMP '1970-01-01'), event_id) AS rn
+  FROM events
 ),
 conds AS (
-  SELECT event_type, count_if(value > 100) AS n_big,
-         bool_or(value < 0) AS has_negative
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN value > 100 THEN 1 END) AS BIGINT) AS n_big,
+         MAX(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 1 AS has_negative
   FROM events GROUP BY 1
 )
-SELECT c.event_type, t.top_value_user, f.earliest_user, c.n_big, c.has_negative
-FROM conds c JOIN top t USING (event_type) JOIN first f USING (event_type)
+SELECT c.event_type,
+       t.user_id AS top_value_user, t.event_id AS top_event_id,
+       f.user_id AS earliest_user, f.event_id AS earliest_event_id,
+       c.n_big, c.has_negative
+FROM conds c
+JOIN rmax t ON c.event_type = t.event_type AND t.rn = 1
+JOIN rmin f ON c.event_type = f.event_type AND f.rn = 1
 """
 
 

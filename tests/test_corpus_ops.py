@@ -71,14 +71,16 @@ def test_bigram_lm_counts_and_probabilities(spark, tmp_path):
     )
     rows = {(r.w1, r.w2): r for r in co.ngram_lm_topk(spark, d).collect()}
     # bigrams: (a,b)x3, (b,a)x1, (b,c)x1
-    assert rows[("a", "b")].cnt == 3 and rows[("a", "b")].cond_p == 1.0
+    assert rows[("a", "b")].cnt == 3 and rows[("a", "b")].cond_p_micros == 1_000_000
     assert rows[("b", "a")].head_total == 2
-    assert rows[("b", "a")].cond_p == pytest.approx(0.5)
-    # conditional probabilities sum to 1 per head (K exceeds fanout here)
+    assert rows[("b", "a")].cond_p_micros == 500_000
+    # conditional micro-probabilities sum to ~1e6 per head (K exceeds
+    # fanout here; each term is round-half-up so the sum is within
+    # fanout/2 micros of exactly 1e6)
     by_head = {}
     for (w1, _), r in rows.items():
-        by_head[w1] = by_head.get(w1, 0.0) + r.cond_p
-    assert all(abs(total - 1.0) < 1e-12 for total in by_head.values())
+        by_head[w1] = by_head.get(w1, 0) + r.cond_p_micros
+    assert all(abs(total - 1_000_000) <= 2 for total in by_head.values())
 
 
 def test_incremental_dedup_both_drop_paths(spark, tmp_path):
@@ -140,11 +142,11 @@ def test_lm_score_separates_known_from_novel_bigrams(spark, tmp_path):
     )
     out = {r.doc_id: r for r in co.lm_known_bigram_score(spark, d).collect()}
     assert out[1].n_bigrams == 69 and out[1].n_known == 69
-    assert out[1].known_ratio == 1.0 and out[1].keep
+    assert out[1].known_micros == 1_000_000 and out[1].keep
     assert out[2].n_bigrams == 2 and out[2].n_known == 0 and not out[2].keep
     # doc 3: (a,b) known (count 36), (b,x) and (x,y) novel
     assert out[3].n_bigrams == 3 and out[3].n_known == 1
-    assert out[3].known_ratio == pytest.approx(1 / 3) and not out[3].keep
+    assert out[3].known_micros == round(1 / 3 * 1e6) and not out[3].keep
 
 
 def test_segment_dedup_counts_cross_doc_and_self_repeats(spark, tmp_path):
@@ -160,10 +162,10 @@ def test_segment_dedup_counts_cross_doc_and_self_repeats(spark, tmp_path):
     )
     out = {r.doc_id: r for r in co.segment_dedup_ratio(spark, d).collect()}
     assert set(out) == {1, 2, 3}
-    assert (out[1].n_segs, out[1].dup_segs, out[1].dup_ratio) == (2, 1, 0.5)
+    assert (out[1].n_segs, out[1].dup_segs, out[1].dup_micros) == (2, 1, 500_000)
     assert not out[1].flagged  # strictly-greater threshold
     assert (out[2].n_segs, out[2].dup_segs) == (2, 1)
-    assert (out[3].n_segs, out[3].dup_segs, out[3].dup_ratio) == (2, 2, 1.0)
+    assert (out[3].n_segs, out[3].dup_segs, out[3].dup_micros) == (2, 2, 1_000_000)
     assert out[3].flagged
 
 

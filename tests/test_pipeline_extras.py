@@ -68,7 +68,7 @@ def test_repetition_filter_flags_stuffed_doc(spark, extras_dir):
     out = {r.doc_id: r for r in px.quality_repetition_filter(spark, extras_dir).collect()}
     assert out[7].n_tokens == 41
     assert not out[7].keep                      # 40/41 'spam' → dropped
-    assert float(out[7].top_token_ratio) > 0.9
+    assert out[7].top_ratio_micros == round(40 / 41 * 1e6)
     assert out[1].n_distinct == 7               # all-distinct doc
 
 
@@ -84,9 +84,12 @@ def test_mixture_weights_invert_shares(spark, extras_dir):
     assert set(out) == {"srcA", "srcB"}
     tot = sum(r.n_tokens for r in out.values())
     for r in out.values():
-        assert float(r.actual_share) == pytest.approx(r.n_tokens / tot, abs=1e-5)
+        assert r.share_micros == round(r.n_tokens / tot * 1e6)
+        assert r.weight_micros == round(tot / (2 * r.n_tokens) * 1e6)
         # weight * share == target share (0.5 for two sources)
-        assert float(r.sampling_weight) * float(r.actual_share) == pytest.approx(0.5, abs=1e-4)
+        assert (r.weight_micros / 1e6) * (r.share_micros / 1e6) == pytest.approx(
+            0.5, abs=1e-4
+        )
 
 
 def test_sequence_packing_invariants(spark):
