@@ -7,6 +7,16 @@ Each query is executed with a count-style action that forces full
 evaluation of the plan (collect for small results) after a warm-up of
 the session (JVM + parquet footer caches). Wall-clock per query is
 measured on the second run.
+
+Output-size contract (round 5): the driver records only the TAIL of
+stdout (~2000 chars) — round 4's single line carried 33 warm + 33
+cold entries plus a prose note, outgrew the capture, lost its head,
+and the driver parsed nothing (BENCH_r04 ``parsed: null``).  stdout
+now carries exactly ONE compact line (headline totals + warm
+per-query dict, values at 2 dp, engine versions, no cold dict, no
+note) with a hard length guard that drops the per-query dict rather
+than exceed the capture; the full warm+cold detail goes to stderr
+and BENCH.md.
 """
 
 from __future__ import annotations
@@ -140,27 +150,38 @@ def main() -> None:
 
     total = round(sum(t for n, t in timings.items() if n in BASELINE_SET), 3)
     extended = round(sum(t for n, t in timings.items() if n in EXTENDED_SET), 3)
-    print(json.dumps({
+    cold_total = round(sum(t for n, t in cold.items() if n in BASELINE_SET), 3)
+
+    from tools.oracle_check import engine_versions
+
+    ver = engine_versions()
+    # full detail (warm + cold per query) goes to stderr and stays out
+    # of the driver's stdout tail capture
+    print(
+        json.dumps({
+            "detail": "warm+cold per-query seconds (not the driver line)",
+            "queries_warm": timings,
+            "queries_cold": cold,
+            "versions": ver,
+        }),
+        file=sys.stderr,
+    )
+    headline = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_cold": cold,
-        "baseline_set_total": total,
-        "baseline_set_total_cold": round(
-            sum(t for n, t in cold.items() if n in BASELINE_SET), 3
-        ),
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "baseline_set_total_cold": cold_total,
         "extended_set_total": extended,
         "cpu_probe_sec": probe,
-        "note": (
-            "value covers the BENCH_r01 baseline query set, warm (2nd run); "
-            "queries_cold/baseline_set_total_cold are the 1st-run numbers "
-            "(see BENCH.md); sync_round is one 300-block engine round; "
-            "cpu_probe_sec ~0.5 unthrottled, 1.5+ means host throttling "
-            "inflates every number"
-        ),
+        "v": {k: ver[k] for k in ("pyspark", "duckdb", "pandas")},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1800:  # never outgrow the driver's stdout tail capture
+        headline.pop("queries")
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
