@@ -1028,13 +1028,12 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
         )
     )
+    # BIGINT micro-units at the boundary (round-5 ratio contract)
     return cov.select(
         "doc_id",
         "n_tok",
         "n_oov",
-        sk.floor_round(
-            F.col("n_oov").cast("double") / F.col("n_tok").cast("double"), 4
-        ).alias("oov_ratio"),
+        sk.ratio_micros("n_oov", "n_tok").alias("oov_micros"),
     )
 
 
@@ -1054,9 +1053,9 @@ vocab AS (
 SELECT doc_id,
        COUNT(*) AS n_tok,
        COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS n_oov,
-       {sk.floor_round_sql(
-           "CAST(COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS DOUBLE)"
-           " / CAST(COUNT(*) AS DOUBLE)", 4)} AS oov_ratio
+       {sk.ratio_micros_sql(
+           "COUNT(CASE WHEN v.term IS NULL THEN 1 END)", "COUNT(*)")}
+         AS oov_micros
 FROM tok LEFT JOIN vocab v ON tok.term = v.term
 GROUP BY doc_id
 """
@@ -1175,6 +1174,8 @@ QUERIES = {
     "mixture_resample_documents": mixture_resample_documents,
     "profile_column_stats": profile_column_stats,
     "bm25_topk_documents": bm25_topk_documents,
+    "vocab_coverage_oov": vocab_coverage_oov,
+    "heavy_hitters_cms": heavy_hitters_cms,
 }
 
 ORACLE = {
@@ -1189,22 +1190,8 @@ ORACLE = {
     "mixture_resample_documents": _MIX_RESAMPLE_ORACLE,
     "profile_column_stats": _PROFILE_ORACLE,
     "bm25_topk_documents": _BM25_ORACLE,
-}
-
-# Round-5 entrants — implemented, oracled, and locally certified
-# (tests/test_corpus_ops.py runs the Spark query against the DuckDB
-# oracle through tools/oracle_check's driver-faithful canonicalizer),
-# but NOT yet registered: the round-4 WINDOW is full and the registry
-# covenant (tests/test_registry.py::test_rotation_ledger_complete_after_r4)
-# forbids registry entries without a driver row. Round 5 moves these
-# two into QUERIES/ORACLE and gives them WINDOW slots (see the
-# rotation plan in registry.py).
-PENDING_R5_QUERIES = {
-    "vocab_coverage_oov": vocab_coverage_oov,
-    "heavy_hitters_cms": heavy_hitters_cms,
-}
-
-PENDING_R5_ORACLE = {
+    # round-4 staged entrants, registered + windowed in round 5 per the
+    # rotation plan in registry.py
     "vocab_coverage_oov": _VOCAB_ORACLE,
     "heavy_hitters_cms": _CMS_ORACLE,
 }

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from chain_sync_spark.functions.hashing import surrogate_id_md5
 from chain_sync_spark.functions.json_utils import double_decode_json
-from chain_sync_spark.functions.text_funcs import extract_hashtags
+from chain_sync_spark.functions.text_funcs import (
+    extract_hashtags,
+    extract_image_srcs,
+    markdown_to_text,
+)
+from chain_sync_spark.tables import table
 
 # ---- shared literal fixtures (kept in python so both sides agree) ----
 
@@ -146,12 +151,102 @@ def sync_markdown_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def markdown_extract_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F5 builtin-regex path, oracle-checkable (round 5): image-src
+    extraction and double-tag-strip plain-texting as pure column
+    expressions over a deterministically markdown-augmented documents
+    corpus.  ``sync_markdown_parse`` exercises the high-fidelity
+    pandas_udf renderer but can never earn a hash row (no markdown
+    renderer exists in DuckDB); this variant certifies everything in
+    the reference pipeline EXCEPT the render itself — the <img src>
+    collection and the double strip (handlers/comments.js:43-55) are
+    regex-expressible in both engines.  Image lists are deduplicated
+    and emitted sorted+joined (driver canon rejects arrays).
+
+    Scale: per-row regexp projection, whole-stage codegen, zero
+    shuffles — the shape the 100 TB text-cleaning pass needs."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(" ![a](http://img/a"), i, F.lit(".png) dup ![a](http://img/a"),
+                i, F.lit('.png) <img src="http://img/b'), i, F.lit('.png"> done'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit(" see [docs](http://l/"), i, F.lit(") **bold** `code`")),
+        )
+        .when(
+            m == 2,
+            F.concat(F.lit(" <img alt='x' src='http://img/c"), i, F.lit(".gif'> t")),
+        )
+        .otherwise(F.lit("")),
+    )
+    imgs = extract_image_srcs(aug)
+    return d.select(
+        "doc_id",
+        F.size(imgs).alias("n_imgs"),
+        F.array_join(F.array_sort(imgs), " ").alias("img_srcs"),
+        F.substring(markdown_to_text(aug), 1, 80).alias("plain_head"),
+    )
+
+
+# the same augmentation + regex chains, rendered for DuckDB (RE2):
+# patterns stay inside the Java/RE2 shared subset; '' escapes the
+# single quotes the img-src char class needs
+_MD_BUILTIN_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN ' ![a](http://img/a' || doc_id::VARCHAR
+                || '.png) dup ![a](http://img/a' || doc_id::VARCHAR
+                || '.png) <img src="http://img/b' || doc_id::VARCHAR
+                || '.png"> done'
+           WHEN 1 THEN ' see [docs](http://l/' || doc_id::VARCHAR
+                || ') **bold** `code`'
+           WHEN 2 THEN ' <img alt=''x'' src=''http://img/c' || doc_id::VARCHAR
+                || '.gif''> t'
+           ELSE '' END AS b
+  FROM documents
+),
+imgs AS (
+  SELECT doc_id, b,
+         list_distinct(
+           regexp_extract_all(b, '<img[^>]*src\s*=\s*["'']([^"'']+)["'']', 1)
+           || regexp_extract_all(b, '!\[[^\]]*\]\(([^)\s]+)[^)]*\)', 1)
+         ) AS srcs
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(srcs) AS INT) AS n_imgs,
+       COALESCE(array_to_string(list_sort(srcs), ' '), '') AS img_srcs,
+       substr(trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(b, '<[^>]+>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '!\[[^\]]*\]\(([^)\s]+)[^)]*\)', ' ', 'g'),
+             '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+           '[*_`#>~]+', ' ', 'g'),
+         '\s+', ' ', 'g')), 1, 80) AS plain_head
+FROM imgs
+"""
+
+
 QUERIES = {
     "sync_metadata_double_decode": sync_metadata_double_decode,
     "sync_vote_set_accumulation": sync_vote_set_accumulation,
     "sync_account_last_active": sync_account_last_active,
     "sync_stock_image_hashtags": sync_stock_image_hashtags,
     "sync_markdown_parse": sync_markdown_parse,
+    "markdown_extract_builtin": markdown_extract_builtin,
 }
 
 ORACLE = {
@@ -199,4 +294,5 @@ ORACLE = {
                END AS stock_tags
         FROM t
     """,
+    "markdown_extract_builtin": _MD_BUILTIN_ORACLE,
 }

@@ -3,66 +3,57 @@
 Ordering contract
 -----------------
 The driver's per-round correctness artifact records the FIRST
-``DRIVER_WINDOW`` (= 50, observed r01-r03) registry entries only, in
+``DRIVER_WINDOW`` (= 50, observed r01-r04) registry entries only, in
 iteration order.  Iteration order is therefore part of the driver
 contract, and the explicit ``WINDOW`` list below IS the round's
 certification window: those names are emitted first (in that order),
 then every remaining query in module order.
 
-Rotation ledger (round 4)
+Rotation ledger (round 5)
 -------------------------
 The ledger of record is "every query holds a green row in a recent
-CORRECTNESS_r* artifact".  Round-4 window composition:
+CORRECTNESS_r* artifact".  End-of-round-4 state: 43 green in r4, 44
+last-green r3, 34 last-green r2, 7 driver-red (never green), 1
+rows-only by design.  Round-5 window composition (exactly 50):
 
-  - 30 queries that had never appeared in any driver window
-    (13 tpch.py, 4 relational TPC-H, 8 pipeline_extras, 5 corpus_ops)
-  - 4 round-3 red rows, re-certified after serializing array outputs /
-    pinning NULL ordering (multimodal_media_features,
-    array_funcs_documents, agg_argmax_conditional,
-    collect_sorted_event_types)
-  - 2 whose implementation changed this round and must re-earn green
-    (dedup_exact_documents -> groupBy plan; embedding_ann_multiprobe is
-    new)
-  - 13 NEW round-4 operators (lm_known_bigram_score,
-    segment_dedup_ratio, mixture_resample_documents,
-    profile_column_stats, embedding_quantize_int8,
-    embedding_quantized_topk, profile_drift_events,
-    bm25_topk_documents, neardup_prefix_filter_pairs, and from the
-    continuation session: embedding_pq_assign, embedding_pq_adc_topk,
-    dedup_segment_rewrite, retention_cohort_weeks) — certified on
-    first appearance
-  - 1 late-round implementation change (window_rank_variants picked
-    up tie-safe percent_rank/cume_dist rounding) re-windowed to
-    re-earn green; quality_repetition_filter and
-    domain_mixture_weights changed identically but were already in
-    this window
-  - the 4 remaining refresh slots ceded to the continuation-session
-    operators; every displaced r2-green name keeps its r2 row and
-    joins the round-5 rotation_debt (every §2 family keeps at least
-    one green row across the r3∪r4 artifacts)
+  - 7 round-4 reds whose OUTPUT CONTRACT changed this round (ratio
+    columns → BIGINT micro-units via sketches.ratio_micros; argmax →
+    integer-only outputs + LCD oracle; profile oracle CASTs its
+    HUGEINT sum) — they must re-earn green under the new contract:
+    quality_repetition_filter, domain_mixture_weights, ngram_lm_topk,
+    lm_known_bigram_score, segment_dedup_ratio, profile_column_stats,
+    agg_argmax_conditional
+  - all 34 rotation-debt names (r2-only greens — the oldest rows),
+    satisfying "no registry query's latest green older than r3" after
+    this round
+  - 2 round-4 staged entrants now registered (vocab_coverage_oov —
+    converted to the micros contract before its first row —
+    and heavy_hitters_cms)
+  - 1 new round-5 query: markdown_extract_builtin (the F4/F5
+    oracle-checkable regex path; sync_markdown_parse stays rows-only
+    for the renderer itself)
+  - 6 slots for the word_shingles/char_ngrams bind1-migration family
+    re-certification (helper internals changed this round,
+    value-identical by the transparency property test): the 4
+    affected r3-greens neardup_minhash_bands, neardup_clusters,
+    neardup_ngram_jaccard, doc_fingerprint_bottomk, plus the 2
+    most-affected r4-greens contamination_ngram_overlap and
+    neardup_incremental_minhash
 
-Everything outside the window holds a green row in CORRECTNESS_r02 or
-_r03; round 5 should rotate the oldest of those back in (see
-``rotation_debt`` below for the candidates).
+Known, accepted gap: neardup_prefix_filter_pairs also consumes the
+migrated helpers but keeps its r4 green outside this window (slots
+exhausted); the migration is hash-verified value-identical by
+tests/test_properties.py, so its row remains probative.
 
-Round-5 window plan: all ``rotation_debt()`` names first (r2-only
-greens — the oldest rows), then the two staged round-5 entrants
-(``corpus_ops.PENDING_R5_QUERIES``: vocab_coverage_oov,
-heavy_hitters_cms — implemented+oracled this round, held OUT of the
-registry because this window is full; move them into QUERIES/ORACLE
-and the WINDOW together), then fill the remaining slots with the
-oldest r3-only greens (llm_pipeline sketch family), keeping any query
-whose implementation changes in round 5 in the window to re-earn its
-green. Update this plan in place when composing the r5 WINDOW.
-Scheduled round-5 change: migrate word_shingles/char_ngrams internals
-onto sketches.bind1 (per-element re-evaluation guard; see BENCH.md
-"Expression-binding audit") — value-identical, but it touches the
-minhash/simhash/fingerprint family, which is exactly the r3-green
-fill set re-certifying in that window.
+Round-6 window plan: rotation_debt() below lists the 40 queries whose
+latest green will be r3 after this round — they are the oldest rows
+and should fill the r6 window first, then any query whose
+implementation changes in round 6.
 
-Pre-flight: ``tools/oracle_check.py`` now canonicalizes exactly like
-the driver (pandas sort_values — rejects list-typed output columns), so
-run it over the WINDOW before each round submits.
+Pre-flight: ``tools/oracle_check.py`` canonicalizes through BOTH
+transports (object path and pandas path) — run it over the WINDOW
+before each round submits; a pandas-path failure is exactly the
+round-4 local-green/driver-red class.
 """
 
 from __future__ import annotations
@@ -83,73 +74,67 @@ _MODULES = [
     "chain_sync_spark.operators.corpus_ops",
 ]
 
-# Size of the driver's correctness-artifact window (observed, r01-r03).
+# Size of the driver's correctness-artifact window (observed, r01-r04).
 DRIVER_WINDOW = 50
 
-# Round-4 certification window — exactly DRIVER_WINDOW names, emitted
+# Round-5 certification window — exactly DRIVER_WINDOW names, emitted
 # first.  See the rotation ledger in the module docstring.
 WINDOW = [
-    # -- never driver-checked: full TPC-H suite (operators/tpch.py) --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_ship_class_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    # -- never driver-checked: TPC-H shapes in relational.py --
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customers",
-    # -- never driver-checked: pipeline_extras --
-    "pii_scrub_documents",
-    "url_extract_normalize",
+    # -- round-4 reds, output contract changed: must re-earn green --
     "quality_repetition_filter",
-    "contamination_ngram_overlap",
     "domain_mixture_weights",
-    "pack_training_sequences",
-    "dedup_embedding_semantic",
-    "neardup_cluster_canonical",
-    # -- never driver-checked: corpus_ops --
-    "chunk_documents_overlap",
-    "tfidf_top_terms",
     "ngram_lm_topk",
-    "dedup_incremental_batch",
-    "neardup_incremental_minhash",
-    # -- round-3 reds, re-certified this round --
-    "multimodal_media_features",
-    "array_funcs_documents",
-    "agg_argmax_conditional",
-    "collect_sorted_event_types",
-    # -- implementation changed this round: must re-earn green --
-    "dedup_exact_documents",
-    "embedding_ann_multiprobe",
-    # -- new round-4 operators: certified on first appearance --
     "lm_known_bigram_score",
     "segment_dedup_ratio",
-    "mixture_resample_documents",
     "profile_column_stats",
-    "embedding_quantize_int8",
-    "embedding_quantized_topk",
-    "profile_drift_events",
-    "bm25_topk_documents",
-    "neardup_prefix_filter_pairs",
-    # -- implementation changed late in round 4 (tie-safe rounding):
-    #    must re-earn green like the other changed queries --
-    "window_rank_variants",
-    # -- continuation-session operators: certified on first appearance
-    #    (took the four r2-green refresh slots, which join rotation_debt) --
-    "embedding_pq_assign",
-    "embedding_pq_adc_topk",
-    "dedup_segment_rewrite",
-    "retention_cohort_weeks",
+    "agg_argmax_conditional",
+    # -- rotation debt: every r2-only green (34) --
+    "case_when_sign_branch",
+    "cube_status_priority",
+    "date_partition_buckets",
+    "distinct_users_per_type",
+    "filter_project_events",
+    "flagship_sync_digest",
+    "grouping_sets_status_priority",
+    "higher_order_token_filter",
+    "isin_allowlist_filter",
+    "join_anti_customers_without_orders",
+    "join_asof_purchase_prior_view",
+    "join_broadcast_dims",
+    "join_null_safe_segments",
+    "join_range_value_bands",
+    "join_salted_status_dim",
+    "join_semi_customers_with_orders",
+    "json_extract_events_props",
+    "pivot_events_by_type",
+    "rollup_nation_segment",
+    "scalar_subquery_above_avg",
+    "set_ops_all_multiset",
+    "set_ops_segments",
+    "sort_limit_top_orders",
+    "stats_corr_lineitem",
+    "string_funcs_projection",
+    "surrogate_key_md5",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "unpivot_customer_metrics",
+    "window_lag_event_gap",
+    "window_running_revenue",
+    "window_trailing_7d_revenue",
+    # -- round-4 staged entrants, first driver rows --
+    "vocab_coverage_oov",
+    "heavy_hitters_cms",
+    # -- new round-5 query: F4/F5 oracle-checkable path --
+    "markdown_extract_builtin",
+    # -- bind1-migration family re-certification --
+    "neardup_minhash_bands",
+    "neardup_clusters",
+    "neardup_ngram_jaccard",
+    "doc_fingerprint_bottomk",
+    "contamination_ngram_overlap",
+    "neardup_incremental_minhash",
 ]
 
 
@@ -180,44 +165,49 @@ def all_oracles() -> dict[str, str]:
 
 
 def rotation_debt() -> list[str]:
-    """Names whose most recent driver-green row is oldest — the round-5
+    """Names whose most recent driver-green row is oldest — the round-6
     rotation candidates (everything not in this round's WINDOW whose
-    last green was r2)."""
-    r2_only = {
-        # refresh slots ceded to the new round-4 operators:
-        "filter_project_events",
-        "sort_limit_top_orders",
-        "set_ops_segments",
-        "surrogate_key_md5",
-        "join_anti_customers_without_orders",
-        "isin_allowlist_filter",
-        "window_running_revenue",
-        "json_extract_events_props",
-        "distinct_users_per_type",
-        "window_lag_event_gap",
-        "case_when_sign_branch",
-        "grouping_sets_status_priority",
-        "join_semi_customers_with_orders",
-        "flagship_sync_digest",
-        "rollup_nation_segment",
-        "cube_status_priority",
-        "join_broadcast_dims",
-        "join_range_value_bands",
-        "join_asof_purchase_prior_view",
-        "join_null_safe_segments",
-        "window_trailing_7d_revenue",
-        "set_ops_all_multiset",
-        "scalar_subquery_above_avg",
-        "tpch_q3_shipping_priority",
-        "pivot_events_by_type",
-        "unpivot_customer_metrics",
-        "join_salted_status_dim",
-        "date_partition_buckets",
-        "string_funcs_projection",
-        "higher_order_token_filter",
-        "tpch_q5_local_supplier_volume",
-        "tpch_q13_order_distribution",
-        "tpch_q14_promo_revenue",
-        "stats_corr_lineitem",
+    last green was r3)."""
+    r3_only = {
+        "approx_distinct_users",
+        "approx_percentile_prices",
+        "date_math_orders",
+        "embedding_ann_lsh_pairs",
+        "embedding_cosine_topk",
+        "embedding_ivf_assign",
+        "embedding_ivf_topk",
+        "embedding_label_centroids",
+        "explode_outer_rare_tokens",
+        "explode_token_frequency",
+        "funnel_session_conversion",
+        "histogram_order_prices",
+        "join_multiway_revenue",
+        "lang_id_confusion",
+        "map_funcs_events",
+        "math_funcs_lineitem",
+        "multimodal_binary_stats",
+        "multimodal_frame_sample",
+        "neardup_levenshtein_names",
+        "neardup_simhash_pairs",
+        "percentile_order_prices",
+        "regex_funcs_documents",
+        "resample_daily_gapfill",
+        "sample_stratified_documents",
+        "sessionize_event_rows",
+        "split_assign_documents",
+        "sync_account_last_active",
+        "sync_metadata_double_decode",
+        "sync_stock_image_hashtags",
+        "sync_vote_set_accumulation",
+        "text_quality_score",
+        "text_stats_profile",
+        "token_count_regex",
+        "tpch_q1_pricing_summary",
+        "training_prep_pipeline",
+        "try_funcs_safe_division",
+        "window_session_events",
+        "window_sliding_events",
+        "window_topk_orders_per_customer",
+        "window_tumbling_events",
     }
-    return sorted(r2_only - set(WINDOW))
+    return sorted(r3_only - set(WINDOW))

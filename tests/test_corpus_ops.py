@@ -321,8 +321,8 @@ def test_segment_rewrite_first_occurrence_wins(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# Round-5 staged operators (PENDING_R5_QUERIES) — known-answer +
-# driver-faithful oracle parity, since they have no driver row yet.
+# Round-5 entrants (registered + windowed in round 5) — known-answer
+# tests; driver-row certification happens through the r5 WINDOW.
 # ---------------------------------------------------------------------------
 
 def test_vocab_coverage_cuts_topv_with_term_tiebreak(spark, tmp_path):
@@ -343,9 +343,9 @@ def test_vocab_coverage_cuts_topv_with_term_tiebreak(spark, tmp_path):
     assert (out[1].n_tok, out[1].n_oov) == (17, 1)
     assert (out[2].n_tok, out[2].n_oov) == (17, 1)
     assert (out[3].n_tok, out[3].n_oov) == (4, 4)
-    # tie-safe fixed-point rounding of 1/17 and 4/4
-    assert out[1].oov_ratio == 0.0588
-    assert out[3].oov_ratio == 1.0
+    # integer micro-ratio of 1/17 (round-half-up) and 4/4
+    assert out[1].oov_micros == 58_824
+    assert out[3].oov_micros == 1_000_000
 
 
 def _py_hash60(s: str) -> int:
@@ -382,40 +382,9 @@ def test_cms_estimate_matches_python_replica(spark, tmp_path):
     assert [r.rk for r in ranked] == list(range(1, len(rows) + 1))
 
 
-def test_pending_r5_oracle_parity_at_sf0001(spark):
-    """Driver-faithful certification for the staged round-5 operators:
-    Spark vs the DuckDB oracle on /root/testdata/sf0.001 through the
-    exact canonicalizer tools/oracle_check shares with the driver.
-    This is the stand-in for the driver row they cannot earn until a
-    round-5 WINDOW slot opens (see registry.py rotation plan)."""
-    import duckdb
-    import pandas as pd
+def test_r5_entrants_registered_with_oracles():
+    from chain_sync_spark.registry import WINDOW, all_oracles, all_queries
 
-    import tools.oracle_check as oc
-    from chain_sync_spark.tables import TABLE_NAMES
-
-    sf = "/root/testdata/sf0.001"
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    for name, fn in co.PENDING_R5_QUERIES.items():
-        sdf = fn(spark, sf)
-        assert not oc._complex_cols(sdf), name
-        spdf = pd.DataFrame(
-            [tuple(r) for r in sdf.collect()], columns=sdf.columns
-        )
-        res = con.execute(co.PENDING_R5_ORACLE[name])
-        dpdf = pd.DataFrame(
-            res.fetchall(), columns=[d[0] for d in res.description]
-        )
-        assert len(spdf) == len(dpdf), name
-        assert sorted(spdf.columns) == sorted(dpdf.columns), name
-        assert oc._canon(spdf) == oc._canon(dpdf), name
-
-
-def test_pending_r5_names_not_yet_registered():
-    from chain_sync_spark.registry import all_oracles, all_queries
-
-    assert not set(co.PENDING_R5_QUERIES) & set(all_queries())
-    assert not set(co.PENDING_R5_ORACLE) & set(all_oracles())
-    assert set(co.PENDING_R5_QUERIES) == set(co.PENDING_R5_ORACLE)
+    for name in ("vocab_coverage_oov", "heavy_hitters_cms"):
+        assert name in all_queries() and name in all_oracles()
+        assert name in WINDOW  # first driver row is earned this round

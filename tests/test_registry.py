@@ -38,17 +38,38 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
     )
 
 
-def test_rotation_ledger_complete_after_r4():
-    """Every registry query must hold a driver row in r2∪r3∪r4-window:
-    names in neither past artifact must sit inside THIS round's window
-    (that is the whole point of the rotation)."""
+def test_rotation_ledger_complete_after_r5():
+    """Every registry query must hold a driver row in r2∪r3∪r4 or sit
+    inside THIS round's window (that is the whole point of the
+    rotation). After r5 lands, no query's latest GREEN row may be
+    older than r3: the window carries every r2-only green."""
     seen = set(WINDOW)
-    for artifact in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    green_r2 = set()
+    for artifact in (
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+    ):
         p = _ROOT / artifact
         if p.exists():
             seen |= set(json.load(p.open()))
     missing = [n for n in all_queries() if n not in seen]
-    assert not missing, f"queries with no driver row even after r4: {missing}"
+    assert not missing, f"queries with no driver row even after r5: {missing}"
+
+    # freshness half of the covenant: r2-only greens must be windowed
+    last_green = {}
+    for r, artifact in ((2, "CORRECTNESS_r02.json"), (3, "CORRECTNESS_r03.json"),
+                        (4, "CORRECTNESS_r04.json")):
+        p = _ROOT / artifact
+        if not p.exists():
+            continue
+        for name, rec in json.load(p.open()).items():
+            if (rec.get("rows_match") and rec.get("schema_match")
+                    and rec.get("hash_match", True)):
+                last_green[name] = r
+    green_r2 = {n for n, r in last_green.items() if r == 2}
+    stale = sorted(green_r2 - set(WINDOW))
+    assert not stale, f"r2-only greens left out of the r5 window: {stale}"
 
 
 def test_rotation_debt_names_resolve():
