@@ -85,7 +85,20 @@ def bind1(col: Column, f) -> Column:
 
 def word_shingles(w: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; empty array when < n words.
-    1-based indices to mirror the DuckDB rendering exactly."""
+    1-based indices to mirror the DuckDB rendering exactly.
+
+    The input is bound ONCE per row through bind1 (round-5 migration):
+    the body references its token array n+2 times, and each reference
+    to a COMPUTED input expression would otherwise embed a copy that
+    higher-order lambdas re-evaluate per shingle ELEMENT (the round-4
+    trap measured at 12-20x on dedup_segment_rewrite/contamination).
+    Binding internally makes every call site safe; value-identity is
+    guarded by tests/test_properties.py."""
+    return bind1(w, lambda ww: _word_shingles_bound(ww, n))
+
+
+def _word_shingles_bound(w: Column, n: int) -> Column:
+    """Body over an already-bound (lambda-variable) token array."""
     gram = lambda j: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(w, j + i) for i in range(n)]
     )
@@ -107,7 +120,13 @@ def word_shingles_sql(w: str, n: int = 3) -> str:
 
 
 def char_ngrams(t: Column, n: int = 4) -> Column:
-    """Distinct character n-grams of a normalized text column."""
+    """Distinct character n-grams of a normalized text column.
+    Input bound once per row via bind1 — same rationale and guard as
+    word_shingles."""
+    return bind1(t, lambda tt: _char_ngrams_bound(tt, n))
+
+
+def _char_ngrams_bound(t: Column, n: int) -> Column:
     return F.when(
         F.length(t) >= n,
         F.array_distinct(

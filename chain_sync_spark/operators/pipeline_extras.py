@@ -234,14 +234,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exploded to (doc, shingle) and semi-joined — one pass over the
     corpus, no corpus self-join. distinct shingles per doc keep the
     overlap a set size, not a bag count."""
-    # bind1: the tokenize expression must be bound once per row —
-    # passed raw, word_shingles' per-element lambdas would embed and
-    # re-evaluate a copy of it per shingle ELEMENT (measured 20x).
+    # word_shingles binds its input internally since the round-5
+    # migration (sketches.py) — the computed tokenize expression
+    # evaluates once per row, not once per shingle element.
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
-        sk.bind1(
-            sk.words(sk.normalize_text(F.col("text"))), sk.word_shingles
-        ).alias("sh"),
+        sk.word_shingles(sk.words(sk.normalize_text(F.col("text")))).alias("sh"),
     )
     posting = d.select("doc_id", F.explode("sh").alias("g"))
     eval_set = (
