@@ -43,9 +43,13 @@ def write_training_shards(
     packed = pack_training_sequences(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     rows = packed.join(docs, "doc_id")
+    # doc_id closes the sort key: zero-token documents share the same
+    # (seq_in_shard, offset_in_seq), and a non-total key would leave
+    # their relative order to the shuffle — breaking the byte-identical
+    # rerun contract exactly on such inputs
     (
         rows.repartition(PACK_SHARDS, "shard")
-        .sortWithinPartitions("shard", "seq_in_shard", "offset_in_seq")
+        .sortWithinPartitions("shard", "seq_in_shard", "offset_in_seq", "doc_id")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(out_dir)

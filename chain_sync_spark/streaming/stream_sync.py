@@ -480,11 +480,21 @@ def run_stream_pq_index(
       store_dir/codes     (vec_id, m, code_id, batch_id) — the index
       store_dir/_rollup_commit.json                      — replay mark
 
-    Scale: per batch the work is the batch-sized broadcast-codebook
-    assign (O(batch · PQ_M · PQ_K) distance rows, map-side argmin)
-    plus an append; the historical index is touched only by the
-    anti-join id probe. ADC queries (embedding_pq_adc_topk's shape)
-    read codes + codebook directly."""
+    A codebook trained from a first batch that lacks the seed vectors
+    would be partial (or empty — and an empty codebook makes the
+    broadcast join in _pq_assigned emit zero rows, silently indexing
+    nothing forever), so training FAILS FAST unless the trained
+    codebook carries all PQ_M × PQ_K codewords.
+
+    Scale: per batch the compute is the batch-sized broadcast-codebook
+    assign (O(batch · PQ_M · PQ_K) distance rows, map-side argmin) and
+    the anti-join id probe against stored codes; the COMMIT, however,
+    rewrites the whole codes table (old ∪ fresh) through the staging
+    swap — O(history) IO per micro-batch, the same full-rewrite commit
+    the neardup store uses. That keeps the atomic-swap protocol
+    uniform; an append-only codes/ layout with a marker-only swap is
+    the optimization when batch count grows large. ADC queries
+    (embedding_pq_adc_topk's shape) read codes + codebook directly."""
     import os
 
     from chain_sync_spark.functions import sketches as sk
@@ -507,6 +517,18 @@ def run_stream_pq_index(
             old_codes = spark.read.parquet(os.path.join(store_dir, "codes"))
         else:
             cb = lp._pq_codebook(emb)
+            # fail fast on a degenerate codebook: a first batch without
+            # all seed vec_ids would freeze a partial/empty codebook and
+            # every later batch would silently index nothing
+            n_codes = cb.count()
+            if n_codes < lp.PQ_K * lp.PQ_M:
+                raise ValueError(
+                    f"PQ codebook training saw {n_codes} codewords, "
+                    f"needs {lp.PQ_K * lp.PQ_M} (PQ_K x PQ_M); the first "
+                    "micro-batch must contain every seed vector "
+                    f"(vec_id < {lp.PQ_K}) — reorder the stream or defer "
+                    "training"
+                )
             old_codes = spark.createDataFrame(
                 [], "vec_id long, m int, code_id long, batch_id long"
             )

@@ -609,6 +609,44 @@ def test_stream_pq_index_frozen_codebook_and_replay(spark, tmp_path):
     assert before == after
 
 
+def test_stream_pq_index_rejects_seedless_first_batch(spark, tmp_path):
+    """A first micro-batch without the seed vectors would train a
+    partial (here: empty) codebook and freeze it, after which every
+    batch silently indexes nothing — the guard must fail the query
+    loudly instead (ADVICE r4)."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.streaming.stream_sync import run_stream_pq_index
+
+    rng = np.random.default_rng(7)
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src)
+    # all vec_ids >= PQ_K: zero seed vectors in the only batch
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for i in range(lp.PQ_K, lp.PQ_K + 8):
+            vec = [float(x) for x in rng.normal(size=lp.EMB_DIM)]
+            fh.write(_json.dumps({"vec_id": i, "embedding": vec}) + "\n")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = run_stream_pq_index(
+        stream, str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    with pytest.raises(StreamingQueryException, match="codebook"):
+        q.awaitTermination(120)
+    # nothing was committed: no degenerate index on disk
+    assert not os.path.isdir(str(tmp_path / "store" / "codes"))
+
+
 def test_search_pq_index_matches_batch_adc(spark, tmp_path):
     """The streamed PQ store must serve queries identically to the
     batch operator: index the whole embeddings table in one batch
