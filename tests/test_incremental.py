@@ -62,3 +62,32 @@ def test_merge_handles_disjoint_keys(spark):
     rows = {(r["user_id"], r["event_type"]): r for r in finalize_rollup(merged).collect()}
     assert rows[(1, "x")]["n_events"] == 1 and rows[(1, "x")]["sum_value"] == 5.0
     assert rows[(2, "y")]["n_events"] == 1 and rows[(2, "y")]["sum_value"] == 7.0
+
+
+def test_sketch_profile_parity_and_no_expand(spark):
+    """The HLL++ profile variant must (a) agree exactly on every
+    non-distinct stat, (b) land within HLL++'s documented tolerance
+    (~2.3% rsd; allow 3x) on distinct counts, and (c) plan WITHOUT
+    Expand — the whole point of the sketch at 100 TB."""
+    from chain_sync_spark.operators.corpus_ops import (
+        profile_column_stats,
+        profile_column_stats_sketch,
+    )
+    from chain_sync_spark.plans.audit import executed_plan
+
+    exact = {r.col_name: r for r in profile_column_stats(spark, SF_DIR).collect()}
+    approx_df = profile_column_stats_sketch(spark, SF_DIR)
+    approx = {r.col_name: r for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_nulls, a.min_val, a.max_val) == (
+            e.n_rows, e.n_nulls, e.min_val, e.max_val
+        )
+        assert abs(a.n_distinct - e.n_distinct) <= max(3, 0.07 * e.n_distinct)
+
+    plan = executed_plan(approx_df)
+    assert "Expand" not in plan, "sketch profile must not plan an Expand"
+    assert "Expand" in executed_plan(profile_column_stats(spark, SF_DIR)), (
+        "exact profile is the Expand form this test contrasts against"
+    )
