@@ -49,3 +49,24 @@ def test_norm_scalar_renderings():
     assert oc._norm(float("nan")) == "nan"
     assert oc._norm(pd.Timestamp("2024-05-01")) == "2024-05-01"
     assert oc._norm(pd.Timestamp("2024-05-01 12:30:00")) == "2024-05-01 12:30:00"
+
+
+def test_pandas_path_sees_hugeint_coercion():
+    """The round-4 driver-red mechanism, pinned: the same DuckDB
+    HUGEINT value canonicalizes as "1" through fetchall but "1.0"
+    through .df() — which is why oracle_check compares BOTH
+    transports and why oracles must CAST integer SUMs to BIGINT."""
+    import duckdb
+
+    con = duckdb.connect()
+    q = "SELECT SUM(x) AS s FROM (SELECT 1::BIGINT AS x)"
+    obj = pd.DataFrame(con.execute(q).fetchall(), columns=["s"])
+    assert oc._canon(obj) == ["1"]
+    assert oc._canon(con.execute(q).df()) == ["1.0"]
+    fixed = "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (SELECT 1::BIGINT AS x)"
+    assert oc._canon(con.execute(fixed).df()) == ["1"]
+
+
+def test_engine_versions_reports_every_hash_dependency():
+    v = oc.engine_versions()
+    assert {"pyspark", "duckdb", "pandas", "numpy", "pyarrow", "python"} <= set(v)
