@@ -61,3 +61,30 @@ def test_udf_end_to_end(spark):
     assert rows[1]["p"]["images"] == ["http://u/1"]
     assert "x" in rows[1]["p"]["text"]
     assert rows[2]["p"]["text"] is None
+
+
+def test_builtin_extract_known_answer(spark, tmp_path):
+    """markdown_extract_builtin (the oracle-checkable F4/F5 regex
+    path): known answers per augmentation arm — md+html images
+    deduped/sorted on arm 0, link text kept and markers stripped on
+    arm 1, quoted-attr html img on arm 2, untouched text on arm 3."""
+    from chain_sync_spark.operators.sync_queries import markdown_extract_builtin
+
+    rows = [(i, "plain words here", "en", "s", 16) for i in range(4)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{src}/documents.parquet")
+    out = {r.doc_id: r for r in markdown_extract_builtin(spark, src).collect()}
+
+    assert out[0].n_imgs == 2  # duplicate md image collapses
+    assert out[0].img_srcs == "http://img/a0.png http://img/b0.png"
+    assert out[0].plain_head.startswith("plain words here")
+
+    assert out[1].n_imgs == 0 and out[1].img_srcs == ""
+    # link text kept, url dropped, emphasis/backtick markers stripped
+    assert "docs" in out[1].plain_head and "http://l/1" not in out[1].plain_head
+    assert "*" not in out[1].plain_head and "`" not in out[1].plain_head
+
+    assert out[2].n_imgs == 1 and out[2].img_srcs == "http://img/c2.gif"
+    assert out[3].n_imgs == 0 and out[3].plain_head == "plain words here"
