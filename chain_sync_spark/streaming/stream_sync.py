@@ -219,7 +219,11 @@ def _commit_store_tables(
     """Multi-table variant of _commit_store: each table lands in a
     subdirectory of ONE staged parent, the marker at the staging root,
     and the whole parent swaps in with the same recoverable double
-    rename — several relations + the replay mark commit atomically."""
+    rename — several relations + the replay mark commit atomically.
+
+    This full-rewrite swap is the right protocol for MERGED state (the
+    rollup/CMS/profile stores, whose every row changes per batch); the
+    grow-only index stores use the append-only protocol below."""
     import json
     import os
     import shutil
@@ -236,6 +240,124 @@ def _commit_store_tables(
     os.replace(staging, store_dir)
     if os.path.isdir(old):
         shutil.rmtree(old)
+
+
+# --- append-only store commit protocol -------------------------------------
+#
+# The near-dup and PQ index stores only ever GROW: bands/shingles/
+# decisions/codes gain each batch's rows and never change old ones.
+# Rewriting the whole table through the staging swap made every commit
+# O(history) IO (flagged in the round-4 ADVICE); this protocol makes it
+# O(batch), which is what a lakehouse APPEND costs:
+#
+#   store_dir/_rollup_commit.json        marker — the ONLY commit point
+#   store_dir/<table>/delta-<batch_id>/  one parquet dir per batch
+#   store_dir/<once_table>/              write-once state (PQ codebook)
+#
+# Commit order: write every delta dir (and any missing write-once table,
+# staged + renamed so its presence implies completeness), then atomically
+# os.replace the marker.  Readers trust only deltas with batch_id <= the
+# marker's — a crash after data but before the marker leaves orphan
+# deltas that are (a) invisible to readers and (b) deleted by
+# _recover_append_store before the replayed batch rewrites them.  The
+# marker keeps the (checkpoint identity, batch_id) replay contract of
+# the swap protocol.
+
+_DELTA_PREFIX = "delta-"
+
+
+def _delta_path(store_dir: str, name: str, batch_id: int) -> str:
+    import os
+
+    return os.path.join(store_dir, name, f"{_DELTA_PREFIX}{batch_id:08d}")
+
+
+def _committed_batch(store_dir: str) -> int:
+    return _read_commit_meta(store_dir).get("batch_id", -1)
+
+
+def _recover_append_store(store_dir: str) -> None:
+    """Repair any crash window of the append-only commit (idempotent):
+    delete delta dirs newer than the committed marker (written but never
+    committed — the batch replays and rewrites them) and half-written
+    write-once staging dirs."""
+    import os
+    import shutil
+
+    if not os.path.isdir(store_dir):
+        return
+    committed = _committed_batch(store_dir)
+    for name in os.listdir(store_dir):
+        sub = os.path.join(store_dir, name)
+        if not os.path.isdir(sub):
+            continue
+        if name.endswith(".staging"):
+            shutil.rmtree(sub)
+            continue
+        for d in os.listdir(sub):
+            if d.startswith(_DELTA_PREFIX):
+                try:
+                    bid = int(d[len(_DELTA_PREFIX):])
+                except ValueError:
+                    continue
+                if bid > committed:
+                    shutil.rmtree(os.path.join(sub, d))
+
+
+def _commit_append(
+    store_dir: str,
+    append_tables: dict[str, DataFrame],
+    batch_id: int,
+    meta: dict,
+    *,
+    once_tables: dict[str, DataFrame] | None = None,
+) -> None:
+    """Append each table's batch rows as one delta dir, create any
+    missing write-once table, then commit everything with a single
+    atomic marker replace.  Per-batch IO is O(batch rows) — history is
+    never rewritten."""
+    import json
+    import os
+
+    os.makedirs(store_dir, exist_ok=True)
+    for name, df in (once_tables or {}).items():
+        final = os.path.join(store_dir, name)
+        if not os.path.isdir(final):
+            staging = final + ".staging"
+            df.write.mode("overwrite").parquet(staging)
+            os.replace(staging, final)
+    for name, df in append_tables.items():
+        df.write.mode("overwrite").parquet(_delta_path(store_dir, name, batch_id))
+    tmp = os.path.join(store_dir, _COMMIT_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(store_dir, _COMMIT_META))
+
+
+def read_store_table(
+    spark: SparkSession, store_dir: str, name: str, schema: str
+) -> DataFrame:
+    """Committed view of an append-only store table: the union of every
+    delta dir whose batch_id is covered by the marker.  Uncommitted
+    (crash-orphaned) deltas are invisible.  The one read path for
+    serving queries AND the maintenance stream itself."""
+    import os
+
+    committed = _committed_batch(store_dir)
+    table_dir = os.path.join(store_dir, name)
+    paths = []
+    if os.path.isdir(table_dir):
+        for d in sorted(os.listdir(table_dir)):
+            if d.startswith(_DELTA_PREFIX):
+                try:
+                    bid = int(d[len(_DELTA_PREFIX):])
+                except ValueError:
+                    continue
+                if bid <= committed:
+                    paths.append(os.path.join(table_dir, d))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -349,8 +471,12 @@ def probe_neardup_index(
     from chain_sync_spark.operators.llm_pipeline import CLUSTER_MIN_JACCARD
 
     threshold = CLUSTER_MIN_JACCARD if min_jaccard is None else min_jaccard
-    idx_bands = spark.read.parquet(os.path.join(store_dir, "bands"))
-    idx_sh = spark.read.parquet(os.path.join(store_dir, "shingles"))
+    idx_bands = read_store_table(
+        spark, store_dir, "bands", "doc_id long, band_idx int, bkey string"
+    )
+    idx_sh = read_store_table(
+        spark, store_dir, "shingles", "doc_id long, sh array<string>"
+    )
     sh_b = _doc_shingles(docs.select("doc_id", "text"))
     bands_b = _band_relation(sh_b)
     dups = _probe_collisions(
@@ -382,19 +508,21 @@ def run_stream_neardup_index(
     surviving (non-duplicate) docs' bands/shingles to the index, and
     records one decision row per eligible doc.
 
-    Store layout (one atomic parent swap per batch, crash-recoverable
-    via the same protocol as run_stream_rollup):
-      store_dir/bands      (doc_id, band_idx, bkey)   — the LSH index
-      store_dir/shingles   (doc_id, sh)               — verify side
-      store_dir/decisions  (doc_id, is_dup, dup_of, batch_id)
-      store_dir/_rollup_commit.json                   — replay mark
+    Store layout (append-only commit — delta dirs + one atomic marker
+    replace per batch, crash-recoverable via _recover_append_store):
+      store_dir/bands/delta-<b>      (doc_id, band_idx, bkey) — LSH index
+      store_dir/shingles/delta-<b>   (doc_id, sh)             — verify side
+      store_dir/decisions/delta-<b>  (doc_id, is_dup, dup_of, batch_id)
+      store_dir/_rollup_commit.json                           — commit point
 
     Scale: per batch the probe join is O(batch · collisions) on
     uniform band keys, the verify touches candidate ids only, and
-    index maintenance is an append (expressed locally as union +
-    rewrite; on a lakehouse table it is a plain APPEND + an
-    append-only decisions table). Docs with <3 words are ineligible
-    and get no decision row, mirroring the batch operator."""
+    index maintenance is a true APPEND — each batch writes only its
+    own rows as a new delta dir and commits by replacing the marker,
+    so commit IO is O(batch) regardless of history size.  Docs with
+    <3 words are ineligible and get no decision row, mirroring the
+    batch operator.  Read the store through read_store_table (it
+    filters to committed deltas)."""
     import os
 
     from chain_sync_spark.operators.llm_pipeline import CLUSTER_MIN_JACCARD
@@ -403,26 +531,19 @@ def run_stream_neardup_index(
     ckpt_id = os.path.realpath(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        _recover_store(store_dir)
+        _recover_append_store(store_dir)
         meta = _read_commit_meta(store_dir)
         if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
             return
         spark = batch_df.sparkSession
         sh_b = _doc_shingles(batch_df.select("doc_id", "text")).persist()
         bands_b = _band_relation(sh_b)
-        have_store = os.path.isdir(os.path.join(store_dir, "bands"))
-        if have_store:
-            idx_bands = spark.read.parquet(os.path.join(store_dir, "bands"))
-            idx_sh = spark.read.parquet(os.path.join(store_dir, "shingles"))
-            old_dec = spark.read.parquet(os.path.join(store_dir, "decisions"))
-        else:
-            idx_bands = spark.createDataFrame(
-                [], "doc_id long, band_idx int, bkey string"
-            )
-            idx_sh = spark.createDataFrame([], "doc_id long, sh array<string>")
-            old_dec = spark.createDataFrame(
-                [], "doc_id long, is_dup boolean, dup_of long, batch_id long"
-            )
+        idx_bands = read_store_table(
+            spark, store_dir, "bands", "doc_id long, band_idx int, bkey string"
+        )
+        idx_sh = read_store_table(
+            spark, store_dir, "shingles", "doc_id long, sh array<string>"
+        )
         dups = _probe_collisions(
             idx_bands, idx_sh, bands_b, sh_b, threshold, in_batch=True
         )
@@ -437,17 +558,14 @@ def run_stream_neardup_index(
             )
         )
         survivors = dec_b.filter(~F.col("is_dup")).select("doc_id")
-        _commit_store_tables(
-            {
-                "bands": idx_bands.unionByName(
-                    bands_b.join(survivors, "doc_id", "left_semi")
-                ),
-                "shingles": idx_sh.unionByName(
-                    sh_b.join(survivors, "doc_id", "left_semi")
-                ),
-                "decisions": old_dec.unionByName(dec_b),
-            },
+        _commit_append(
             store_dir,
+            {
+                "bands": bands_b.join(survivors, "doc_id", "left_semi"),
+                "shingles": sh_b.join(survivors, "doc_id", "left_semi"),
+                "decisions": dec_b,
+            },
+            batch_id,
             {"checkpoint": ckpt_id, "batch_id": batch_id},
         )
         sh_b.unpersist()
@@ -474,27 +592,27 @@ def run_stream_pq_index(
     only comparable under one codebook) — and appends the new
     vectors' code rows. Re-delivered vec_ids keep their first codes.
 
-    Store layout (atomic parent swap per batch, crash-recoverable via
-    the same protocol as run_stream_rollup):
-      store_dir/codebook  (code_id, m, csub)            — frozen
-      store_dir/codes     (vec_id, m, code_id, batch_id) — the index
-      store_dir/_rollup_commit.json                      — replay mark
+    Store layout (append-only commit — delta dirs + one atomic marker
+    replace per batch, crash-recoverable via _recover_append_store):
+      store_dir/codebook            (code_id, m, csub)     — write-once
+      store_dir/codes/delta-<b>     (vec_id, m, code_id, batch_id)
+      store_dir/_rollup_commit.json                        — commit point
 
     A codebook trained from a first batch that lacks the seed vectors
     would be partial (or empty — and an empty codebook makes the
     broadcast join in _pq_assigned emit zero rows, silently indexing
     nothing forever), so training FAILS FAST unless the trained
-    codebook carries all PQ_M × PQ_K codewords.
+    codebook carries all PQ_M × PQ_K codewords.  The codebook dir is
+    staged and renamed into place, so its presence implies a complete
+    codebook even across a crash before the first marker.
 
     Scale: per batch the compute is the batch-sized broadcast-codebook
     assign (O(batch · PQ_M · PQ_K) distance rows, map-side argmin) and
-    the anti-join id probe against stored codes; the COMMIT, however,
-    rewrites the whole codes table (old ∪ fresh) through the staging
-    swap — O(history) IO per micro-batch, the same full-rewrite commit
-    the neardup store uses. That keeps the atomic-swap protocol
-    uniform; an append-only codes/ layout with a marker-only swap is
-    the optimization when batch count grows large. ADC queries
-    (embedding_pq_adc_topk's shape) read codes + codebook directly."""
+    the anti-join id probe against stored codes; the commit writes ONLY
+    the fresh rows as a new codes/ delta dir and replaces the marker —
+    O(batch) IO regardless of index size, the lakehouse-APPEND cost.
+    ADC queries (embedding_pq_adc_topk's shape) read codebook + the
+    committed codes deltas via read_store_table."""
     import os
 
     from chain_sync_spark.functions import sketches as sk
@@ -503,7 +621,7 @@ def run_stream_pq_index(
     ckpt_id = os.path.realpath(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        _recover_store(store_dir)
+        _recover_append_store(store_dir)
         meta = _read_commit_meta(store_dir)
         if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
             return
@@ -512,9 +630,9 @@ def run_stream_pq_index(
             "vec_id", sk.vec_double(F.col("embedding")).alias("e")
         )
         have_store = os.path.isdir(os.path.join(store_dir, "codebook"))
+        once: dict[str, DataFrame] = {}
         if have_store:
             cb = spark.read.parquet(os.path.join(store_dir, "codebook"))
-            old_codes = spark.read.parquet(os.path.join(store_dir, "codes"))
         else:
             cb = lp._pq_codebook(emb)
             # fail fast on a degenerate codebook: a first batch without
@@ -529,9 +647,10 @@ def run_stream_pq_index(
                     f"(vec_id < {lp.PQ_K}) — reorder the stream or defer "
                     "training"
                 )
-            old_codes = spark.createDataFrame(
-                [], "vec_id long, m int, code_id long, batch_id long"
-            )
+            once["codebook"] = cb
+        old_codes = read_store_table(
+            spark, store_dir, "codes", "vec_id long, m int, code_id long, batch_id long"
+        )
         assigned = lp._pq_assigned(emb, codebook=cb).select(
             "vec_id",
             "m",
@@ -541,10 +660,12 @@ def run_stream_pq_index(
         fresh = assigned.join(
             old_codes.select("vec_id").distinct(), "vec_id", "left_anti"
         )
-        _commit_store_tables(
-            {"codebook": cb, "codes": old_codes.unionByName(fresh)},
+        _commit_append(
             store_dir,
+            {"codes": fresh},
+            batch_id,
             {"checkpoint": ckpt_id, "batch_id": batch_id},
+            once_tables=once,
         )
 
     return (
@@ -583,7 +704,9 @@ def search_pq_index(
 
     k = lp.ANN_TOPK if topk is None else topk
     cb = spark.read.parquet(os.path.join(store_dir, "codebook"))
-    codes = spark.read.parquet(os.path.join(store_dir, "codes"))
+    codes = read_store_table(
+        spark, store_dir, "codes", "vec_id long, m int, code_id long, batch_id long"
+    )
     q = query_emb.select(
         "vec_id", sk.vec_double(F.col("embedding")).alias("e")
     )

@@ -433,7 +433,10 @@ def test_stream_neardup_index_maintains_and_flags(spark, tmp_path):
     import json as _json
     import os
 
-    from chain_sync_spark.streaming.stream_sync import run_stream_neardup_index
+    from chain_sync_spark.streaming.stream_sync import (
+        read_store_table,
+        run_stream_neardup_index,
+    )
 
     base = ("the quick brown fox jumps over the lazy dog again and again "
             "while the rain keeps falling on the quiet grey town tonight")
@@ -470,25 +473,32 @@ def test_stream_neardup_index_maintains_and_flags(spark, tmp_path):
     q = run_stream_neardup_index(_stream(), store, ckpt)
     q.awaitTermination(120)
 
+    _DEC = "doc_id long, is_dup boolean, dup_of long, batch_id long"
     dec = {r["doc_id"]: r for r in
-           spark.read.parquet(f"{store}/decisions").collect()}
+           read_store_table(spark, store, "decisions", _DEC).collect()}
     assert len(dec) == 4
     assert not dec[0]["is_dup"] and not dec[1]["is_dup"] and not dec[3]["is_dup"]
     assert dec[2]["is_dup"] and dec[2]["dup_of"] == 0      # cross-batch, via stored index
     assert dec[0]["batch_id"] == 0 and dec[2]["batch_id"] == 1
 
     # duplicates never enter the index; survivors do
-    indexed = {r["doc_id"] for r in
-               spark.read.parquet(f"{store}/shingles").collect()}
+    indexed = {r["doc_id"] for r in read_store_table(
+        spark, store, "shingles", "doc_id long, sh array<string>").collect()}
     assert indexed == {0, 1, 3}
-    bands = spark.read.parquet(f"{store}/bands")
+    bands = read_store_table(
+        spark, store, "bands", "doc_id long, band_idx int, bkey string")
     assert bands.filter(F.col("doc_id") == 2).count() == 0
 
+    # append-only layout: one delta dir per batch under each table
+    for t in ("bands", "shingles", "decisions"):
+        assert os.path.isdir(f"{store}/{t}/delta-00000000")
+        assert os.path.isdir(f"{store}/{t}/delta-00000001")
+
     # restart on the same checkpoint: no redelivery, store unchanged
-    before = sorted(map(str, spark.read.parquet(f"{store}/decisions").collect()))
+    before = sorted(map(str, read_store_table(spark, store, "decisions", _DEC).collect()))
     q2 = run_stream_neardup_index(_stream(), store, ckpt)
     q2.awaitTermination(120)
-    after = sorted(map(str, spark.read.parquet(f"{store}/decisions").collect()))
+    after = sorted(map(str, read_store_table(spark, store, "decisions", _DEC).collect()))
     assert before == after
 
 
@@ -544,7 +554,10 @@ def test_stream_pq_index_frozen_codebook_and_replay(spark, tmp_path):
 
     from chain_sync_spark.operators import llm_pipeline as lp
     from chain_sync_spark.functions import sketches as sk
-    from chain_sync_spark.streaming.stream_sync import run_stream_pq_index
+    from chain_sync_spark.streaming.stream_sync import (
+        read_store_table,
+        run_stream_pq_index,
+    )
 
     rng = np.random.default_rng(5)
     vecs = {i: [float(x) for x in rng.normal(size=lp.EMB_DIM)] for i in range(24)}
@@ -573,7 +586,8 @@ def test_stream_pq_index_frozen_codebook_and_replay(spark, tmp_path):
 
     run_stream_pq_index(_stream(), store, ckpt).awaitTermination(120)
 
-    codes = spark.read.parquet(f"{store}/codes")
+    _CODES = "vec_id long, m int, code_id long, batch_id long"
+    codes = read_store_table(spark, store, "codes", _CODES)
     rows = codes.collect()
     # every vector coded exactly once per subspace; redelivery kept batch-0 rows
     per_vec = {}
@@ -605,7 +619,7 @@ def test_stream_pq_index_frozen_codebook_and_replay(spark, tmp_path):
     # restart on the same checkpoint: replay mark short-circuits
     before = sorted(map(str, rows))
     run_stream_pq_index(_stream(), store, ckpt).awaitTermination(120)
-    after = sorted(map(str, spark.read.parquet(f"{store}/codes").collect()))
+    after = sorted(map(str, read_store_table(spark, store, "codes", _CODES).collect()))
     assert before == after
 
 
@@ -758,11 +772,100 @@ def test_probe_neardup_index_readonly_parity(spark, tmp_path):
         store,
         str(tmp_path / "nd_ckpt"),
     ).awaitTermination(120)
+    from chain_sync_spark.streaming.stream_sync import read_store_table
     dec = {r.doc_id: r for r in
-           spark.read.parquet(f"{store}/decisions").collect()
+           read_store_table(
+               spark, store, "decisions",
+               "doc_id long, is_dup boolean, dup_of long, batch_id long"
+           ).collect()
            if r.doc_id in (2, 3)}
     assert (dec[2].is_dup, dec[2].dup_of) == (True, 0)
     assert (dec[3].is_dup, dec[3].dup_of) == (False, None)
+
+
+def test_append_store_commit_is_o_batch_and_crash_safe(spark, tmp_path):
+    """The append-only store contract (the r4-ADVICE scale fix):
+    (1) committing a later batch leaves every earlier delta dir
+    byte-identical — commit IO is O(batch), not O(history);
+    (2) a delta written without a marker update (the crash window) is
+    invisible to read_store_table and deleted by recovery, after which
+    the replayed batch lands cleanly."""
+    import json as _json
+    import os
+
+    from chain_sync_spark.streaming.stream_sync import (
+        _recover_append_store,
+        read_store_table,
+        run_stream_neardup_index,
+    )
+
+    texts = {
+        0: ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain keeps falling on the quiet grey town tonight"),
+        1: ("completely different words about spark shuffles parquet files "
+            "and the costs of wide joins at terabyte scale in production"),
+        2: ("fresh unrelated sentence mentioning gardens rivers mountains "
+            "painting music chess and long walks beside the autumn shore"),
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _write(name, ids, mtime):
+        path = os.path.join(src, name)
+        with open(path, "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        run_stream_neardup_index(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src),
+            store,
+            ckpt,
+        ).awaitTermination(120)
+
+    def _delta0_state():
+        out = []
+        for t in ("bands", "shingles", "decisions"):
+            d = f"{store}/{t}/delta-00000000"
+            for dp, _, fs in os.walk(d):
+                for p in fs:
+                    fp = os.path.join(dp, p)
+                    out.append((fp, os.path.getsize(fp), os.path.getmtime(fp)))
+        return sorted(out)
+
+    _write("b0.json", [0, 1], 1_700_000_000)
+    _run()
+    state0 = _delta0_state()
+    assert state0  # batch 0 landed as delta-00000000
+
+    # a later batch appends its own delta and touches nothing else
+    _write("b1.json", [2], 1_700_000_100)
+    _run()
+    assert _delta0_state() == state0  # paths, sizes, mtimes all unchanged
+    assert os.path.isdir(f"{store}/decisions/delta-00000001")
+
+    _DEC = "doc_id long, is_dup boolean, dup_of long, batch_id long"
+    committed = sorted(
+        r.doc_id for r in read_store_table(spark, store, "decisions", _DEC).collect()
+    )
+    assert committed == [0, 1, 2]
+
+    # crash window: a delta beyond the marker is invisible + recovered away
+    orphan = f"{store}/decisions/delta-00000099"
+    spark.createDataFrame([(99, False, None, 99)], _DEC).write.parquet(orphan)
+    after_orphan = sorted(
+        r.doc_id for r in read_store_table(spark, store, "decisions", _DEC).collect()
+    )
+    assert after_orphan == [0, 1, 2]  # uncommitted rows never served
+    _recover_append_store(store)
+    assert not os.path.isdir(orphan)
+    assert _delta0_state() == state0  # recovery touches only the orphan
 
 
 def test_stream_cms_matches_one_pass_sketch_and_probe_bounds(spark, tmp_path):
