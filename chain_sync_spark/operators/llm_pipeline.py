@@ -2092,6 +2092,183 @@ FROM documents,
 
 
 # ---------------------------------------------------------------------------
+# K-means clustering (Lloyd's algorithm) — staged round-6 operator
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+_KM_SCALE = 1_000_000
+
+
+def _km_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, ei array<bigint>) — embeddings quantized to integer
+    micro-units (floor(x·10⁶ + 0.5), identical on every engine), so
+    ALL k-means arithmetic below is exact integer math: sums are
+    order-independent, argmins cannot tie-break differently across
+    engine versions, and the output boundary is integer-only (the
+    round-5 output contract, applied from the start here)."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _KM_SCALE + F.lit(0.5)),
+        ).alias("ei"),
+    )
+
+
+def _km_dist(ei: Column, c: Column) -> Column:
+    """Exact integer squared-L2 distance between two micro-unit
+    vectors. Bound: dims · (2 · max|x| · 10⁶)² ≈ 64 · 1.5e14 ≈ 1e16
+    « 2^63, so BIGINT never overflows (ANSI mode would throw loudly
+    if the data ever violated that)."""
+    return F.aggregate(
+        F.zip_with(ei, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids against
+    the corpus, integer-argmin with cid as the deterministic
+    tie-break. One narrow pass over the vectors — the corpus never
+    shuffles, only the (vec_id) argmin window key does."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        vecs.join(F.broadcast(cents))
+        .select(
+            "vec_id", "ei", "cid", _km_dist(F.col("ei"), F.col("c")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "ei", "cid")
+    )
+
+
+def _km_update(assigned: DataFrame, prior: DataFrame) -> DataFrame:
+    """Centroid recompute: posexplode to (cid, pos) cells, exact
+    BIGINT sums (order-independent), then floor-division integer mean
+    — (s - mod(s, n)) div n with the sign-safe double-% mod, which
+    both engines evaluate identically.  A cluster that lost every
+    member keeps its prior centroid (deterministic, mirrored in the
+    oracle).  Shuffle volume after map-side combine is K·dims rows."""
+    cells = assigned.select("cid", F.posexplode("ei").alias("pos", "v"))
+    means = (
+        cells.groupBy("cid", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cid", "pos", F.expr("(s - ((s % n + n) % n)) div n").alias("cv")
+        )
+    )
+    fresh = means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("c")
+    )
+    return (
+        prior.alias("p")
+        .join(fresh.alias("f"), "cid", "left")
+        .select("cid", F.coalesce(F.col("f.c"), F.col("p.c")).alias("c"))
+    )
+
+
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised k-means over the embeddings table — the TRAINED
+    counterpart of the IVF coarse quantizer (embedding_ivf_assign uses
+    raw seed vectors; this runs {KMEANS_ITERS} Lloyd iterations from
+    those same seeds, deterministically): assign → integer-exact
+    centroid update → … → final assignment.  Output is integer-only:
+    (vec_id, cluster_id, cluster_size).
+
+    Scale plan: centroids are always K·dims integers (broadcast); each
+    iteration is one narrow corpus pass for assignment plus a
+    K·dims-row centroid shuffle after map-side combine — the corpus
+    embedding payload itself is never shuffled.  The {KMEANS_ITERS}
+    iterations chain lazily here (the cached corpus is scanned once
+    per pass); a production run at 100 TB materializes the tiny
+    centroid table between passes — same DAG, explicit barrier.
+    Quantizing vectors to micro-units first makes every distance and
+    every mean exact integer arithmetic: results are reproducible
+    across engines, partitionings, and retry orders by construction.
+    """
+    vecs = _scoped_persist(_km_vecs(spark, sf_dir))
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("ei").alias("c")
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _km_update(_km_assign(vecs, cents), cents)
+    final = _km_assign(vecs, cents).select("vec_id", "cid")
+    sizes = final.groupBy("cid").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return final.join(F.broadcast(sizes), "cid").select(
+        "vec_id", F.col("cid").cast("int").alias("cluster_id"), "cluster_size"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Lloyd unrolled as SQL CTEs: ev = micro-quantized cells, then
+    per iteration dN (integer distances) → aN (argmin assignment) →
+    mN (floor-div integer means) → cN (empty clusters keep prior).
+    DuckDB widens integer SUMs to HUGEINT, so every mean folds back
+    through CAST(... AS BIGINT) before it feeds the next join."""
+    ev = f"""
+ev AS (
+  SELECT vec_id, t.i - 1 AS pos,
+         CAST(FLOOR(embedding[t.i]::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+),
+c0 AS (
+  SELECT vec_id AS cid, pos, v AS cv FROM ev WHERE vec_id < {KMEANS_K}
+)"""
+    steps = []
+    prev = "c0"
+    for t in range(1, KMEANS_ITERS + 1):
+        steps.append(f"""
+d{t} AS (
+  SELECT e.vec_id, c.cid, SUM((e.v - c.cv) * (e.v - c.cv)) AS d
+  FROM ev e JOIN {prev} c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cid
+),
+a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+m{t} AS (
+  SELECT a.cid, e.pos,
+         CAST((SUM(e.v) - ((SUM(e.v) % COUNT(*) + COUNT(*)) % COUNT(*)))
+              // COUNT(*) AS BIGINT) AS cv
+  FROM a{t} a JOIN ev e ON a.vec_id = e.vec_id
+  GROUP BY a.cid, e.pos
+),
+c{t} AS (
+  SELECT p.cid, p.pos, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN m{t} n ON p.cid = n.cid AND p.pos = n.pos
+)""")
+        prev = f"c{t}"
+    final = f"""
+dF AS (
+  SELECT e.vec_id, c.cid, SUM((e.v - c.cv) * (e.v - c.cv)) AS d
+  FROM ev e JOIN {prev} c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cid
+),
+aF AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dF
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id, s.cluster_size
+FROM aF a JOIN (
+  SELECT cid, COUNT(*) AS cluster_size FROM aF GROUP BY cid
+) s ON a.cid = s.cid"""
+    return "WITH " + ev + "," + ",".join(steps) + "," + final
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2155,4 +2332,17 @@ ORACLE = {
     "embedding_quantized_topk": _QUANT_TOPK_ORACLE,
     "embedding_pq_assign": _pq_assign_oracle(),
     "embedding_pq_adc_topk": _pq_adc_oracle(),
+}
+
+# Staged round-6 entrants: the round-5 certification window is full, so
+# these live outside the registry until a round-6 WINDOW slot opens
+# (the same staging protocol round 4 used for vocab_coverage_oov /
+# heavy_hitters_cms — full implementation, DuckDB oracle, and
+# driver-faithful parity pytest now; QUERIES/ORACLE/WINDOW next round).
+PENDING_R6_QUERIES = {
+    "kmeans_embedding_clusters": kmeans_embedding_clusters,
+}
+
+PENDING_R6_ORACLE = {
+    "kmeans_embedding_clusters": _kmeans_oracle(),
 }

@@ -470,6 +470,92 @@ FROM cells JOIN sizes USING (cohort_week)
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension history — staged round-6 operator
+# ---------------------------------------------------------------------------
+
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from the events
+    stream: each user's event_type sequence (total order: ts, then
+    event_id — ties are pinned) collapses into runs of consecutive
+    equal values; every run becomes one versioned dimension row with
+    [valid_from, valid_to) validity, NULL valid_to + is_current=true
+    on the open row.  The gaps-and-islands → effective-dating pattern
+    every warehouse load needs (and the batch shape of a streamed
+    MERGE-based SCD2 sink: the engine's upsert path, sync/merge.py,
+    applies the same close-old/open-new row pair per key).
+
+    Scale: two windows over the same (user_id → ts, event_id) sort
+    order — Spark reuses one sort+shuffle for both lag and the running
+    sum — then a hash aggregate on (user_id, version) and a final
+    lead() over the *aggregated* (runs-sized, « events-sized)
+    relation.  No self-joins; one wide shuffle total."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = ev.withColumn(
+        "chg", (~prev.eqNullSafe(F.col("event_type"))).cast("int")
+    ).withColumn("version", F.sum("chg").over(w))
+    hist = runs.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return (
+        hist.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            "user_id",
+            F.col("version").cast("int").alias("version"),
+            "event_type",
+            "valid_from",
+            "valid_to",
+            "n_events",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+  FROM ordered
+),
+hist AS (
+  SELECT user_id, version, event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, CAST(version AS INT) AS version, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events,
+       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         IS NULL) AS is_current
+FROM hist
+"""
+
+# Staged round-6 entrant — same protocol as llm_pipeline's: full
+# implementation + oracle + driver-faithful parity pytest now, a
+# QUERIES/ORACLE/WINDOW slot in round 6.
+PENDING_R6_QUERIES = {
+    "scd2_event_type_history": scd2_event_type_history,
+}
+
+PENDING_R6_ORACLE = {
+    "scd2_event_type_history": _SCD2_ORACLE,
+}
+
+
 QUERIES = {
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,

@@ -47,8 +47,12 @@ tests/test_properties.py, so its row remains probative.
 
 Round-6 window plan: rotation_debt() below lists the 40 queries whose
 latest green will be r3 after this round — they are the oldest rows
-and should fill the r6 window first, then any query whose
-implementation changes in round 6.
+and should fill the r6 window first; then the round-5 staged entrants
+(llm_pipeline.PENDING_R6_QUERIES: kmeans_embedding_clusters;
+temporal.PENDING_R6_QUERIES: scd2_event_type_history — move each into
+QUERIES/ORACLE + WINDOW together and delete the PENDING dicts and
+tests/test_pending_r6.py's not-yet-registered guard); then any query
+whose implementation changes in round 6.
 
 Pre-flight: ``tools/oracle_check.py`` canonicalizes through BOTH
 transports (object path and pandas path) — run it over the WINDOW

@@ -1,0 +1,208 @@
+"""Round-6 staged operators (PENDING_R6_QUERIES in llm_pipeline and
+temporal) — known-answer tests + driver-faithful dual-transport oracle
+parity, since they hold no driver row until a round-6 WINDOW slot
+opens (registry.py rotation plan)."""
+
+from datetime import datetime
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from chain_sync_spark.operators import llm_pipeline as lp
+from chain_sync_spark.operators import temporal as tp
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# kmeans_embedding_clusters
+# ---------------------------------------------------------------------------
+
+def _py_kmeans(vectors: dict[int, np.ndarray]) -> dict[int, int]:
+    """From-scratch integer-Lloyd replica: same micro-quantization,
+    same floor-div means, same (distance, cid) tie-break."""
+    v = {
+        i: np.floor(x.astype(np.float64) * lp._KM_SCALE + 0.5).astype(np.int64)
+        for i, x in vectors.items()
+    }
+    cents = {c: v[c].copy() for c in range(lp.KMEANS_K) if c in v}
+
+    def assign():
+        out = {}
+        for i, x in v.items():
+            best = min(
+                (int(((x - c) * (x - c)).sum()), cid) for cid, c in cents.items()
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(lp.KMEANS_ITERS):
+        a = assign()
+        for cid in cents:
+            members = [v[i] for i, c in a.items() if c == cid]
+            if members:
+                s = np.sum(members, axis=0, dtype=np.int64)
+                n = len(members)
+                # python % is floor-mod and // floors: identical to the
+                # engines' (s - ((s % n + n) % n)) div n
+                cents[cid] = (s - (s % n)) // n
+    return assign()
+
+
+def test_kmeans_matches_python_replica_at_sf0001(spark):
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(i): np.asarray(e, dtype=np.float32)
+        for i, e in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    }
+    want = _py_kmeans(vecs)
+    rows = lp.kmeans_embedding_clusters(spark, SF).collect()
+    got = {r.vec_id: r.cluster_id for r in rows}
+    assert got == want
+    sizes = {}
+    for c in want.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert {r.cluster_id: r.cluster_size for r in rows} == sizes
+
+
+def test_kmeans_tiny_blobs_converge(spark, tmp_path):
+    """8 spread seeds + satellites around seeds 0 and 3: the
+    satellites join their seed's cluster and sizes add up."""
+    dim = 4
+    base = {i: [float(10 * i + 1)] * dim for i in range(lp.KMEANS_K)}
+    rows = [(i, base[i], 0) for i in range(lp.KMEANS_K)]
+    rows += [(8, [1.4] * dim, 0), (9, [0.8] * dim, 0)]      # near seed 0
+    rows += [(10, [31.3] * dim, 0), (11, [30.9] * dim, 0)]  # near seed 3
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r.vec_id: r for r in
+           lp.kmeans_embedding_clusters(spark, str(tmp_path)).collect()}
+    assert len(out) == 12
+    assert out[8].cluster_id == out[9].cluster_id == out[0].cluster_id == 0
+    assert out[10].cluster_id == out[11].cluster_id == out[3].cluster_id == 3
+    assert out[0].cluster_size == 3 and out[3].cluster_size == 3
+    for i in (1, 2, 4, 5, 6, 7):
+        assert out[i].cluster_id == i and out[i].cluster_size == 1
+
+
+# ---------------------------------------------------------------------------
+# scd2_event_type_history
+# ---------------------------------------------------------------------------
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_scd2_runs_versions_and_validity(spark, tmp_path):
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    d = _write_events(spark, tmp_path, [
+        # user 1: A A B A -> versions 1(A,2) 2(B,1) 3(A,1)
+        (1, t(0), 1, "A", 0.0, "{}"),
+        (2, t(1), 1, "A", 0.0, "{}"),
+        (3, t(2), 1, "B", 0.0, "{}"),
+        (4, t(3), 1, "A", 0.0, "{}"),
+        # user 2: same-ts tie ordered by event_id -> X then Y
+        (10, t(0), 2, "X", 0.0, "{}"),
+        (11, t(0), 2, "Y", 0.0, "{}"),
+    ])
+    out = {(r.user_id, r.version): r
+           for r in tp.scd2_event_type_history(spark, d).collect()}
+    assert len(out) == 5
+    r11, r12, r13 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (r11.event_type, r11.n_events) == ("A", 2)
+    assert (r12.event_type, r12.n_events) == ("B", 1)
+    assert (r13.event_type, r13.n_events) == ("A", 1)
+    # validity chains: each valid_to equals the next valid_from; open row NULL
+    assert r11.valid_from == t(0) and r11.valid_to == t(2)
+    assert r12.valid_from == t(2) and r12.valid_to == t(3)
+    assert r13.valid_to is None and r13.is_current
+    assert not r11.is_current and not r12.is_current
+    # tie pinned by event_id: X (event 10) precedes Y (event 11)
+    assert out[(2, 1)].event_type == "X" and not out[(2, 1)].is_current
+    assert out[(2, 2)].event_type == "Y" and out[(2, 2)].is_current
+
+
+def test_scd2_every_user_chain_is_well_formed(spark):
+    """Structural invariants at sf0.001: versions are 1..n per user,
+    exactly one open row per user, validity intervals chain without
+    gaps, and run n_events sum to the user's event count."""
+    rows = tp.scd2_event_type_history(spark, SF).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev_counts = {
+        r.user_id: r.n
+        for r in tp.table(spark, SF, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_user) == set(ev_counts)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.n_events for r in rs) == ev_counts[uid]
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from > a.valid_from
+            assert a.event_type != b.event_type  # runs are maximal
+
+
+# ---------------------------------------------------------------------------
+# Driver-faithful certification (dual transport, as tools/oracle_check)
+# ---------------------------------------------------------------------------
+
+def _pending():
+    for mod in (lp, tp):
+        for name, fn in mod.PENDING_R6_QUERIES.items():
+            yield name, fn, mod.PENDING_R6_ORACLE[name]
+
+
+@pytest.mark.parametrize("name,fn,oracle", list(_pending()))
+def test_pending_r6_oracle_parity_dual_transport(spark, name, fn, oracle):
+    """Spark vs DuckDB through BOTH driver transports (object path and
+    pandas path) via the exact canonicalizer tools/oracle_check shares
+    with the driver emulation — the stand-in for the driver row these
+    queries cannot earn until round 6."""
+    import tools.oracle_check as oc
+    from chain_sync_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    sdf = fn(spark, SF).persist()
+    try:
+        assert not oc._complex_cols(sdf), name
+        spdf_obj = pd.DataFrame(
+            [tuple(r) for r in sdf.collect()], columns=sdf.columns
+        )
+        spdf_pd = sdf.toPandas()
+    finally:
+        sdf.unpersist()
+    res = con.execute(oracle)
+    dcols = [d[0] for d in res.description]
+    dpdf_obj = pd.DataFrame(res.fetchall(), columns=dcols)
+    dpdf_pd = con.execute(oracle).df()
+    assert len(spdf_obj) == len(dpdf_obj)
+    assert sorted(spdf_obj.columns) == sorted(dcols)
+    assert oc._canon(spdf_obj) == oc._canon(dpdf_obj), "object path"
+    assert oc._canon(spdf_pd) == oc._canon(dpdf_pd), "pandas path"
+
+
+def test_pending_r6_names_not_yet_registered():
+    from chain_sync_spark.registry import all_oracles, all_queries
+
+    pending_q = set(lp.PENDING_R6_QUERIES) | set(tp.PENDING_R6_QUERIES)
+    pending_o = set(lp.PENDING_R6_ORACLE) | set(tp.PENDING_R6_ORACLE)
+    assert pending_q == pending_o
+    assert not pending_q & set(all_queries())
+    assert not pending_o & set(all_oracles())
