@@ -276,17 +276,27 @@ def _committed_batch(store_dir: str) -> int:
     return _read_commit_meta(store_dir).get("batch_id", -1)
 
 
+_COMPACT_PREFIX = "compact-"
+
+
+def _compacted_through(store_dir: str) -> int:
+    return _read_commit_meta(store_dir).get("compacted_through", -1)
+
+
 def _recover_append_store(store_dir: str) -> None:
     """Repair any crash window of the append-only commit (idempotent):
     delete delta dirs newer than the committed marker (written but never
-    committed — the batch replays and rewrites them) and half-written
-    write-once staging dirs."""
+    committed — the batch replays and rewrites them), half-written
+    staging dirs, compact dirs the marker doesn't reference (a crashed
+    compaction), and delta dirs a committed compaction superseded (a
+    crash before compaction cleanup)."""
     import os
     import shutil
 
     if not os.path.isdir(store_dir):
         return
     committed = _committed_batch(store_dir)
+    compacted = _compacted_through(store_dir)
     for name in os.listdir(store_dir):
         sub = os.path.join(store_dir, name)
         if not os.path.isdir(sub):
@@ -295,13 +305,22 @@ def _recover_append_store(store_dir: str) -> None:
             shutil.rmtree(sub)
             continue
         for d in os.listdir(sub):
+            path = os.path.join(sub, d)
             if d.startswith(_DELTA_PREFIX):
                 try:
                     bid = int(d[len(_DELTA_PREFIX):])
                 except ValueError:
                     continue
-                if bid > committed:
-                    shutil.rmtree(os.path.join(sub, d))
+                if bid > committed or bid <= compacted:
+                    shutil.rmtree(path)
+            elif d.startswith(_COMPACT_PREFIX):
+                try:
+                    bid = int(d[len(_COMPACT_PREFIX):])
+                except ValueError:
+                    shutil.rmtree(path)  # crashed compaction staging
+                    continue
+                if bid != compacted:
+                    shutil.rmtree(path)
 
 
 def _commit_append(
@@ -328,6 +347,11 @@ def _commit_append(
             os.replace(staging, final)
     for name, df in append_tables.items():
         df.write.mode("overwrite").parquet(_delta_path(store_dir, name, batch_id))
+    # a maintenance compaction may have run between batches: its state
+    # rides along in every subsequent marker
+    compacted = _compacted_through(store_dir)
+    if compacted >= 0:
+        meta = {**meta, "compacted_through": compacted}
     tmp = os.path.join(store_dir, _COMMIT_META + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -337,27 +361,95 @@ def _commit_append(
 def read_store_table(
     spark: SparkSession, store_dir: str, name: str, schema: str
 ) -> DataFrame:
-    """Committed view of an append-only store table: the union of every
-    delta dir whose batch_id is covered by the marker.  Uncommitted
-    (crash-orphaned) deltas are invisible.  The one read path for
-    serving queries AND the maintenance stream itself."""
+    """Committed view of an append-only store table: the compact base
+    (if a compaction committed) plus every delta dir in
+    (compacted_through, committed].  Uncommitted (crash-orphaned)
+    deltas and unreferenced compact dirs are invisible.  The one read
+    path for serving queries AND the maintenance stream itself."""
     import os
 
-    committed = _committed_batch(store_dir)
+    meta = _read_commit_meta(store_dir)
+    committed = meta.get("batch_id", -1)
+    compacted = meta.get("compacted_through", -1)
     table_dir = os.path.join(store_dir, name)
     paths = []
     if os.path.isdir(table_dir):
+        base = os.path.join(table_dir, f"{_COMPACT_PREFIX}{compacted:08d}")
+        if compacted >= 0 and os.path.isdir(base):
+            paths.append(base)
         for d in sorted(os.listdir(table_dir)):
             if d.startswith(_DELTA_PREFIX):
                 try:
                     bid = int(d[len(_DELTA_PREFIX):])
                 except ValueError:
                     continue
-                if bid <= committed:
+                if compacted < bid <= committed:
                     paths.append(os.path.join(table_dir, d))
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
+
+
+def compact_store(
+    spark: SparkSession, store_dir: str, tables: dict[str, str]
+) -> int:
+    """Offline maintenance for an append-only store — the local
+    analogue of lakehouse OPTIMIZE: fold every committed delta of each
+    table (``name → schema``) into one ``compact-<B>`` base dir
+    (B = the committed batch id), commit the fold with the same single
+    atomic marker replace the stream uses, then drop the superseded
+    delta dirs.  Bounds the small-files growth of a long-running
+    stream; per-batch commits stay O(batch) because compaction is an
+    explicit, occasional O(history) job — exactly the cost split a
+    lakehouse gives you.
+
+    Safe to run between micro-batches of a STOPPED stream (single
+    writer per store, like the stream itself).  Crash windows: a
+    compact dir without its marker is unreferenced (readers ignore it,
+    recovery deletes it); a marker without cleanup leaves stale deltas
+    ≤ compacted_through (readers ignore them, recovery deletes them).
+    Returns the batch id the store is now compacted through, or -1 if
+    the store has no committed batches yet."""
+    import json
+    import os
+    import shutil
+
+    _recover_append_store(store_dir)
+    meta = _read_commit_meta(store_dir)
+    committed = meta.get("batch_id", -1)
+    if committed < 0:
+        return -1
+    if meta.get("compacted_through", -1) == committed:
+        return committed  # nothing newer than the last compaction
+    for name, schema in tables.items():
+        rows = read_store_table(spark, store_dir, name, schema)
+        staging = os.path.join(store_dir, name, f"{_COMPACT_PREFIX}staging")
+        rows.write.mode("overwrite").parquet(staging)
+        os.replace(
+            staging,
+            os.path.join(store_dir, name, f"{_COMPACT_PREFIX}{committed:08d}"),
+        )
+    new_meta = {**meta, "compacted_through": committed}
+    tmp = os.path.join(store_dir, _COMMIT_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, os.path.join(store_dir, _COMMIT_META))
+    # cleanup (recovery redoes this after a crash): superseded deltas
+    # and any previous compact base
+    for name in tables:
+        table_dir = os.path.join(store_dir, name)
+        for d in os.listdir(table_dir):
+            path = os.path.join(table_dir, d)
+            if d.startswith(_DELTA_PREFIX):
+                try:
+                    bid = int(d[len(_DELTA_PREFIX):])
+                except ValueError:
+                    continue
+                if bid <= committed:
+                    shutil.rmtree(path)
+            elif d.startswith(_COMPACT_PREFIX) and d != f"{_COMPACT_PREFIX}{committed:08d}":
+                shutil.rmtree(path)
+    return committed
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:

@@ -868,6 +868,112 @@ def test_append_store_commit_is_o_batch_and_crash_safe(spark, tmp_path):
     assert _delta0_state() == state0  # recovery touches only the orphan
 
 
+def test_compact_store_folds_deltas_and_stream_resumes(spark, tmp_path):
+    """compact_store (the lakehouse-OPTIMIZE analogue): folds all
+    committed deltas into one compact base per table, serves the SAME
+    rows afterwards, physically removes the per-batch dirs, preserves
+    the replay marker, and a resumed stream keeps appending deltas on
+    top of the base; orphan state from a crashed compaction is
+    invisible and recovered."""
+    import json as _json
+    import os
+
+    from chain_sync_spark.streaming.stream_sync import (
+        _recover_append_store,
+        compact_store,
+        read_store_table,
+        run_stream_neardup_index,
+    )
+
+    texts = {
+        0: ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain keeps falling on the quiet grey town tonight"),
+        1: ("completely different words about spark shuffles parquet files "
+            "and the costs of wide joins at terabyte scale in production"),
+        2: ("fresh unrelated sentence mentioning gardens rivers mountains "
+            "painting music chess and long walks beside the autumn shore"),
+        3: ("yet another disjoint text on compilers register allocation "
+            "garbage collection and the joys of deterministic builds"),
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _write(name, ids, mtime):
+        path = os.path.join(src, name)
+        with open(path, "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    TABLES = {
+        "bands": "doc_id long, band_idx int, bkey string",
+        "shingles": "doc_id long, sh array<string>",
+        "decisions": "doc_id long, is_dup boolean, dup_of long, batch_id long",
+    }
+
+    def _run():
+        run_stream_neardup_index(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src),
+            store,
+            ckpt,
+        ).awaitTermination(120)
+
+    def _rows(name):
+        return sorted(
+            map(str, read_store_table(spark, store, name, TABLES[name]).collect())
+        )
+
+    _write("b0.json", [0, 1], 1_700_000_000)
+    _write("b1.json", [2], 1_700_000_100)
+    _run()
+    before = {t: _rows(t) for t in TABLES}
+
+    assert compact_store(spark, store, TABLES) == 1
+    # same served rows, per-batch dirs folded into one compact base
+    assert {t: _rows(t) for t in TABLES} == before
+    for t in TABLES:
+        entries = sorted(os.listdir(f"{store}/{t}"))
+        assert entries == ["compact-00000001"]
+    # idempotent when nothing new committed
+    assert compact_store(spark, store, TABLES) == 1
+
+    # the resumed stream appends a delta on top of the compact base
+    _write("b2.json", [3], 1_700_000_200)
+    _run()
+    assert sorted(os.listdir(f"{store}/decisions")) == [
+        "compact-00000001", "delta-00000002"
+    ]
+    dec = {r.doc_id: r for r in
+           read_store_table(spark, store, "decisions", TABLES["decisions"]).collect()}
+    assert set(dec) == {0, 1, 2, 3} and not dec[3].is_dup
+    # marker carries both watermarks forward
+    meta = _json.load(open(f"{store}/_rollup_commit.json"))
+    assert meta["batch_id"] == 2 and meta["compacted_through"] == 1
+
+    # crashed-compaction orphans: unreferenced compact dir + staging
+    spark.createDataFrame([(99, False, None, 99)], TABLES["decisions"]) \
+        .write.parquet(f"{store}/decisions/compact-00000002")
+    os.makedirs(f"{store}/decisions/compact-staging")
+    served = {r.doc_id for r in
+              read_store_table(spark, store, "decisions", TABLES["decisions"]).collect()}
+    assert served == {0, 1, 2, 3}  # orphans invisible
+    _recover_append_store(store)
+    assert sorted(os.listdir(f"{store}/decisions")) == [
+        "compact-00000001", "delta-00000002"
+    ]
+
+    # a second compaction folds base + new delta
+    assert compact_store(spark, store, TABLES) == 2
+    assert sorted(os.listdir(f"{store}/decisions")) == ["compact-00000002"]
+    assert {r.doc_id for r in
+            read_store_table(spark, store, "decisions", TABLES["decisions"]).collect()
+            } == {0, 1, 2, 3}
+
+
 def test_stream_cms_matches_one_pass_sketch_and_probe_bounds(spark, tmp_path):
     """Streaming count-min maintenance: folding per-micro-batch sketch
     partials cell-wise reproduces the one-pass sketch over the same
