@@ -2168,7 +2168,7 @@ def _km_update(assigned: DataFrame, prior: DataFrame) -> DataFrame:
     )
     return (
         prior.alias("p")
-        .join(fresh.alias("f"), "cid", "left")
+        .join(F.broadcast(fresh.alias("f")), "cid", "left")
         .select("cid", F.coalesce(F.col("f.c"), F.col("p.c")).alias("c"))
     )
 

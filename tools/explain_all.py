@@ -25,7 +25,13 @@ def main() -> None:
     only = set(sys.argv[2:])
     spark = get_spark("explain-all", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    queries = all_queries()
+    queries = dict(all_queries())
+    # staged (pending) queries audit like registered ones
+    from chain_sync_spark.operators import llm_pipeline as _lp
+    from chain_sync_spark.operators import temporal as _tp
+
+    for mod in (_lp, _tp):
+        queries.update(getattr(mod, "PENDING_R6_QUERIES", {}))
     rows = []
     for name, fn in queries.items():
         if only and name not in only:
