@@ -29,3 +29,19 @@ def test_no_query_plans_a_cartesian_product(spark):
 
 # The round-5 entrants (vocab_coverage_oov, heavy_hitters_cms) joined
 # the registry in round 5, so the main sweep above now covers them.
+
+
+def test_no_staged_query_plans_a_cartesian_product(spark):
+    """Round-6 staged queries get the same screen before they ever
+    reach the registry (k-means' broadcast-nested-loop against the
+    K-row centroid frame is the legitimate bounded shape)."""
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.operators import temporal as tp
+
+    offenders = []
+    for mod in (lp, tp):
+        for name, fn in mod.PENDING_R6_QUERIES.items():
+            plan = executed_plan(fn(spark, SF_DIR))
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+    assert not offenders, f"cartesian product planned by: {offenders}"
