@@ -153,7 +153,17 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    queries, oracles = all_queries(), all_oracles()
+    queries, oracles = dict(all_queries()), dict(all_oracles())
+    # staged (pending) queries resolve too, so next round's entrants
+    # can be pre-flighted at any sf before they take a WINDOW slot
+    from chain_sync_spark.operators import llm_pipeline as _lp
+    from chain_sync_spark.operators import temporal as _tp
+
+    for mod in (_lp, _tp):
+        for pname, pfn in getattr(mod, "PENDING_R6_QUERIES", {}).items():
+            if pname in only:
+                queries[pname] = pfn
+                oracles[pname] = mod.PENDING_R6_ORACLE[pname]
     failures = []
     n_run = 0
     for name, fn in queries.items():
