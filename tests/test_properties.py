@@ -123,6 +123,53 @@ def test_floor_round_cross_engine_parity_batch(spark):
     assert got[(1, 128)] == 0.007813  # floor-of-shifted rounds the tie UP
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4_000_000_000_000),
+    st.integers(min_value=1, max_value=1_000_000_000),
+)
+def test_ratio_micros_is_exact_round_half_up(num, den):
+    """The round-5 output-contract primitive: ratio_micros's pure
+    integer form equals the mathematically exact round-half-up of
+    num/den·10⁶ (computed via Fraction — an independent formulation),
+    across the full documented domain (num < 2^63/(2·10⁶))."""
+    import math
+    from fractions import Fraction
+
+    want = math.floor(Fraction(num * 10**6, den) + Fraction(1, 2))
+    assert (num * 10**6 * 2 + den) // (den * 2) == want
+
+
+def test_ratio_micros_cross_engine_parity_batch(spark):
+    """Spark's ratio_micros and DuckDB's ratio_micros_sql agree (and
+    both stay BIGINT-typed) on half-tie-prone and arbitrary
+    numerator/denominator pairs — the primitive every re-earning
+    round-5 ratio query leans on."""
+    import duckdb
+
+    from chain_sync_spark.functions.sketches import ratio_micros, ratio_micros_sql
+
+    cases = [(p, q) for q in (2, 3, 7, 16, 41, 128, 10_000, 999_983)
+             for p in (0, 1, q // 2, q - 1, q, 3 * q + 1)]
+    df = spark.createDataFrame(cases, "p long, q long")
+    got = {
+        (r.p, r.q): r.r
+        for r in df.select("p", "q", ratio_micros("p", "q").alias("r")).collect()
+    }
+    con = duckdb.connect()
+    for (p, q), spark_val in got.items():
+        # literals would be INT32 — oracles always feed BIGINT columns
+        res = con.execute(
+            f"SELECT {ratio_micros_sql(f'CAST({p} AS BIGINT)', f'CAST({q} AS BIGINT)')} AS r"
+        )
+        assert res.description[0][1] == "NUMBER"
+        duck_val = res.fetchone()[0]
+        assert spark_val == duck_val and isinstance(duck_val, int), (
+            p, q, spark_val, duck_val,
+        )
+    assert got[(1, 2)] == 500_000 and got[(1, 128)] == 7_813  # tie rounds up
+
+
 def test_bind1_transparent_for_shingles_batch(spark):
     """bind1 is a performance binding, never a semantic change: for
     arbitrary text, word_shingles over a bind1-bound tokenize
