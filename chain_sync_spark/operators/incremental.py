@@ -197,6 +197,83 @@ def merge_cms(existing: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+# --- mergeable log-histogram (streaming quantile sketch) -------------------
+#
+# Exact percentiles are holistic — they need the raw data — so the
+# maintainable form is a sketch. A base-2 exponential histogram gives a
+# constant-size (≤ 2·HIST_RANGE+3 bins), order-independently mergeable
+# summary whose quantiles carry a bounded RELATIVE error: a value
+# landing in bin [2^e, 2^(e+1)) is reported as 1.5·2^e, within a factor
+# of 1.5 of any true quantile inside the bin. The log-histogram is the
+# same trade HDRHistogram/DDSketch make (public designs); merging is
+# bin-wise count addition, exactly like the CMS cells above.
+
+HIST_RANGE = 40  # covers |v| in [2^-40, 2^40); beyond clamps to edge bins
+
+
+def hist_bin(v: F.Column) -> F.Column:
+    """Signed log₂ bin id of a double: 0 for zero, ±(1 + clamped
+    exponent offset) otherwise. NULLs map to NULL (dropped by the
+    aggregate; null counts live in the profile, not the histogram)."""
+    mag = F.floor(F.log2(F.abs(v))) + F.lit(HIST_RANGE)
+    clamped = F.greatest(F.lit(0), F.least(F.lit(2 * HIST_RANGE), mag)) + 1
+    return (
+        F.when(v == 0.0, F.lit(0))
+        .when(v > 0.0, clamped)
+        .otherwise(-clamped)
+        .cast("int")
+    )
+
+
+def hist_stats(batch: DataFrame, value_col: str) -> DataFrame:
+    """Mergeable histogram partial of one batch: (bin, cnt). Constant
+    size however large the batch — one map-side-combined aggregate."""
+    v = F.col(value_col).cast("double")
+    return (
+        batch.select(hist_bin(v).alias("bin"))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_hist(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Bin-wise count addition — O(bins) regardless of history size;
+    merge order never changes the result."""
+    return (
+        existing.unionByName(delta).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_bin_value(bin_id: int) -> float:
+    """Representative value of a bin (its geometric midpoint 1.5·2^e;
+    0 for the zero bin) — the value quantile queries report."""
+    if bin_id == 0:
+        return 0.0
+    e = abs(bin_id) - 1 - HIST_RANGE
+    rep = 1.5 * (2.0 ** e)
+    return rep if bin_id > 0 else -rep
+
+
+def quantile_from_hist(bins: list[tuple[int, int]], q: float) -> float:
+    """q-quantile from (bin, cnt) pairs: walk the bins in value order
+    until the cumulative count covers q·total. Driver-side over the
+    constant-size sketch (≤ 2·HIST_RANGE+3 rows)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    ordered = sorted(bins)  # bin id order IS value order (signed log bins)
+    total = sum(c for _, c in ordered)
+    if total == 0:
+        raise ValueError("empty histogram")
+    target = q * total
+    cum = 0
+    for b, c in ordered:
+        cum += c
+        if cum >= target:
+            return hist_bin_value(b)
+    return hist_bin_value(ordered[-1][0])
+
+
 def finalize_rollup(agg: DataFrame) -> DataFrame:
     """Read-side projection: derived measures (avg) computed from the
     algebraic state; DECIMAL sums surface as double."""

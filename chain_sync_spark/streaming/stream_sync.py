@@ -1007,3 +1007,66 @@ def run_stream_profile(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_histogram(
+    stream_df: DataFrame,
+    store_dir: str,
+    value_col: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming quantile-sketch maintenance: each micro-batch's
+    base-2 log-histogram partial (operators/incremental.hist_stats)
+    folds bin-wise into the stored sketch — percentile tracking over
+    an unbounded value stream with CONSTANT state (≤ 2·HIST_RANGE+3
+    bins), where an exact percentile would need the raw history.
+    Quantiles served from the sketch carry the log-histogram's bounded
+    RELATIVE error (each value is reported as its bin's geometric
+    midpoint — within 1.5× of the truth), the same trade the public
+    HDRHistogram/DDSketch designs make. Completes the profile-monitor
+    family: run_stream_profile covers algebraic stats, run_stream_cms
+    heavy hitters, this the distribution shape.
+
+    Same idempotence/commit contract as run_stream_rollup: the
+    (checkpoint identity, batch-id) high-water mark commits atomically
+    with the table, replays are no-ops, the store is bound to its
+    checkpoint (merged-state table → full-rewrite swap is the correct
+    commit; the table is constant-size)."""
+    import os
+
+    from chain_sync_spark.operators.incremental import hist_stats, merge_hist
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return
+        spark = batch_df.sparkSession
+        delta = hist_stats(batch_df, value_col)
+        if os.path.isdir(store_dir):
+            merged = merge_hist(spark.read.parquet(store_dir), delta)
+        else:
+            merged = delta
+        _commit_store(merged, store_dir, {"checkpoint": ckpt_id, "batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def probe_quantiles(
+    spark: SparkSession, store_dir: str, qs: list[float]
+) -> dict[float, float]:
+    """Read-only quantile estimates from a streamed histogram store:
+    collect the constant-size sketch and walk it per requested
+    quantile. Serving cost is O(bins + len(qs)) — independent of how
+    much history the maintainer has folded in."""
+    from chain_sync_spark.operators.incremental import quantile_from_hist
+
+    bins = [(r["bin"], r["cnt"]) for r in spark.read.parquet(store_dir).collect()]
+    return {q: quantile_from_hist(bins, q) for q in qs}

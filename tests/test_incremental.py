@@ -91,3 +91,48 @@ def test_sketch_profile_parity_and_no_expand(spark):
     assert "Expand" in executed_plan(profile_column_stats(spark, SF_DIR)), (
         "exact profile is the Expand form this test contrasts against"
     )
+
+
+def test_hist_sketch_fold_and_quantile_bounds(spark):
+    """Log-histogram sketch invariants: (1) partials folded in any
+    batch split equal the one-pass sketch; (2) every quantile served
+    from the sketch is within the bin's relative-error bound of the
+    exact percentile; (3) signed/zero bins order correctly."""
+    import math
+
+    from chain_sync_spark.operators.incremental import (
+        HIST_RANGE,
+        hist_bin_value,
+        hist_stats,
+        merge_hist,
+        quantile_from_hist,
+    )
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select("value")
+    one_pass = {r.bin: r.cnt for r in hist_stats(ev, "value").collect()}
+
+    # fold three arbitrary splits — must equal the one-pass sketch
+    parts = ev.randomSplit([1.0, 1.0, 1.0], seed=7)
+    folded_df = hist_stats(parts[0], "value")
+    for p in parts[1:]:
+        folded_df = merge_hist(folded_df, hist_stats(p, "value"))
+    folded = {r.bin: r.cnt for r in folded_df.collect()}
+    assert folded == one_pass and sum(one_pass.values()) == ev.count()
+
+    # quantile estimates: relative error bounded by the bin width
+    # (representative = geometric midpoint 1.5·2^e of [2^e, 2^(e+1)))
+    vals = sorted(r.value for r in ev.collect() if r.value is not None)
+    bins = sorted(one_pass.items())
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = quantile_from_hist(bins, q)
+        exact = vals[min(len(vals) - 1, max(0, math.ceil(q * len(vals)) - 1))]
+        if exact == 0.0:
+            assert est == 0.0
+        else:
+            assert est * exact > 0  # same sign
+            assert 0.75 <= abs(est) / abs(exact) <= 1.5, (q, est, exact)
+
+    # signed bins order by value: negative < zero < positive reps
+    assert hist_bin_value(-1 - HIST_RANGE) < 0 < hist_bin_value(1 + HIST_RANGE)
+    assert hist_bin_value(0) == 0.0
+    assert hist_bin_value(1 + HIST_RANGE) == 1.5  # bin of [1, 2)

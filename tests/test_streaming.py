@@ -1026,3 +1026,47 @@ def test_stream_cms_matches_one_pass_sketch_and_probe_bounds(spark, tmp_path):
     for t in some[:3]:
         assert est[t] >= exact[t]
     assert est["never-seen-term"] >= 0
+
+
+def test_stream_histogram_matches_one_pass_and_serves_quantiles(spark, tmp_path):
+    """Streaming quantile-sketch maintenance: batch-by-batch folding
+    equals the one-pass histogram over the same rows, replay under the
+    same checkpoint is a no-op, and probe_quantiles serves medians
+    within the sketch's relative-error bound."""
+    from chain_sync_spark.operators.incremental import hist_stats
+    from chain_sync_spark.streaming.stream_sync import (
+        probe_quantiles,
+        run_stream_histogram,
+    )
+    from chain_sync_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select("value")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "hist_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema("value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    run_stream_histogram(_stream(), store, "value", ckpt).awaitTermination(120)
+
+    got = {r.bin: r.cnt for r in spark.read.parquet(store).collect()}
+    ev_json = spark.read.schema("value double").json(src)
+    want = {r.bin: r.cnt for r in hist_stats(ev_json, "value").collect()}
+    assert got == want
+
+    # replay on the same checkpoint: nothing re-merges
+    run_stream_histogram(_stream(), store, "value", ckpt).awaitTermination(120)
+    assert {r.bin: r.cnt for r in spark.read.parquet(store).collect()} == want
+
+    # served quantiles bracket the exact ones within the bin bound
+    vals = sorted(r.value for r in ev_json.collect() if r.value is not None)
+    est = probe_quantiles(spark, store, [0.5, 0.9])
+    for q in (0.5, 0.9):
+        exact = vals[int(q * (len(vals) - 1))]
+        assert est[q] * exact > 0 and 0.75 <= abs(est[q]) / abs(exact) <= 1.5
