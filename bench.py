@@ -74,6 +74,8 @@ EXTENDED_SET = [
     "retention_cohort_weeks",
     "embedding_pq_adc_topk",
     "profile_column_stats",
+    "kmeans_embedding_clusters",   # staged r6 (PENDING_R6) — perf signal
+    "scd2_event_type_history",     # staged r6 (PENDING_R6) — perf signal
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 
@@ -121,7 +123,14 @@ def main() -> None:
     probe = _cpu_probe()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = all_queries()
+    queries = dict(all_queries())
+    # staged round-6 queries bench too (no WINDOW slot yet, but their
+    # perf rides in the artifact from day one)
+    from chain_sync_spark.operators import llm_pipeline as _lp
+    from chain_sync_spark.operators import temporal as _tp
+
+    for _mod in (_lp, _tp):
+        queries.update(getattr(_mod, "PENDING_R6_QUERIES", {}))
     names = [n for n in HEADLINE if n in queries]
 
     # First pass is the warm-up (JIT, codegen, parquet footers) and is
