@@ -2192,6 +2192,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every mean exact integer arithmetic: results are reproducible
     across engines, partitionings, and retry orders by construction.
     """
+    release_caches()  # previous query's scope ends here
     vecs = _scoped_persist(_km_vecs(spark, sf_dir))
     cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("ei").alias("c")
