@@ -2131,17 +2131,21 @@ def _km_dist(ei: Column, c: Column) -> Column:
 def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the K centroids against
     the corpus, integer-argmin with cid as the deterministic
-    tie-break. One narrow pass over the vectors — the corpus never
-    shuffles, only the (vec_id) argmin window key does."""
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    tie-break. Expressed as min_by over a (d, cid) struct — a hash
+    aggregate with MAP-SIDE partial argmin, so the K-fanned rows
+    combine 8:1 before the (vec_id) shuffle and nothing sorts (the
+    row_number-window form shuffles all n·K rows into a sort). The
+    struct ordering (d first, cid second) IS the tie-break."""
     return (
         vecs.join(F.broadcast(cents))
         .select(
             "vec_id", "ei", "cid", _km_dist(F.col("ei"), F.col("c")).alias("d")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "ei", "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct("cid", "ei"), F.struct("d", "cid")).alias("m")
+        )
+        .select("vec_id", F.col("m.ei").alias("ei"), F.col("m.cid").alias("cid"))
     )
 
 
