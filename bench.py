@@ -76,6 +76,7 @@ EXTENDED_SET = [
     "profile_column_stats",
     "kmeans_embedding_clusters",   # staged r6 (PENDING_R6) — perf signal
     "scd2_event_type_history",     # staged r6 (PENDING_R6) — perf signal
+    "bpe_pair_merges",             # staged r6 (PENDING_R6) — perf signal
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 
@@ -126,11 +127,9 @@ def main() -> None:
     queries = dict(all_queries())
     # staged round-6 queries bench too (no WINDOW slot yet, but their
     # perf rides in the artifact from day one)
-    from chain_sync_spark.operators import llm_pipeline as _lp
-    from chain_sync_spark.operators import temporal as _tp
+    from chain_sync_spark.registry import pending_queries
 
-    for _mod in (_lp, _tp):
-        queries.update(getattr(_mod, "PENDING_R6_QUERIES", {}))
+    queries.update(pending_queries()[0])
     names = [n for n in HEADLINE if n in queries]
 
     # First pass is the warm-up (JIT, codegen, parquet footers) and is

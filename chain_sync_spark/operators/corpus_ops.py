@@ -1178,6 +1178,88 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE pair-merge step — staged round-6 operator
+# ---------------------------------------------------------------------------
+
+BPE_TOP_MERGES = 20
+
+
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding TRAINING iteration over the corpus: the
+    adjacent-symbol-pair frequencies that pick the next merge (initial
+    symbol state = single characters, the classic first round).
+    Output: the top {BPE_TOP_MERGES} merge candidates as
+    (pair, cnt, rk) — integers and strings only.
+
+    Scale: one corpus pass aggregates tokens to (word, n_occurrences)
+    — the VOCABULARY — and only distinct words explode into character
+    pairs, weighted by corpus frequency; pair counting is then
+    vocabulary-sized, not corpus-sized (the standard BPE-training
+    optimization), and the pair aggregate map-side combines. Full BPE
+    training repeats merge→re-segment rounds of exactly this
+    aggregate, a driver-side loop like k-means/connected-components;
+    this operator is one round, the certifiable unit.
+    """
+    toks = _docs_words(spark, sf_dir).select(F.explode("w").alias("word"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
+    # adjacent char pairs of each distinct word; words shorter than 2
+    # chars contribute nothing (the WHEN also dodges Spark's
+    # descending sequence(1, 0) edge for 1-char words)
+    pairs = vocab.select(
+        "n_occ",
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("n_occ").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= BPE_TOP_MERGES)
+        .select("pair", "cnt", "rk")
+    )
+
+
+_BPE_ORACLE = f"""
+WITH {_NORM_CTE.lstrip()},
+tok AS (SELECT UNNEST(w) AS word FROM docs_words),
+vocab AS (SELECT word, COUNT(*) AS n_occ FROM tok GROUP BY word),
+pairs AS (
+  SELECT u.p AS pair, n_occ
+  FROM vocab, UNNEST(
+    CASE WHEN length(word) >= 2
+         THEN list_transform(range(1, length(word)), i -> substr(word, i, 2))
+         ELSE [] END) AS u(p)
+),
+agg AS (
+  SELECT pair, CAST(SUM(n_occ) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT pair, cnt, rk FROM (
+  SELECT pair, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk
+  FROM agg
+) WHERE rk <= {BPE_TOP_MERGES}
+"""
+
+# Staged round-6 entrant — same protocol as llm_pipeline/temporal's
+# (see registry.pending_queries): full implementation + oracle +
+# driver-faithful parity pytest now, a WINDOW slot in round 6.
+PENDING_R6_QUERIES = {
+    "bpe_pair_merges": bpe_pair_merges,
+}
+
+PENDING_R6_ORACLE = {
+    "bpe_pair_merges": _BPE_ORACLE,
+}
+
+
 QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "tfidf_top_terms": tfidf_top_terms,

@@ -48,10 +48,11 @@ tests/test_properties.py, so its row remains probative.
 Round-6 window plan: rotation_debt() below lists the 40 queries whose
 latest green will be r3 after this round — they are the oldest rows
 and should fill the r6 window first; then the round-5 staged entrants
-(llm_pipeline.PENDING_R6_QUERIES: kmeans_embedding_clusters;
-temporal.PENDING_R6_QUERIES: scd2_event_type_history — move each into
-QUERIES/ORACLE + WINDOW together and delete the PENDING dicts and
-tests/test_pending_r6.py's not-yet-registered guard); then any query
+(pending_queries() below: kmeans_embedding_clusters in llm_pipeline,
+scd2_event_type_history in temporal, bpe_pair_merges in corpus_ops —
+move each into its module's QUERIES/ORACLE + the WINDOW together,
+delete the PENDING dicts and tests/test_pending_r6.py's
+not-yet-registered guard); the remaining ~7 slots go to any query
 whose implementation changes in round 6.
 
 Pre-flight: ``tools/oracle_check.py`` canonicalizes through BOTH
@@ -166,6 +167,25 @@ def all_oracles() -> dict[str, str]:
     for mod in _modules():
         out.update(getattr(mod, "ORACLE", {}))
     return out
+
+
+def pending_queries() -> tuple[
+    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
+]:
+    """Staged next-round entrants (the PENDING_R6_* dicts in operator
+    modules): fully implemented + oracled + pytest-certified, awaiting
+    a WINDOW slot. Deliberately NOT part of all_queries()/all_oracles()
+    — the one shared source for every tool that wants to exercise them
+    anyway (bench, oracle_check, explain_all, the staging tests)."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    o: dict[str, str] = {}
+    for mod in _modules():
+        for name, fn in getattr(mod, "PENDING_R6_QUERIES", {}).items():
+            if name in q:
+                raise ValueError(f"duplicate staged query name: {name}")
+            q[name] = fn
+            o[name] = getattr(mod, "PENDING_R6_ORACLE")[name]
+    return q, o
 
 
 def rotation_debt() -> list[str]:

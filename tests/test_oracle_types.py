@@ -48,17 +48,15 @@ def test_no_oracle_outputs_hugeint(con):
 def test_no_pending_oracle_outputs_hugeint(con):
     """Staged (PENDING_R6) oracles obey the same boundary convention
     before they ever take a WINDOW slot."""
-    from chain_sync_spark.operators import llm_pipeline as lp
-    from chain_sync_spark.operators import temporal as tp
+    from chain_sync_spark.registry import pending_queries
 
     offenders = []
-    for mod in (lp, tp):
-        for name, sql in mod.PENDING_R6_ORACLE.items():
-            for row in con.execute(f"DESCRIBE {sql}").fetchall():
-                col, typ = row[0], row[1]
-                base = typ.split("(")[0].strip().upper()
-                if base in _FORBIDDEN:
-                    offenders.append(f"{name}.{col}: {typ}")
+    for name, sql in pending_queries()[1].items():
+        for row in con.execute(f"DESCRIBE {sql}").fetchall():
+            col, typ = row[0], row[1]
+            base = typ.split("(")[0].strip().upper()
+            if base in _FORBIDDEN:
+                offenders.append(f"{name}.{col}: {typ}")
     assert not offenders, (
         "staged oracle output columns with pandas-divergent integer "
         f"types (CAST them to BIGINT): {offenders}"

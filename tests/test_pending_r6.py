@@ -162,9 +162,11 @@ def test_scd2_every_user_chain_is_well_formed(spark):
 # ---------------------------------------------------------------------------
 
 def _pending():
-    for mod in (lp, tp):
-        for name, fn in mod.PENDING_R6_QUERIES.items():
-            yield name, fn, mod.PENDING_R6_ORACLE[name]
+    from chain_sync_spark.registry import pending_queries
+
+    q, o = pending_queries()
+    for name, fn in q.items():
+        yield name, fn, o[name]
 
 
 @pytest.mark.parametrize("name,fn,oracle", list(_pending()))
@@ -199,10 +201,30 @@ def test_pending_r6_oracle_parity_dual_transport(spark, name, fn, oracle):
 
 
 def test_pending_r6_names_not_yet_registered():
-    from chain_sync_spark.registry import all_oracles, all_queries
+    from chain_sync_spark.registry import all_oracles, all_queries, pending_queries
 
-    pending_q = set(lp.PENDING_R6_QUERIES) | set(tp.PENDING_R6_QUERIES)
-    pending_o = set(lp.PENDING_R6_ORACLE) | set(tp.PENDING_R6_ORACLE)
-    assert pending_q == pending_o
-    assert not pending_q & set(all_queries())
-    assert not pending_o & set(all_oracles())
+    pending_q, pending_o = pending_queries()
+    assert set(pending_q) == set(pending_o)
+    assert not set(pending_q) & set(all_queries())
+    assert not set(pending_o) & set(all_oracles())
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_merges
+# ---------------------------------------------------------------------------
+
+def test_bpe_pair_counts_hand_computed(spark, tmp_path):
+    """Known answer: 'aaab aaab cd' per doc over two docs. Distinct
+    words: 'aaab' (4 occurrences), 'cd' (2). Pairs: aa ×2 per 'aaab'
+    occurrence = 8, ab ×1 = 4, cd ×1 = 2. Single-char words
+    contribute nothing."""
+    from chain_sync_spark.operators import corpus_ops as co
+
+    text = "aaab aaab cd x"
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text)), (2, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = co.bpe_pair_merges(spark, str(tmp_path)).collect()
+    got = {r.pair: (r.cnt, r.rk) for r in rows}
+    assert got == {"aa": (8, 1), "ab": (4, 2), "cd": (2, 3)}

@@ -35,13 +35,11 @@ def test_no_staged_query_plans_a_cartesian_product(spark):
     """Round-6 staged queries get the same screen before they ever
     reach the registry (k-means' broadcast-nested-loop against the
     K-row centroid frame is the legitimate bounded shape)."""
-    from chain_sync_spark.operators import llm_pipeline as lp
-    from chain_sync_spark.operators import temporal as tp
+    from chain_sync_spark.registry import pending_queries
 
     offenders = []
-    for mod in (lp, tp):
-        for name, fn in mod.PENDING_R6_QUERIES.items():
-            plan = executed_plan(fn(spark, SF_DIR))
-            if "CartesianProduct" in plan:
-                offenders.append(name)
+    for name, fn in pending_queries()[0].items():
+        plan = executed_plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
     assert not offenders, f"cartesian product planned by: {offenders}"

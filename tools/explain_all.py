@@ -27,11 +27,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
     # staged (pending) queries audit like registered ones
-    from chain_sync_spark.operators import llm_pipeline as _lp
-    from chain_sync_spark.operators import temporal as _tp
+    from chain_sync_spark.registry import pending_queries
 
-    for mod in (_lp, _tp):
-        queries.update(getattr(mod, "PENDING_R6_QUERIES", {}))
+    queries.update(pending_queries()[0])
     rows = []
     for name, fn in queries.items():
         if only and name not in only:

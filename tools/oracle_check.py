@@ -156,14 +156,13 @@ def main() -> int:
     queries, oracles = dict(all_queries()), dict(all_oracles())
     # staged (pending) queries resolve too, so next round's entrants
     # can be pre-flighted at any sf before they take a WINDOW slot
-    from chain_sync_spark.operators import llm_pipeline as _lp
-    from chain_sync_spark.operators import temporal as _tp
+    from chain_sync_spark.registry import pending_queries
 
-    for mod in (_lp, _tp):
-        for pname, pfn in getattr(mod, "PENDING_R6_QUERIES", {}).items():
-            if pname in only:
-                queries[pname] = pfn
-                oracles[pname] = mod.PENDING_R6_ORACLE[pname]
+    pq, po = pending_queries()
+    for pname in pq:
+        if pname in only:
+            queries[pname] = pq[pname]
+            oracles[pname] = po[pname]
     failures = []
     n_run = 0
     for name, fn in queries.items():
