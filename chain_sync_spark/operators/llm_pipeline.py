@@ -2210,6 +2210,41 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED centroids (cid, c array<bigint> micro-units) after
+    {KMEANS_ITERS} Lloyd iterations — the artifact a production
+    pipeline stores once and reuses for serving-time assignment
+    (kmeans_assign), exactly like the frozen PQ codebook: cluster ids
+    are only comparable under one centroid set, so retraining is an
+    explicit offline job, never an incremental mutation."""
+    release_caches()
+    vecs = _scoped_persist(_km_vecs(spark, sf_dir))
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("ei").alias("c")
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _km_update(_km_assign(vecs, cents), cents)
+    return cents
+
+
+def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Serving-time assignment: (vec_id, embedding array<float>)
+    against STORED centroids → (vec_id, cluster_id). One broadcast
+    pass (map-side argmin, no sort) over any batch size; a pytest
+    proves corpus-wide parity with the training run's own final
+    assignment."""
+    vecs = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _KM_SCALE + F.lit(0.5)),
+        ).alias("ei"),
+    )
+    return _km_assign(vecs, centroids).select(
+        "vec_id", F.col("cid").cast("int").alias("cluster_id")
+    )
+
+
 def _kmeans_oracle() -> str:
     """Lloyd unrolled as SQL CTEs: ev = micro-quantized cells, then
     per iteration dN (integer distances) → aN (argmin assignment) →

@@ -228,3 +228,56 @@ def test_bpe_pair_counts_hand_computed(spark, tmp_path):
     rows = co.bpe_pair_merges(spark, str(tmp_path)).collect()
     got = {r.pair: (r.cnt, r.rk) for r in rows}
     assert got == {"aa": (8, 1), "ab": (4, 2), "cd": (2, 3)}
+
+
+# ---------------------------------------------------------------------------
+# Serving-side companions (library surface)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_assign_matches_training_assignment(spark):
+    """The stored-centroid serving path reproduces the training run's
+    own final assignment over the whole corpus (the frozen-PQ-codebook
+    contract applied to k-means)."""
+    from chain_sync_spark.tables import table
+
+    cents = lp.kmeans_centroids(spark, SF)
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    served = {r.vec_id: r.cluster_id
+              for r in lp.kmeans_assign(emb, cents).collect()}
+    trained = {r.vec_id: r.cluster_id
+               for r in lp.kmeans_embedding_clusters(spark, SF).collect()}
+    assert served == trained
+    lp.release_caches()
+
+
+def test_scd2_asof_lookup_point_in_time(spark, tmp_path):
+    """Each fact maps to exactly the version whose interval contains
+    its timestamp; facts on a boundary take the NEW version
+    (valid_from <= ts < valid_to); facts before the first version
+    drop."""
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    d = _write_events(spark, tmp_path, [
+        (1, t(0), 1, "A", 0.0, "{}"),
+        (2, t(2), 1, "B", 0.0, "{}"),
+        (3, t(4), 1, "A", 0.0, "{}"),
+    ])
+    hist = tp.scd2_event_type_history(spark, d)
+    facts = spark.createDataFrame(
+        [(100, 1, t(1)), (101, 1, t(2)), (102, 1, datetime(2024, 1, 1, 5, 0)),
+         (103, 1, datetime(2023, 1, 1))],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    out = {r.fact_id: r for r in
+           tp.scd2_asof_lookup(hist, facts).collect()}
+    assert set(out) == {100, 101, 102}          # 103 precedes the dimension
+    assert (out[100].dim_version, out[100].dim_event_type) == (1, "A")
+    assert (out[101].dim_version, out[101].dim_event_type) == (2, "B")  # boundary -> new
+    assert (out[102].dim_version, out[102].dim_event_type) == (3, "A")  # open row
+    # every sf0.001 event lands in exactly one interval of its own history
+    hist_full = tp.scd2_event_type_history(spark, SF)
+    ev = tp.table(spark, SF, "events").select(
+        F.col("event_id").alias("fact_id"), "user_id", "ts"
+    )
+    looked = tp.scd2_asof_lookup(hist_full, ev)
+    assert looked.count() == ev.count()
+    assert looked.groupBy("fact_id").count().filter("count > 1").count() == 0
