@@ -2198,16 +2198,25 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     release_caches()  # previous query's scope ends here
     vecs = _scoped_persist(_km_vecs(spark, sf_dir))
-    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("ei").alias("c")
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _km_update(_km_assign(vecs, cents), cents)
+    cents = _km_train(vecs)
     final = _km_assign(vecs, cents).select("vec_id", "cid")
     sizes = final.groupBy("cid").agg(F.count(F.lit(1)).alias("cluster_size"))
     return final.join(F.broadcast(sizes), "cid").select(
         "vec_id", F.col("cid").cast("int").alias("cluster_id"), "cluster_size"
     )
+
+
+def _km_train(vecs: DataFrame) -> DataFrame:
+    """{KMEANS_ITERS} Lloyd iterations over a (vec_id, ei) relation,
+    seeded from vec_id < {KMEANS_K} — the one training loop behind the
+    batch query, the stored-centroid exporter, and the streaming
+    maintainer's first-batch training."""
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("ei").alias("c")
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _km_update(_km_assign(vecs, cents), cents)
+    return cents
 
 
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2218,13 +2227,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     are only comparable under one centroid set, so retraining is an
     explicit offline job, never an incremental mutation."""
     release_caches()
-    vecs = _scoped_persist(_km_vecs(spark, sf_dir))
-    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("ei").alias("c")
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _km_update(_km_assign(vecs, cents), cents)
-    return cents
+    return _km_train(_scoped_persist(_km_vecs(spark, sf_dir)))
 
 
 def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -1070,3 +1070,95 @@ def probe_quantiles(
 
     bins = [(r["bin"], r["cnt"]) for r in spark.read.parquet(store_dir).collect()]
     return {q: quantile_from_hist(bins, q) for q in qs}
+
+
+def run_stream_cluster_assign(
+    stream_emb: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuously-maintained k-means cluster index — the streaming
+    twin of operators/llm_pipeline.kmeans_embedding_clusters under the
+    same first-batch-trains contract as the PQ index: the FIRST
+    micro-batch runs the full integer-Lloyd training loop (seeds =
+    vec_id < KMEANS_K, exactly the batch operator) and freezes the
+    centroids; every batch then assigns its vectors against the STORED
+    centroids and appends the new rows. Re-delivered vec_ids keep
+    their first assignment. Cluster ids are only comparable under one
+    centroid set, so retraining is an explicit offline job.
+
+    Store layout (append-only commit — delta dirs + one atomic marker
+    replace, crash-recoverable via _recover_append_store):
+      store_dir/centroids               (cid, c array<bigint>) — frozen
+      store_dir/assignments/delta-<b>   (vec_id, cluster_id, batch_id)
+      store_dir/_rollup_commit.json                        — commit point
+
+    Training FAILS FAST if the first batch lacks any seed vector
+    (a partial seed set would freeze centroids nobody chose); the
+    staged-rename of centroids/ means its presence implies a complete
+    training run even across a crash before the first marker.
+
+    Scale: per batch the compute is the broadcast-centroid map-side
+    argmin plus the anti-join id probe against stored assignments;
+    the commit writes ONLY the fresh rows — O(batch) IO, like the
+    neardup/PQ stores. compact_store bounds delta growth."""
+    import os
+
+    from chain_sync_spark.functions import sketches as sk  # noqa: F401
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_append_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return
+        spark = batch_df.sparkSession
+        vecs = batch_df.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * lp._KM_SCALE + F.lit(0.5)),
+            ).alias("ei"),
+        )
+        have_store = os.path.isdir(os.path.join(store_dir, "centroids"))
+        once: dict[str, DataFrame] = {}
+        if have_store:
+            cents = spark.read.parquet(os.path.join(store_dir, "centroids"))
+        else:
+            n_seeds = vecs.filter(F.col("vec_id") < lp.KMEANS_K).count()
+            if n_seeds < lp.KMEANS_K:
+                raise ValueError(
+                    f"k-means training saw {n_seeds} seed vectors, needs "
+                    f"{lp.KMEANS_K} (vec_id < {lp.KMEANS_K}) in the first "
+                    "micro-batch — reorder the stream or defer training"
+                )
+            cents = lp._km_train(vecs)
+            once["centroids"] = cents
+        assigned = lp._km_assign(vecs, cents).select(
+            "vec_id",
+            F.col("cid").cast("int").alias("cluster_id"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        old = read_store_table(
+            spark, store_dir, "assignments",
+            "vec_id long, cluster_id int, batch_id long",
+        )
+        fresh = assigned.join(
+            old.select("vec_id").distinct(), "vec_id", "left_anti"
+        )
+        _commit_append(
+            store_dir,
+            {"assignments": fresh},
+            batch_id,
+            {"checkpoint": ckpt_id, "batch_id": batch_id},
+            once_tables=once,
+        )
+
+    return (
+        stream_emb.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1070,3 +1070,89 @@ def test_stream_histogram_matches_one_pass_and_serves_quantiles(spark, tmp_path)
     for q in (0.5, 0.9):
         exact = vals[int(q * (len(vals) - 1))]
         assert est[q] * exact > 0 and 0.75 <= abs(est[q]) / abs(exact) <= 1.5
+
+
+def test_stream_cluster_assign_frozen_centroids_and_replay(spark, tmp_path):
+    """Streaming k-means index: batch 0 trains (full Lloyd loop on the
+    first batch) and freezes the centroids; batch 1 assigns against
+    the STORED centroids identically to the batch serving path
+    (kmeans_assign); a re-delivered vec_id keeps its first row;
+    restart on the same checkpoint changes nothing; a seedless first
+    batch fails fast and commits nothing."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.streaming.stream_sync import (
+        read_store_table,
+        run_stream_cluster_assign,
+    )
+
+    rng = np.random.default_rng(11)
+    n = lp.KMEANS_K + 12
+    vecs = {i: [float(x) for x in rng.normal(size=lp.EMB_DIM)] for i in range(n)}
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _write(name, ids, mtime):
+        with open(os.path.join(src, name), "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"vec_id": i, "embedding": vecs[i]}) + "\n")
+        os.utime(os.path.join(src, name), (mtime, mtime))
+
+    _write("b0.json", range(lp.KMEANS_K + 6), 1_700_000_000)
+    _write("b1.json", [lp.KMEANS_K + 6 + j for j in range(6)] + [0], 1_700_000_100)
+
+    store = str(tmp_path / "km_store")
+    ckpt = str(tmp_path / "km_ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    run_stream_cluster_assign(_stream(), store, ckpt).awaitTermination(120)
+
+    _A = "vec_id long, cluster_id int, batch_id long"
+    rows = read_store_table(spark, store, "assignments", _A).collect()
+    got = {r.vec_id: r for r in rows}
+    assert set(got) == set(range(n))
+    assert got[0].batch_id == 0                      # redelivery kept first row
+    assert got[lp.KMEANS_K + 6].batch_id == 1        # batch-1 vector appended
+
+    # batch-1 assignments equal the batch serving path on the frozen set
+    cents = spark.read.parquet(f"{store}/centroids")
+    b1 = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(lp.KMEANS_K + 6, n)],
+        "vec_id long, embedding array<float>",
+    )
+    want = {r.vec_id: r.cluster_id for r in lp.kmeans_assign(b1, cents).collect()}
+    assert {i: got[i].cluster_id for i in want} == want
+
+    # replay: marker short-circuits, store unchanged
+    before = sorted(map(str, rows))
+    run_stream_cluster_assign(_stream(), store, ckpt).awaitTermination(120)
+    after = sorted(map(str, read_store_table(spark, store, "assignments", _A).collect()))
+    assert before == after
+
+    # seedless first batch: loud failure, nothing committed
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    with open(os.path.join(src2, "b0.json"), "w") as fh:
+        for i in range(lp.KMEANS_K, lp.KMEANS_K + 4):
+            fh.write(_json.dumps({"vec_id": i, "embedding": vecs[i]}) + "\n")
+    q = run_stream_cluster_assign(
+        spark.readStream.schema("vec_id long, embedding array<float>").json(src2),
+        str(tmp_path / "store2"),
+        str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(StreamingQueryException, match="seed"):
+        q.awaitTermination(120)
+    assert not os.path.isdir(str(tmp_path / "store2" / "centroids"))
