@@ -265,6 +265,20 @@ def _commit_store_tables(
 
 _DELTA_PREFIX = "delta-"
 
+# Append-table schemas per store — the one definition each maintainer,
+# probe, and compaction caller shares (pass to compact_store verbatim).
+NEARDUP_STORE_TABLES = {
+    "bands": "doc_id long, band_idx int, bkey string",
+    "shingles": "doc_id long, sh array<string>",
+    "decisions": "doc_id long, is_dup boolean, dup_of long, batch_id long",
+}
+PQ_STORE_TABLES = {
+    "codes": "vec_id long, m int, code_id long, batch_id long",
+}
+CLUSTER_STORE_TABLES = {
+    "assignments": "vec_id long, cluster_id int, batch_id long",
+}
+
 
 def _delta_path(store_dir: str, name: str, batch_id: int) -> str:
     import os
@@ -564,10 +578,10 @@ def probe_neardup_index(
 
     threshold = CLUSTER_MIN_JACCARD if min_jaccard is None else min_jaccard
     idx_bands = read_store_table(
-        spark, store_dir, "bands", "doc_id long, band_idx int, bkey string"
+        spark, store_dir, "bands", NEARDUP_STORE_TABLES["bands"]
     )
     idx_sh = read_store_table(
-        spark, store_dir, "shingles", "doc_id long, sh array<string>"
+        spark, store_dir, "shingles", NEARDUP_STORE_TABLES["shingles"]
     )
     sh_b = _doc_shingles(docs.select("doc_id", "text"))
     bands_b = _band_relation(sh_b)
@@ -631,10 +645,10 @@ def run_stream_neardup_index(
         sh_b = _doc_shingles(batch_df.select("doc_id", "text")).persist()
         bands_b = _band_relation(sh_b)
         idx_bands = read_store_table(
-            spark, store_dir, "bands", "doc_id long, band_idx int, bkey string"
+            spark, store_dir, "bands", NEARDUP_STORE_TABLES["bands"]
         )
         idx_sh = read_store_table(
-            spark, store_dir, "shingles", "doc_id long, sh array<string>"
+            spark, store_dir, "shingles", NEARDUP_STORE_TABLES["shingles"]
         )
         dups = _probe_collisions(
             idx_bands, idx_sh, bands_b, sh_b, threshold, in_batch=True
@@ -741,7 +755,7 @@ def run_stream_pq_index(
                 )
             once["codebook"] = cb
         old_codes = read_store_table(
-            spark, store_dir, "codes", "vec_id long, m int, code_id long, batch_id long"
+            spark, store_dir, "codes", PQ_STORE_TABLES["codes"]
         )
         assigned = lp._pq_assigned(emb, codebook=cb).select(
             "vec_id",
@@ -797,7 +811,7 @@ def search_pq_index(
     k = lp.ANN_TOPK if topk is None else topk
     cb = spark.read.parquet(os.path.join(store_dir, "codebook"))
     codes = read_store_table(
-        spark, store_dir, "codes", "vec_id long, m int, code_id long, batch_id long"
+        spark, store_dir, "codes", PQ_STORE_TABLES["codes"]
     )
     q = query_emb.select(
         "vec_id", sk.vec_double(F.col("embedding")).alias("e")
@@ -1142,8 +1156,7 @@ def run_stream_cluster_assign(
             F.lit(batch_id).cast("long").alias("batch_id"),
         )
         old = read_store_table(
-            spark, store_dir, "assignments",
-            "vec_id long, cluster_id int, batch_id long",
+            spark, store_dir, "assignments", CLUSTER_STORE_TABLES["assignments"]
         )
         fresh = assigned.join(
             old.select("vec_id").distinct(), "vec_id", "left_anti"
