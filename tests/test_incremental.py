@@ -136,3 +136,16 @@ def test_hist_sketch_fold_and_quantile_bounds(spark):
     assert hist_bin_value(-1 - HIST_RANGE) < 0 < hist_bin_value(1 + HIST_RANGE)
     assert hist_bin_value(0) == 0.0
     assert hist_bin_value(1 + HIST_RANGE) == 1.5  # bin of [1, 2)
+
+
+def test_hist_bin_clamps_extremes_and_mirrors_sign(spark):
+    """Magnitudes beyond 2^±HIST_RANGE clamp to the edge bins instead
+    of overflowing the id space, and negative values mirror exactly."""
+    from chain_sync_spark.operators.incremental import HIST_RANGE, hist_bin
+
+    cases = [1e300, 1e-300, -1e300, -1e-300, 1.0, -1.0, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in cases], "v double")
+    got = [r.b for r in df.select(hist_bin(F.col("v")).alias("b")).collect()]
+    top, bottom = 2 * HIST_RANGE + 1, 1
+    assert got == [top, bottom, -top, -bottom, HIST_RANGE + 1,
+                   -(HIST_RANGE + 1), 0, None]
