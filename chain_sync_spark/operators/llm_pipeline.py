@@ -2248,6 +2248,67 @@ def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+HASH_EMB_DIM = 64
+
+
+def embed_hashing_trick(docs: DataFrame, dim: int = HASH_EMB_DIM) -> DataFrame:
+    """Feature-hashing ("hashing trick") document embeddings — the
+    classical, model-free text→vector bridge (public: Weinberger et
+    al. 2009; scikit-learn's HashingVectorizer): each token hashes to
+    a dimension index and an independent ±1 sign, the document vector
+    is the signed token-count sum per dimension, L2-normalized.
+    Deterministic, vocabulary-free (no fitted state to ship), and
+    entirely engine-side: one explode + one hash aggregate + a dense
+    rebuild — the embedding column these vectors feed is the same
+    array<double> shape every ANN/dedup operator here consumes.
+
+    Scale: the aggregate is map-side combining on (doc_id, pos) and
+    the output is one row per document; no shuffle carries raw token
+    streams past the partial agg. Documents with zero tokens emit no
+    row (no direction to normalize) — callers left-join if they need
+    explicit nulls.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(sk.words(sk.normalize_text(F.col("text")))).alias("tok"),
+    )
+    cells = (
+        toks.select(
+            "doc_id",
+            F.pmod(sk.hash60(F.col("tok")), F.lit(dim)).cast("int").alias("pos"),
+            F.when(
+                F.pmod(sk.hash60(F.concat(F.lit("sign:"), F.col("tok"))), F.lit(2))
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("s").alias("v"))
+    )
+    dense = cells.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("pos", "v"))).alias("m")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at("m", i), F.lit(0)).cast("double"),
+        ).alias("raw"),
+    )
+    # bind the raw vector once: it is a COMPUTED array referenced by
+    # both the norm fold and the per-element division (the re-evaluation
+    # trap sketches.bind1 exists for)
+    emb = sk.bind1(
+        F.col("raw"),
+        lambda r: F.transform(r, lambda x: x / F.sqrt(sk.dot(r, r))),
+    )
+    # an exact sign-cancellation across every dimension leaves no
+    # direction to normalize — drop such rows like token-less docs
+    nonzero = sk.bind1(F.col("raw"), lambda r: sk.dot(r, r)) > 0
+    return dense.filter(nonzero).select("doc_id", emb.alias("embedding"))
+
+
 def _kmeans_oracle() -> str:
     """Lloyd unrolled as SQL CTEs: ev = micro-quantized cells, then
     per iteration dN (integer distances) → aN (argmin assignment) →

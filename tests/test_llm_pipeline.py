@@ -561,3 +561,50 @@ def test_ivfpq_equals_adc_when_probing_all_cells(spark, tmp_path):
     assert hits / total >= 0.9  # clustered data: cells contain the true neighbors
     from chain_sync_spark.operators.llm_pipeline import release_caches
     release_caches()  # ivfpq scope-persists its index relation
+
+
+def test_embed_hashing_trick_replica_and_geometry(spark):
+    """Feature-hashing embeddings: (1) vectors equal a from-scratch
+    Python replica (same md5 hash, same sign family, same normalize);
+    (2) unit norm; (3) cosine geometry is useful — overlapping texts
+    score far above disjoint ones; (4) token-less docs emit no row."""
+    import hashlib
+    import math
+
+    from chain_sync_spark.operators.llm_pipeline import (
+        HASH_EMB_DIM,
+        embed_hashing_trick,
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_embed(text, dim=HASH_EMB_DIM):
+        toks = [t for t in text.lower().split() if t]
+        raw = [0.0] * dim
+        for t in toks:
+            sign = 1.0 if h60(f"sign:{t}") % 2 == 0 else -1.0
+            raw[h60(t) % dim] += sign
+        n = math.sqrt(sum(x * x for x in raw))
+        return None if n == 0 else [x / n for x in raw]
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox naps under the old dog",
+        3: "completely disjoint tokens about spark shuffles parquet",
+        4: "   ",  # token-less
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {r.doc_id: list(r.embedding)
+           for r in embed_hashing_trick(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    for i in (1, 2, 3):
+        want = py_embed(texts[i])
+        assert all(abs(a - b) < 1e-12 for a, b in zip(out[i], want)), i
+        assert abs(sum(x * x for x in out[i]) - 1.0) < 1e-9  # unit norm
+
+    cos = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    assert cos(out[1], out[2]) > 0.5          # heavy token overlap
+    assert cos(out[1], out[2]) > cos(out[1], out[3]) + 0.3
