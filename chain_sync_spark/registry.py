@@ -53,7 +53,10 @@ scd2_event_type_history in temporal, bpe_pair_merges in corpus_ops —
 move each into its module's QUERIES/ORACLE + the WINDOW together,
 delete the PENDING dicts and tests/test_pending_r6.py's
 not-yet-registered guard); the remaining ~7 slots go to any query
-whose implementation changes in round 6.
+whose implementation changes in round 6.  Round-7 registration
+candidate: llm_pipeline.embed_hashing_trick (library op — would need
+its array output serialized to fixed-point strings for the driver
+canon, the multimodal-features pattern).
 
 Pre-flight: ``tools/oracle_check.py`` canonicalizes through BOTH
 transports (object path and pandas path) — run it over the WINDOW
