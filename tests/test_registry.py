@@ -77,3 +77,26 @@ def test_rotation_debt_names_resolve():
     for name in rotation_debt():
         assert name in q
         assert name not in WINDOW
+
+
+def test_bench_headline_names_resolve():
+    """Every bench HEADLINE name must exist in the registry or the
+    staged set (sync_round is synthesized inside bench itself) — a
+    renamed or registered-without-updating-bench query would silently
+    vanish from the artifact otherwise."""
+    import bench
+    from chain_sync_spark.registry import pending_queries
+
+    known = set(all_queries()) | set(pending_queries()[0]) | {"sync_round"}
+    missing = [n for n in bench.HEADLINE if n not in known]
+    assert not missing, f"bench HEADLINE names not resolvable: {missing}"
+
+
+def test_window_and_staged_sets_are_disjoint():
+    """A staged query must not occupy a WINDOW slot until it is
+    registered (the slot would emit nothing and waste driver-green
+    capacity)."""
+    from chain_sync_spark.registry import pending_queries
+
+    overlap = set(WINDOW) & set(pending_queries()[0])
+    assert not overlap, f"staged names inside the WINDOW: {overlap}"
