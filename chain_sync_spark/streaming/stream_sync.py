@@ -1045,7 +1045,10 @@ def run_stream_histogram(
     (checkpoint identity, batch-id) high-water mark commits atomically
     with the table, replays are no-ops, the store is bound to its
     checkpoint (merged-state table → full-rewrite swap is the correct
-    commit; the table is constant-size)."""
+    commit; the table is constant-size).  Multi-column monitoring runs
+    one maintainer per column (one store each) — the stores are
+    constant-size, so N columns cost N tiny tables, and quantile
+    serving stays per-column-independent."""
     import os
 
     from chain_sync_spark.operators.incremental import hist_stats, merge_hist

@@ -149,3 +149,14 @@ def test_hist_bin_clamps_extremes_and_mirrors_sign(spark):
     top, bottom = 2 * HIST_RANGE + 1, 1
     assert got == [top, bottom, -top, -bottom, HIST_RANGE + 1,
                    -(HIST_RANGE + 1), 0, None]
+
+
+def test_quantile_rejects_empty_and_bad_q():
+    import pytest
+
+    from chain_sync_spark.operators.incremental import quantile_from_hist
+
+    with pytest.raises(ValueError, match="empty"):
+        quantile_from_hist([], 0.5)
+    with pytest.raises(ValueError, match="quantile"):
+        quantile_from_hist([(0, 1)], 1.5)
