@@ -213,15 +213,18 @@ HIST_RANGE = 40  # covers |v| in [2^-40, 2^40); beyond clamps to edge bins
 
 def hist_bin(v: F.Column) -> F.Column:
     """Signed log₂ bin id of a double: 0 for zero, ±(1 + clamped
-    exponent offset) otherwise. NULLs map to NULL (dropped by the
-    aggregate; null counts live in the profile, not the histogram) —
-    guarded EXPLICITLY, because greatest/least skip NULL operands in
-    Spark and the clamp would otherwise funnel NULL inputs into the
-    bottom negative bin."""
+    exponent offset) otherwise. NULLs AND NaNs map to NULL (dropped by
+    the aggregate; null counts live in the profile, not the histogram)
+    — both guarded EXPLICITLY: greatest/least skip NULL operands in
+    Spark so the clamp would funnel NULLs into the bottom negative
+    bin, and Spark orders NaN greater than every double so an
+    unguarded NaN passes ``v > 0.0`` and the clamp would silently
+    inflate the TOP positive bin (log2(NaN) is NaN; greatest/least
+    propagate it as the maximum)."""
     mag = F.floor(F.log2(F.abs(v))) + F.lit(HIST_RANGE)
     clamped = F.greatest(F.lit(0), F.least(F.lit(2 * HIST_RANGE), mag)) + 1
     return (
-        F.when(v.isNull(), F.lit(None))
+        F.when(v.isNull() | F.isnan(v), F.lit(None))
         .when(v == 0.0, F.lit(0))
         .when(v > 0.0, clamped)
         .otherwise(-clamped)

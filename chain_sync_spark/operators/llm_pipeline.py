@@ -2210,12 +2210,23 @@ def _km_train(vecs: DataFrame) -> DataFrame:
     """{KMEANS_ITERS} Lloyd iterations over a (vec_id, ei) relation,
     seeded from vec_id < {KMEANS_K} — the one training loop behind the
     batch query, the stored-centroid exporter, and the streaming
-    maintainer's first-batch training."""
+    maintainer's first-batch training.
+
+    Each pass MATERIALIZES the centroid table (collect the K·dims
+    integer rows — ≤ K·dims BIGINTs, a few KB — and re-create a local
+    relation): an explicit barrier between Lloyd iterations, so pass
+    N+1's job never re-executes pass N's assignment→update DAG and the
+    final returned relation embeds the trained centroids as a literal
+    (downstream actions cost one corpus pass, not {KMEANS_ITERS}+1).
+    This is the production shape at any scale — centroids are always
+    K·dims values regardless of corpus size."""
+    spark = vecs.sparkSession
     cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("ei").alias("c")
     )
     for _ in range(KMEANS_ITERS):
-        cents = _km_update(_km_assign(vecs, cents), cents)
+        nxt = _km_update(_km_assign(vecs, cents), cents)
+        cents = spark.createDataFrame(nxt.collect(), schema=nxt.schema)
     return cents
 
 
@@ -2296,17 +2307,23 @@ def embed_hashing_trick(docs: DataFrame, dim: int = HASH_EMB_DIM) -> DataFrame:
             lambda i: F.coalesce(F.element_at("m", i), F.lit(0)).cast("double"),
         ).alias("raw"),
     )
-    # bind the raw vector once: it is a COMPUTED array referenced by
-    # both the norm fold and the per-element division (the re-evaluation
-    # trap sketches.bind1 exists for)
+    # bind the raw vector once, then the L2 norm once more: the norm
+    # is itself a COMPUTED scalar referenced inside the per-element
+    # division lambda, so binding raw alone still re-evaluates the
+    # O(dim) fold once per ELEMENT (the bind1 trap, O(dim²)/row).  The
+    # zero guard reuses the same bound scalar: exact sign-cancellation
+    # across every dimension leaves no direction to normalize — such
+    # rows yield NULL and are dropped, like token-less docs.
     emb = sk.bind1(
         F.col("raw"),
-        lambda r: F.transform(r, lambda x: x / F.sqrt(sk.dot(r, r))),
+        lambda r: sk.bind1(
+            F.sqrt(sk.dot(r, r)),
+            lambda nrm: F.when(nrm > 0.0, F.transform(r, lambda x: x / nrm)),
+        ),
     )
-    # an exact sign-cancellation across every dimension leaves no
-    # direction to normalize — drop such rows like token-less docs
-    nonzero = sk.bind1(F.col("raw"), lambda r: sk.dot(r, r)) > 0
-    return dense.filter(nonzero).select("doc_id", emb.alias("embedding"))
+    return dense.select("doc_id", emb.alias("embedding")).filter(
+        F.col("embedding").isNotNull()
+    )
 
 
 def _kmeans_oracle() -> str:

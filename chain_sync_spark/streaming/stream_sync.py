@@ -348,10 +348,28 @@ def _commit_append(
     """Append each table's batch rows as one delta dir, create any
     missing write-once table, then commit everything with a single
     atomic marker replace.  Per-batch IO is O(batch rows) — history is
-    never rewritten."""
+    never rewritten.
+
+    FAILS FAST when the store already belongs to a DIFFERENT
+    checkpoint: delta paths are keyed only by batch_id, and batch ids
+    restart at 0 under a fresh checkpoint, so pointing a new stream at
+    an existing append store would silently OVERWRITE the old stream's
+    low-numbered committed deltas while leaving later ones intact — a
+    mixed, corrupted history (the full-rewrite swap protocol merely
+    re-merges under the same misuse).  Mirrors the PQ-codebook
+    fail-fast: reset store and checkpoint TOGETHER."""
     import json
     import os
 
+    committed = _read_commit_meta(store_dir)
+    if committed and committed.get("checkpoint") != meta.get("checkpoint"):
+        raise ValueError(
+            f"append store {store_dir!r} is bound to checkpoint "
+            f"{committed.get('checkpoint')!r} but this stream commits under "
+            f"{meta.get('checkpoint')!r}; delta dirs are keyed by batch_id "
+            "alone, so continuing would overwrite committed history — "
+            "reset the store together with its checkpoint"
+        )
     os.makedirs(store_dir, exist_ok=True)
     for name, df in (once_tables or {}).items():
         final = os.path.join(store_dir, name)

@@ -140,15 +140,19 @@ def test_hist_sketch_fold_and_quantile_bounds(spark):
 
 def test_hist_bin_clamps_extremes_and_mirrors_sign(spark):
     """Magnitudes beyond 2^±HIST_RANGE clamp to the edge bins instead
-    of overflowing the id space, and negative values mirror exactly."""
+    of overflowing the id space, and negative values mirror exactly.
+    NaN drops like NULL: Spark orders NaN greater than every double, so
+    an unguarded NaN would pass v > 0.0 and clamp into the TOP positive
+    bin, silently inflating the high-quantile tail."""
     from chain_sync_spark.operators.incremental import HIST_RANGE, hist_bin
 
-    cases = [1e300, 1e-300, -1e300, -1e-300, 1.0, -1.0, 0.0, None]
+    cases = [1e300, 1e-300, -1e300, -1e-300, 1.0, -1.0, 0.0, None,
+             float("nan")]
     df = spark.createDataFrame([(v,) for v in cases], "v double")
     got = [r.b for r in df.select(hist_bin(F.col("v")).alias("b")).collect()]
     top, bottom = 2 * HIST_RANGE + 1, 1
     assert got == [top, bottom, -top, -bottom, HIST_RANGE + 1,
-                   -(HIST_RANGE + 1), 0, None]
+                   -(HIST_RANGE + 1), 0, None, None]
 
 
 def test_quantile_rejects_empty_and_bad_q():

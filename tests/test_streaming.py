@@ -868,6 +868,58 @@ def test_append_store_commit_is_o_batch_and_crash_safe(spark, tmp_path):
     assert _delta0_state() == state0  # recovery touches only the orphan
 
 
+def test_append_store_rejects_foreign_checkpoint(spark, tmp_path):
+    """A stream started on a FRESH checkpoint against an existing
+    append store fails fast instead of corrupting it: delta dirs are
+    keyed by batch_id alone and batch ids restart at 0 under a new
+    checkpoint, so an unguarded run would silently overwrite the old
+    stream's delta-00000000 while leaving later deltas intact — a mixed
+    history.  The commit path refuses, and the store is untouched."""
+    import json as _json
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from chain_sync_spark.streaming.stream_sync import (
+        read_store_table,
+        run_stream_neardup_index,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain keeps falling on the quiet grey town tonight")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        fh.write(_json.dumps({"doc_id": 0, "text": text}) + "\n")
+
+    store = str(tmp_path / "store")
+
+    def _run(ckpt):
+        run_stream_neardup_index(
+            spark.readStream.schema("doc_id long, text string").json(src),
+            store,
+            str(tmp_path / ckpt),
+        ).awaitTermination(120)
+
+    _run("ckpt_a")
+    _DEC = "doc_id long, is_dup boolean, dup_of long, batch_id long"
+    before = sorted(
+        map(str, read_store_table(spark, store, "decisions", _DEC).collect())
+    )
+    marker_before = open(os.path.join(store, "_rollup_commit.json")).read()
+
+    with pytest.raises(StreamingQueryException, match="bound to checkpoint"):
+        _run("ckpt_b")
+
+    # store unchanged: marker still binds checkpoint A, rows identical
+    assert open(os.path.join(store, "_rollup_commit.json")).read() == marker_before
+    after = sorted(
+        map(str, read_store_table(spark, store, "decisions", _DEC).collect())
+    )
+    assert after == before
+
+
 def test_compact_store_folds_deltas_and_stream_resumes(spark, tmp_path):
     """compact_store (the lakehouse-OPTIMIZE analogue): folds all
     committed deltas into one compact base per table, serves the SAME
