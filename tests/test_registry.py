@@ -38,28 +38,28 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
     )
 
 
-def test_rotation_ledger_complete_after_r5():
-    """Every registry query must hold a driver row in r2∪r3∪r4 or sit
-    inside THIS round's window (that is the whole point of the
-    rotation). After r5 lands, no query's latest GREEN row may be
-    older than r3: the window carries every r2-only green."""
+def test_rotation_ledger_complete_after_r7():
+    """Every registry query must hold a driver row in some prior
+    artifact or sit inside THIS round's window (that is the whole
+    point of the rotation). After r7 lands, no query's latest GREEN
+    row may be older than r4: the window carries every r3-or-older
+    green (the r6 window was a re-run of r5's, so the r3 cohort is
+    the oldest and must rotate in full)."""
+    artifacts = [
+        (r, f"CORRECTNESS_r0{r}.json") for r in range(2, 7)
+    ]
     seen = set(WINDOW)
-    green_r2 = set()
-    for artifact in (
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-    ):
+    for _, artifact in artifacts:
         p = _ROOT / artifact
         if p.exists():
             seen |= set(json.load(p.open()))
     missing = [n for n in all_queries() if n not in seen]
-    assert not missing, f"queries with no driver row even after r5: {missing}"
+    assert not missing, f"queries with no driver row and no window slot: {missing}"
 
-    # freshness half of the covenant: r2-only greens must be windowed
+    # freshness half of the covenant: r3-or-older latest greens must
+    # be windowed
     last_green = {}
-    for r, artifact in ((2, "CORRECTNESS_r02.json"), (3, "CORRECTNESS_r03.json"),
-                        (4, "CORRECTNESS_r04.json")):
+    for r, artifact in artifacts:
         p = _ROOT / artifact
         if not p.exists():
             continue
@@ -67,9 +67,9 @@ def test_rotation_ledger_complete_after_r5():
             if (rec.get("rows_match") and rec.get("schema_match")
                     and rec.get("hash_match", True)):
                 last_green[name] = r
-    green_r2 = {n for n, r in last_green.items() if r == 2}
-    stale = sorted(green_r2 - set(WINDOW))
-    assert not stale, f"r2-only greens left out of the r5 window: {stale}"
+    stale_pool = {n for n, r in last_green.items() if r <= 3}
+    stale = sorted(stale_pool - set(WINDOW))
+    assert not stale, f"r3-or-older greens left out of the r7 window: {stale}"
 
 
 def test_rotation_debt_names_resolve():
@@ -87,7 +87,8 @@ def test_bench_headline_names_resolve():
     import bench
     from chain_sync_spark.registry import pending_queries
 
-    known = set(all_queries()) | set(pending_queries()[0]) | {"sync_round"}
+    known = (set(all_queries()) | set(pending_queries()[0])
+             | set(bench._bench_extra()) | {"sync_round"})
     missing = [n for n in bench.HEADLINE if n not in known]
     assert not missing, f"bench HEADLINE names not resolvable: {missing}"
 

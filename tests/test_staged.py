@@ -1,7 +1,17 @@
-"""Round-6 staged operators (PENDING_R6_QUERIES in llm_pipeline and
-temporal) — known-answer tests + driver-faithful dual-transport oracle
-parity, since they hold no driver row until a round-6 WINDOW slot
-opens (registry.py rotation plan)."""
+"""Staging battery + known-answer tests for late-registered operators.
+
+Two populations:
+  * the generic staged set (module-level PENDING_QUERIES dicts,
+    resolved through registry.pending_queries()) — operators fully
+    implemented + oracled but awaiting a WINDOW slot; they get the
+    driver-faithful dual-transport parity check here as the stand-in
+    for the driver row they cannot earn yet, plus a guard that they
+    stay out of the registry until recomposition;
+  * the round-7 registrations (kmeans_embedding_clusters,
+    scd2_event_type_history, bpe_pair_merges, scd2_asof_lookup) —
+    their known-answer tests stay pinned here after registration, and
+    a dual-transport parity pin guards the exact oracle text the
+    WINDOW now carries."""
 
 from datetime import datetime
 
@@ -169,12 +179,10 @@ def _pending():
         yield name, fn, o[name]
 
 
-@pytest.mark.parametrize("name,fn,oracle", list(_pending()))
-def test_pending_r6_oracle_parity_dual_transport(spark, name, fn, oracle):
+def _dual_transport_parity(spark, name, fn, oracle):
     """Spark vs DuckDB through BOTH driver transports (object path and
     pandas path) via the exact canonicalizer tools/oracle_check shares
-    with the driver emulation — the stand-in for the driver row these
-    queries cannot earn until round 6."""
+    with the driver emulation."""
     import tools.oracle_check as oc
     from chain_sync_spark.tables import TABLE_NAMES
 
@@ -200,7 +208,32 @@ def test_pending_r6_oracle_parity_dual_transport(spark, name, fn, oracle):
     assert oc._canon(spdf_pd) == oc._canon(dpdf_pd), "pandas path"
 
 
-def test_pending_r6_names_not_yet_registered():
+@pytest.mark.parametrize("name,fn,oracle", list(_pending()))
+def test_staged_oracle_parity_dual_transport(spark, name, fn, oracle):
+    """The stand-in for the driver row staged queries cannot earn
+    until the next WINDOW recomposition."""
+    _dual_transport_parity(spark, name, fn, oracle)
+
+
+R7_REGISTRATIONS = [
+    "kmeans_embedding_clusters",
+    "scd2_event_type_history",
+    "bpe_pair_merges",
+    "scd2_asof_lookup",
+]
+
+
+@pytest.mark.parametrize("name", R7_REGISTRATIONS)
+def test_r7_registration_oracle_parity_dual_transport(spark, name):
+    """Parity pin on the exact QUERIES/ORACLE entries the round-7
+    WINDOW carries (these moved from staged to registered this round;
+    scd2_asof_lookup registered directly)."""
+    from chain_sync_spark.registry import all_oracles, all_queries
+
+    _dual_transport_parity(spark, name, all_queries()[name], all_oracles()[name])
+
+
+def test_staged_names_not_yet_registered():
     from chain_sync_spark.registry import all_oracles, all_queries, pending_queries
 
     pending_q, pending_o = pending_queries()
