@@ -2326,6 +2326,76 @@ def embed_hashing_trick(docs: DataFrame, dim: int = HASH_EMB_DIM) -> DataFrame:
     )
 
 
+def embed_hashing_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable form of :func:`embed_hashing_trick`: the
+    normalized vector serialized to ONE comma-joined string of
+    fixed-point micro-units per document (floor(x·10⁶ + 0.5) per
+    component — the multimodal-features serialization pattern, since
+    the driver canon cannot hash array columns and raw double
+    formatting is engine-specific).
+
+    Cross-engine determinism chain: the signed token counts are
+    integers, so the L2 norm is sqrt(exact integer) on both engines;
+    each component is one double division + one multiply + tie-safe
+    floor — bit-identical IEEE ops in both engines, no
+    order-dependent float summation anywhere."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_hashing_trick(docs)
+    return emb.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+        ).alias("emb_fp"),
+    )
+
+
+_HASH_EMB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({sk.WORDS_SQL.format(c=sk.NORMALIZE_SQL.format(c='text'))}) AS tok
+  FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         CAST((({sk.hash60_sql('tok')}) % {HASH_EMB_DIM}
+               + {HASH_EMB_DIM}) % {HASH_EMB_DIM} AS INT) AS pos,
+         CASE WHEN ({sk.hash60_sql("'sign:' || tok")}) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, pos, CAST(SUM(s) AS BIGINT) AS v
+  FROM cells GROUP BY doc_id, pos
+),
+grid AS (
+  SELECT d.doc_id, r.p
+  FROM (SELECT DISTINCT doc_id FROM agg) d
+  CROSS JOIN (SELECT unnest(range(0, {HASH_EMB_DIM})) AS p) r
+),
+dense AS (
+  SELECT g.doc_id, g.p AS pos, COALESCE(a.v, 0) AS v
+  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.pos = g.p
+),
+nrm AS (
+  SELECT doc_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS n
+  FROM dense GROUP BY doc_id
+)
+SELECT d.doc_id,
+       string_agg(
+         CAST(CAST(FLOOR(d.v / n.n * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+         ',' ORDER BY d.pos) AS emb_fp
+FROM dense d JOIN nrm n USING (doc_id)
+WHERE n.n > 0
+GROUP BY d.doc_id
+"""
+
+
 def _kmeans_oracle() -> str:
     """Lloyd unrolled as SQL CTEs: ev = micro-quantized cells, then
     per iteration dN (integer distances) → aN (argmin assignment) →
@@ -2456,4 +2526,18 @@ ORACLE = {
     "embedding_pq_assign": _pq_assign_oracle(),
     "embedding_pq_adc_topk": _pq_adc_oracle(),
     "kmeans_embedding_clusters": _kmeans_oracle(),
+}
+
+# Staged round-8 entrant (registry.pending_queries): the round-7
+# window is full and embed_hashing_trick's implementation changed in
+# round 6 (norm binding, zero-vector drop), so its fixed-point
+# serialization certifies here — full implementation + DuckDB oracle
+# + dual-transport parity pytest now, a WINDOW slot at the next
+# recomposition.
+PENDING_QUERIES = {
+    "embed_hashing_fixedpoint": embed_hashing_fixedpoint,
+}
+
+PENDING_ORACLE = {
+    "embed_hashing_fixedpoint": _HASH_EMB_ORACLE,
 }

@@ -314,3 +314,79 @@ def test_scd2_asof_lookup_point_in_time(spark, tmp_path):
     looked = tp.scd2_asof_lookup(hist_full, ev)
     assert looked.count() == ev.count()
     assert looked.groupBy("fact_id").count().filter("count > 1").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# embed_hashing_fixedpoint (staged round 8)
+# ---------------------------------------------------------------------------
+
+def _py_hash_embed(text: str, dim: int) -> list[int] | None:
+    """From-scratch replica of the hashing-trick embedding, down to
+    the fixed-point serialization: md5-based 60-bit hash, pmod
+    position, independent sign hash, integer signed counts, L2
+    normalize, floor(x*1e6 + 0.5)."""
+    import hashlib
+    import re
+
+    norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+    toks = [t for t in norm.split(" ") if t]
+    if not toks:
+        return None
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    v = [0] * dim
+    for t in toks:
+        pos = h60(t) % dim
+        v[pos] += 1 if h60("sign:" + t) % 2 == 0 else -1
+    n2 = sum(x * x for x in v)
+    if n2 == 0:
+        return None
+    import math
+
+    n = math.sqrt(float(n2))
+    return [math.floor(x / n * 1_000_000 + 0.5) for x in v]
+
+
+def test_embed_hashing_fixedpoint_matches_python_replica(spark, tmp_path):
+    from chain_sync_spark.operators import llm_pipeline as lp2
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog!"),
+        (2, "spark spark spark duckdb"),
+        (3, "???"),                       # normalizes to empty -> no row
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r.emb_fp for r in
+           lp2.embed_hashing_fixedpoint(spark, str(tmp_path)).collect()}
+    want = {
+        i: ",".join(str(x) for x in _py_hash_embed(t, lp2.HASH_EMB_DIM))
+        for i, t in docs
+        if _py_hash_embed(t, lp2.HASH_EMB_DIM) is not None
+    }
+    assert out == want
+    assert 3 not in out
+
+
+def test_embed_hashing_fixedpoint_is_the_trick_serialized(spark):
+    """The staged query is exactly embed_hashing_trick + fixed-point
+    serialization — same doc set, and each string deserializes to the
+    micro-rounded embedding (unit-norm within rounding error)."""
+    from chain_sync_spark.operators import llm_pipeline as lp2
+    from chain_sync_spark.tables import table
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    emb = {r.doc_id: r.embedding
+           for r in lp2.embed_hashing_trick(docs).collect()}
+    fp = {r.doc_id: [int(x) for x in r.emb_fp.split(",")]
+          for r in lp2.embed_hashing_fixedpoint(spark, SF).collect()}
+    assert set(emb) == set(fp)
+    for d, vec in fp.items():
+        assert len(vec) == lp2.HASH_EMB_DIM
+        n2 = sum(x * x for x in vec)
+        # unit norm in micros: |2·Σx·e| ≤ 2·0.5·Σ|x| ≤ sqrt(dim)·1e6
+        assert abs(n2 - 1_000_000 ** 2) < 10_000_000
+        micro = [int(np.floor(x * 1_000_000 + 0.5)) for x in emb[d]]
+        assert micro == vec
