@@ -955,6 +955,9 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.sum("s").cast("double").alias("score"),
     )
+    # global window is bounded: per_doc holds only documents matching
+    # >=1 fixed query term (query-term filter runs first), not the
+    # corpus; at retrieval scale swap for per-partition top-k + merge
     wk = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_doc.withColumn("rk", F.row_number().over(wk))
@@ -1030,6 +1033,8 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = _docs_words(spark, sf_dir)
     tok = dw.select("doc_id", F.explode("w").alias("term"))
     tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # global window is bounded: input is one row per DISTINCT term
+    # (vocabulary-sized, zipf-bounded), never the token stream
     wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
     vocab = (
         tc.withColumn("rk", F.row_number().over(wv))
@@ -1134,6 +1139,8 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "exact_cnt")
         .agg(F.min("cell").alias("est_cnt"))
     )
+    # global window is bounded: input is the candidate heavy-hitter
+    # set (vocabulary-sized after the estimate join), not the stream
     wk = Window.orderBy(F.desc("est_cnt"), F.asc("term"))
     return (
         est.withColumn("rk", F.row_number().over(wk))
@@ -1219,6 +1226,8 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair"),
     )
     agg = pairs.groupBy("pair").agg(F.sum("n_occ").alias("cnt"))
+    # global window is bounded: input is one row per distinct char
+    # PAIR (<= alphabet^2 = 36^2 rows here), never words or tokens
     w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
     return (
         agg.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -214,8 +214,12 @@ HIST_RANGE = 40  # covers |v| in [2^-40, 2^40); beyond clamps to edge bins
 def hist_bin(v: F.Column) -> F.Column:
     """Signed log₂ bin id of a double: 0 for zero, ±(1 + clamped
     exponent offset) otherwise. NULLs AND NaNs map to NULL (dropped by
-    the aggregate; null counts live in the profile, not the histogram)
-    — both guarded EXPLICITLY: greatest/least skip NULL operands in
+    the aggregate). Accounting contract: NULL counts live in the
+    profile's n_nulls; NaN values are dropped from ALL accounting —
+    they appear in neither the histogram nor n_nulls (build_profile
+    counts isNull() only), so on a column containing NaNs, n_rows >
+    n_nulls + histogram total by exactly the NaN count. Both are
+    guarded EXPLICITLY: greatest/least skip NULL operands in
     Spark so the clamp would funnel NULLs into the bottom negative
     bin, and Spark orders NaN greater than every double so an
     unguarded NaN passes ``v > 0.0`` and the clamp would silently

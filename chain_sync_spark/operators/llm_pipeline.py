@@ -2226,6 +2226,9 @@ def _km_train(vecs: DataFrame) -> DataFrame:
     )
     for _ in range(KMEANS_ITERS):
         nxt = _km_update(_km_assign(vecs, cents), cents)
+        # bounded collect: K centroid rows (K·dims BIGINTs, a few KB)
+        # regardless of corpus size — never copy onto an unbounded
+        # relation
         cents = spark.createDataFrame(nxt.collect(), schema=nxt.schema)
     return cents
 

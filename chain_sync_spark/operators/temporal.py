@@ -361,6 +361,8 @@ def profile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
         )
     )
+    # global window is bounded: input is one row per calendar DAY
+    # (the daily aggregate), not the events table
     w = Window.orderBy("day")
     prev = F.lag("n_events").over(w)
     return daily.select(

@@ -357,7 +357,14 @@ def _commit_append(
     low-numbered committed deltas while leaving later ones intact — a
     mixed, corrupted history (the full-rewrite swap protocol merely
     re-merges under the same misuse).  Mirrors the PQ-codebook
-    fail-fast: reset store and checkpoint TOGETHER."""
+    fail-fast: reset store and checkpoint TOGETHER.
+
+    Known, accepted window: the guard keys off the COMMITTED marker,
+    so a store directory holding only orphan (uncommitted) deltas
+    from a crashed first run is silently adopted by a foreign
+    checkpoint and its orphans overwritten — acceptable because
+    orphan deltas are invisible to readers (read_store_table serves
+    only marker-covered deltas) and recovery deletes them anyway."""
     import json
     import os
 
@@ -661,38 +668,44 @@ def run_stream_neardup_index(
             return
         spark = batch_df.sparkSession
         sh_b = _doc_shingles(batch_df.select("doc_id", "text")).persist()
-        bands_b = _band_relation(sh_b)
-        idx_bands = read_store_table(
-            spark, store_dir, "bands", NEARDUP_STORE_TABLES["bands"]
-        )
-        idx_sh = read_store_table(
-            spark, store_dir, "shingles", NEARDUP_STORE_TABLES["shingles"]
-        )
-        dups = _probe_collisions(
-            idx_bands, idx_sh, bands_b, sh_b, threshold, in_batch=True
-        )
-        dec_b = (
-            sh_b.select("doc_id")
-            .join(dups, F.col("doc_id") == F.col("doc_b"), "left")
-            .select(
-                "doc_id",
-                F.col("dup_of").isNotNull().alias("is_dup"),
-                "dup_of",
-                F.lit(batch_id).cast("long").alias("batch_id"),
+        # try/finally so the persist is released even when
+        # _commit_append raises (e.g. the foreign-checkpoint
+        # fail-fast); the query terminates then, but the persist
+        # discipline stays consistent
+        try:
+            bands_b = _band_relation(sh_b)
+            idx_bands = read_store_table(
+                spark, store_dir, "bands", NEARDUP_STORE_TABLES["bands"]
             )
-        )
-        survivors = dec_b.filter(~F.col("is_dup")).select("doc_id")
-        _commit_append(
-            store_dir,
-            {
-                "bands": bands_b.join(survivors, "doc_id", "left_semi"),
-                "shingles": sh_b.join(survivors, "doc_id", "left_semi"),
-                "decisions": dec_b,
-            },
-            batch_id,
-            {"checkpoint": ckpt_id, "batch_id": batch_id},
-        )
-        sh_b.unpersist()
+            idx_sh = read_store_table(
+                spark, store_dir, "shingles", NEARDUP_STORE_TABLES["shingles"]
+            )
+            dups = _probe_collisions(
+                idx_bands, idx_sh, bands_b, sh_b, threshold, in_batch=True
+            )
+            dec_b = (
+                sh_b.select("doc_id")
+                .join(dups, F.col("doc_id") == F.col("doc_b"), "left")
+                .select(
+                    "doc_id",
+                    F.col("dup_of").isNotNull().alias("is_dup"),
+                    "dup_of",
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                )
+            )
+            survivors = dec_b.filter(~F.col("is_dup")).select("doc_id")
+            _commit_append(
+                store_dir,
+                {
+                    "bands": bands_b.join(survivors, "doc_id", "left_semi"),
+                    "shingles": sh_b.join(survivors, "doc_id", "left_semi"),
+                    "decisions": dec_b,
+                },
+                batch_id,
+                {"checkpoint": ckpt_id, "batch_id": batch_id},
+            )
+        finally:
+            sh_b.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_process)
