@@ -101,3 +101,31 @@ def test_window_and_staged_sets_are_disjoint():
 
     overlap = set(WINDOW) & set(pending_queries()[0])
     assert not overlap, f"staged names inside the WINDOW: {overlap}"
+
+
+def test_bench_line_stays_inside_driver_capture():
+    """Projected driver stdout line with every current HEADLINE entry
+    present stays parseable inside the ~2000-char tail capture, and
+    the soft trim preserves per-query visibility for the expensive
+    (>= 0.3 s) queries instead of dropping the whole dict."""
+    import bench
+
+    # worst-case realistic shape: every headline name at a 2-dp value
+    queries = {n: round(1.23 + i * 0.01, 2) for i, n in enumerate(bench.HEADLINE)}
+    slow = {n for n, t in queries.items() if t >= 0.3}
+    headline = {
+        "metric": "headline_queries_wall_clock",
+        "value": 12.34,
+        "unit": "sec",
+        "queries": queries,
+        "baseline_set_total_cold": 23.45,
+        "extended_set_total": 34.56,
+        "cpu_probe_sec": 0.5,
+        "v": {"pyspark": "4.1.2", "duckdb": "1.0.0", "pandas": "2.2.0"},
+        "sf": 0.1,
+    }
+    line = bench._compact_line(headline)
+    assert len(line) <= 1800
+    parsed = __import__("json").loads(line)
+    assert "queries" in parsed, "soft trim must not drop the whole dict"
+    assert slow <= set(parsed["queries"]), "slow queries must stay visible"
