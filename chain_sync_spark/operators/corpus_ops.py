@@ -1236,6 +1236,181 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Full BPE training loop + subword encoder (round 7)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 24
+BPE_CHECKPOINT_EVERY = 8
+
+
+def _word_chars(word: F.Column) -> F.Column:
+    """Deterministic char split (1-based substr, no regex edge cases)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+
+
+def _sym_pair_counts(syms: DataFrame) -> DataFrame:
+    """(l, r, cnt): adjacent-symbol-pair frequencies of a (s, n_occ)
+    symbol-array vocabulary, weighted by corpus occurrence count —
+    vocabulary-sized, map-side combining, per-row generation."""
+    pair_structs = F.expr(
+        "transform(slice(s, 1, greatest(size(s) - 1, 0)),"
+        " (x, i) -> struct(x AS l, element_at(s, i + 2) AS r))"
+    )
+    return (
+        syms.select("n_occ", F.explode(pair_structs).alias("p"))
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("n_occ").alias("cnt"))
+    )
+
+
+def _apply_merge(s: F.Column, left: str, right: str) -> F.Column:
+    """Replace adjacent [left, right] symbol pairs with the merged
+    symbol, greedy left-to-right non-overlapping — the reference BPE
+    apply step (Sennrich et al. 2016, public algorithm) — as ONE
+    engine-side fold (F.aggregate) with a (done-prefix, held-symbol)
+    accumulator: no UDF, whole-stage evaluable, one pass per row."""
+    nul = F.lit(None).cast("string")
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), nul.alias("cur")
+    )
+
+    def step(acc, x):
+        out, cur = acc["out"], acc["cur"]
+        return (
+            F.when(cur.isNull(), F.struct(out.alias("out"), x.alias("cur")))
+            .when(
+                (cur == F.lit(left)) & (x == F.lit(right)),
+                F.struct(
+                    F.concat(out, F.array(F.lit(left + right))).alias("out"),
+                    nul.alias("cur"),
+                ),
+            )
+            .otherwise(
+                F.struct(F.concat(out, F.array(cur)).alias("out"), x.alias("cur"))
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["cur"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["cur"]))
+        )
+
+    return F.aggregate(s, init, step, finish)
+
+
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_TRAIN_MERGES,
+) -> DataFrame:
+    """FULL iterative BPE training over the documents corpus — the
+    repeat-until-vocab-size loop whose single certifiable round is
+    :func:`bpe_pair_merges`: per iteration, count adjacent symbol
+    pairs over the vocabulary, take the argmax pair as the next merge,
+    and rewrite every word's symbol sequence with it.  Returns the
+    merge TABLE (rank, left, right, merged, cnt) — the trained
+    tokenizer artifact a pipeline stores once and ships to
+    :func:`bpe_encode`, the same frozen-artifact contract as the PQ
+    codebook and the k-means centroids.  Ties break (cnt DESC, l, r),
+    pinned so training is deterministic.
+
+    Library operator (pytest-certified against a from-scratch Python
+    replica): the merge table is data-dependent state, so there is no
+    closed-form SQL oracle — the iterative loop is the k-means shape,
+    per SURVEY §2's custom-operator ladder.
+
+    Scale: every iteration is ONE vocabulary-sized pair aggregate
+    (never the corpus — words carry their corpus counts) plus a
+    bounded 1-row collect (the argmax merge); the symbol relation
+    persists round-over-round and localCheckpoints every
+    {BPE_CHECKPOINT_EVERY} rounds so plan lineage stays bounded
+    (the connected-components discipline)."""
+    toks = _docs_words(spark, sf_dir).select(F.explode("w").alias("word"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
+    syms = vocab.select(_word_chars(F.col("word")).alias("s"), "n_occ").persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            # bounded collect: exactly one row — the argmax merge pair
+            top = (
+                _sym_pair_counts(syms)
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # every word is a single symbol — vocabulary exhausted
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((rank, l, r, l + r, cnt))
+            nxt = syms.select(_apply_merge(F.col("s"), l, r).alias("s"), "n_occ")
+            if rank % BPE_CHECKPOINT_EVERY == 0:
+                # truncate lineage: plan depth resets to zero here
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, cnt bigint"
+    )
+
+
+def bpe_apply_merges(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Segment each DISTINCT word into subword symbols by applying a
+    trained merge list in rank order — adds an ``s array<string>``
+    column.  Entirely engine-side: one :func:`_apply_merge` fold per
+    merge, lineage localCheckpoint'ed every {BPE_CHECKPOINT_EVERY}
+    merges so the chained-fold plan stays codegen-sized.  Input is
+    the VOCABULARY (distinct words), never the token stream — the
+    standard word-cache trick, so the per-merge pass is
+    vocabulary-sized at any corpus scale."""
+    syms = words.withColumn("s", _word_chars(F.col(word_col)))
+    for i, (l, r) in enumerate(merges):
+        syms = syms.withColumn("s", _apply_merge(F.col("s"), l, r))
+        if (i + 1) % BPE_CHECKPOINT_EVERY == 0 and i + 1 < len(merges):
+            syms = syms.localCheckpoint(eager=True)
+    return syms
+
+
+def bpe_encode(docs: DataFrame, merges_df: DataFrame) -> DataFrame:
+    """Serving side of BPE: tokenize documents into trained subwords.
+    Returns (doc_id, subword, n) — per-document subword counts, the
+    input shape token-budget accounting and subword-frequency analysis
+    consume.  ``merges_df`` is a trained :func:`bpe_train` output; the
+    frozen-artifact contract applies (subword ids are only comparable
+    under one merge table).
+
+    Scale: the merge table is rank-bounded (a bounded collect), the
+    segmentation runs on DISTINCT words (vocabulary-sized), and the
+    corpus only pays one token→vocab join — broadcast when the
+    segmented vocabulary fits, shuffle-on-word otherwise — plus the
+    final (doc_id, subword) count aggregate."""
+    # bounded collect: the merge table is <= n_merges rows by
+    # construction (the trained artifact, never corpus-sized)
+    ranked = [
+        (row["left"], row["right"])
+        for row in merges_df.orderBy("rank").collect()
+    ]
+    toks = docs.select(
+        "doc_id", F.explode(sk.words(sk.normalize_text(F.col("text")))).alias("word")
+    )
+    vocab = toks.select("word").distinct()
+    seg = bpe_apply_merges(vocab, ranked)
+    return (
+        toks.join(seg, "word")
+        .select("doc_id", F.explode("s").alias("subword"))
+        .groupBy("doc_id", "subword")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 _BPE_ORACLE = f"""
 WITH {_NORM_CTE.lstrip()},
 tok AS (SELECT UNNEST(w) AS word FROM docs_words),
