@@ -2399,6 +2399,86 @@ GROUP BY d.doc_id
 """
 
 
+KM_BAL_MOD = 1_000_000
+
+
+def kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus curation: down-sample every
+    over-represented k-means cluster to the uniform target share with
+    per-vector hash acceptance — the cluster-level twin of
+    mixture_resample_documents (source-level), the standard
+    topic-balancing step between clustering and training-set export.
+    A vector survives when ``hash('kmbal:' || vec_id) % 1e6 <
+    keep_micros`` where ``keep_micros = min(1e6,
+    ratio_micros(total div K, cluster_n))`` — hash-keyed (stable
+    across runs/partitionings) and PURE integer arithmetic end to end
+    (the round-5 output contract: no double forms at any boundary).
+
+    Output is the per-cluster audit row: cluster_id, n_before,
+    keep_micros, n_after.
+
+    Scale: the assignment relation aggregates to cluster grain (K
+    rows), the plan broadcasts back onto the assignments, and both
+    aggregates map-side combine — no shuffle carries vector rows."""
+    asg = kmeans_embedding_clusters(spark, sf_dir).select("vec_id", "cluster_id")
+    per = asg.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_before"))
+    totals = per.agg(
+        F.sum("n_before").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    plan = per.crossJoin(F.broadcast(totals)).select(
+        "cluster_id",
+        "n_before",
+        F.least(
+            F.lit(KM_BAL_MOD).cast("long"),
+            sk.ratio_micros("tot div k", "n_before"),
+        ).alias("keep_micros"),
+    )
+    bucket = F.pmod(
+        sk.hash60(F.concat(F.lit("kmbal:"), F.col("vec_id").cast("string"))),
+        F.lit(KM_BAL_MOD),
+    )
+    kept = (
+        asg.join(F.broadcast(plan.select("cluster_id", "keep_micros")), "cluster_id")
+        .filter(bucket < F.col("keep_micros"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return plan.join(kept, "cluster_id", "left").select(
+        "cluster_id",
+        "n_before",
+        "keep_micros",
+        F.coalesce("n_after", F.lit(0).cast("long")).alias("n_after"),
+    )
+
+
+def _km_balance_oracle() -> str:
+    return f"""
+WITH km AS ({_kmeans_oracle()}),
+per AS (
+  SELECT cluster_id, COUNT(*) AS n_before FROM km GROUP BY cluster_id
+),
+tot AS (
+  SELECT CAST(SUM(n_before) AS BIGINT) AS t, COUNT(*) AS k FROM per
+),
+plan AS (
+  SELECT cluster_id, n_before,
+         LEAST({KM_BAL_MOD},
+               {sk.ratio_micros_sql('(t // k)', 'n_before')}) AS keep_micros
+  FROM per CROSS JOIN tot
+),
+kept AS (
+  SELECT m.cluster_id, COUNT(*) AS n_after
+  FROM km m JOIN plan p ON m.cluster_id = p.cluster_id
+  WHERE ({sk.hash60_sql("'kmbal:' || CAST(vec_id AS VARCHAR)")})
+          % {KM_BAL_MOD} < p.keep_micros
+  GROUP BY m.cluster_id
+)
+SELECT p.cluster_id, p.n_before, p.keep_micros,
+       COALESCE(k.n_after, 0) AS n_after
+FROM plan p LEFT JOIN kept k ON p.cluster_id = k.cluster_id
+"""
+
+
 def _kmeans_oracle() -> str:
     """Lloyd unrolled as SQL CTEs: ev = micro-quantized cells, then
     per iteration dN (integer distances) → aN (argmin assignment) →
@@ -2539,8 +2619,10 @@ ORACLE = {
 # recomposition.
 PENDING_QUERIES = {
     "embed_hashing_fixedpoint": embed_hashing_fixedpoint,
+    "kmeans_balanced_sample": kmeans_balanced_sample,
 }
 
 PENDING_ORACLE = {
     "embed_hashing_fixedpoint": _HASH_EMB_ORACLE,
+    "kmeans_balanced_sample": _km_balance_oracle(),
 }

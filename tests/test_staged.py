@@ -390,3 +390,43 @@ def test_embed_hashing_fixedpoint_is_the_trick_serialized(spark):
         assert abs(n2 - 1_000_000 ** 2) < 10_000_000
         micro = [int(np.floor(x * 1_000_000 + 0.5)) for x in emb[d]]
         assert micro == vec
+
+
+# ---------------------------------------------------------------------------
+# kmeans_balanced_sample (staged round 8)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_balanced_sample_matches_python_replica(spark):
+    """Isolates the balance+acceptance logic: take the (already
+    replica-certified) cluster assignment as ground truth, then
+    replicate the integer keep-rate and the hash acceptance with
+    hashlib — keep_micros = min(1e6, round-half-up((tot//K)/n · 1e6)
+    in pure integer arithmetic), survive when
+    md5-hash60('kmbal:'+vec_id) % 1e6 < keep_micros."""
+    import hashlib
+
+    asg = {r.vec_id: r.cluster_id
+           for r in lp.kmeans_embedding_clusters(spark, SF).collect()}
+    n_before: dict[int, int] = {}
+    for c in asg.values():
+        n_before[c] = n_before.get(c, 0) + 1
+    tot, k = len(asg), len(n_before)
+    target = tot // k
+    keep = {
+        c: min(1_000_000, (target * 1_000_000 * 2 + n) // (2 * n))
+        for c, n in n_before.items()
+    }
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    n_after: dict[int, int] = {c: 0 for c in n_before}
+    for v, c in asg.items():
+        if h60(f"kmbal:{v}") % 1_000_000 < keep[c]:
+            n_after[c] += 1
+    got = {r.cluster_id: (r.n_before, r.keep_micros, r.n_after)
+           for r in lp.kmeans_balanced_sample(spark, SF).collect()}
+    assert got == {c: (n_before[c], keep[c], n_after[c]) for c in n_before}
+    # the plan actually balances: no under-represented cluster is cut
+    for c, n in n_before.items():
+        if n <= target:
+            assert keep[c] == 1_000_000
+        else:
+            assert keep[c] < 1_000_000
