@@ -383,8 +383,22 @@ def test_cms_estimate_matches_python_replica(spark, tmp_path):
 
 
 def test_r5_entrants_registered_with_oracles():
-    from chain_sync_spark.registry import WINDOW, all_oracles, all_queries
+    """Round-agnostic form: the r5 entrants must stay registered and
+    must hold a driver-green row in SOME correctness artifact (they
+    earned r5+r6 greens; window rotation may legitimately rotate them
+    out of the current WINDOW afterwards)."""
+    import json
+    from pathlib import Path
 
+    from chain_sync_spark.registry import all_oracles, all_queries
+
+    root = Path(__file__).resolve().parent.parent
+    green: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, rec in json.load(p.open()).items():
+            if (rec.get("rows_match") and rec.get("schema_match")
+                    and rec.get("hash_match", True)):
+                green.add(name)
     for name in ("vocab_coverage_oov", "heavy_hitters_cms"):
         assert name in all_queries() and name in all_oracles()
-        assert name in WINDOW  # first driver row is earned this round
+        assert name in green, f"{name} holds no driver-green row in any artifact"
