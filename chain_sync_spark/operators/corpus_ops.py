@@ -1245,9 +1245,15 @@ BPE_CHECKPOINT_EVERY = 8
 
 
 def _word_chars(word: F.Column) -> F.Column:
-    """Deterministic char split (1-based substr, no regex edge cases)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    """Deterministic char split (1-based substr, no regex edge cases).
+    Empty words map to an empty array — sequence(1, 0) would otherwise
+    yield the DESCENDING [1, 0] and two empty-string symbols."""
+    return F.when(
+        F.length(word) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+        )
     )
 
 
@@ -1332,29 +1338,44 @@ def bpe_train(
     vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
     syms = vocab.select(_word_chars(F.col("word")).alias("s"), "n_occ").persist()
     merges: list[tuple[int, str, str, str, int]] = []
+    # The parent of a lazily-persisted relation must stay cached until
+    # the child materializes (the next round's collect) — unpersisting
+    # earlier would silently recompute the whole fold chain back to the
+    # last localCheckpoint each round.
+    prev: DataFrame | None = None
     try:
         for rank in range(1, n_merges + 1):
-            # bounded collect: exactly one row — the argmax merge pair
+            # bounded collect: exactly one row — the argmax merge pair.
+            # This action also populates syms' persist, so its parent
+            # (last round's relation) can be released now.
             top = (
                 _sym_pair_counts(syms)
                 .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break  # every word is a single symbol — vocabulary exhausted
             l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
             merges.append((rank, l, r, l + r, cnt))
             nxt = syms.select(_apply_merge(F.col("s"), l, r).alias("s"), "n_occ")
             if rank % BPE_CHECKPOINT_EVERY == 0:
-                # truncate lineage: plan depth resets to zero here
+                # truncate lineage: plan depth resets to zero here, and
+                # the eager checkpoint materializes nxt — the parent
+                # cache can drop immediately
                 nxt = nxt.localCheckpoint(eager=True)
+                syms.unpersist()
             else:
                 nxt = nxt.persist()
-            syms.unpersist()
+                prev = syms  # release after nxt materializes next round
             syms = nxt
     finally:
         syms.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, cnt bigint"
     )

@@ -110,6 +110,16 @@ def test_bpe_apply_merges_segments_like_replica(spark):
     assert recon == 0
 
 
+def test_bpe_apply_merges_empty_word_yields_empty_array(spark):
+    """Public-helper edge case: sequence(1, 0) is DESCENDING in Spark,
+    so an unguarded char split would emit two empty-string symbols for
+    an empty word and silently produce garbage pairs downstream."""
+    vocab = spark.createDataFrame([("",), ("ab",)], "word string")
+    seg = co.bpe_apply_merges(vocab, [("a", "b")])
+    got = {r["word"]: list(r["s"]) for r in seg.collect()}
+    assert got == {"": [], "ab": ["ab"]}
+
+
 def test_bpe_encode_counts_match_replica(spark):
     merges, word_syms = _py_bpe_train(_sf_word_counts(), N)
     tbl = pq.read_table(f"{SF}/documents.parquet")
