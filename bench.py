@@ -82,6 +82,13 @@ EXTENDED_SET = [
     "scd2_event_type_history",     # registered r7 (staged r5/r6)
     "bpe_pair_merges",             # registered r7 (staged r5/r6)
     "scd2_asof_lookup",            # new r7 registration
+    "embed_hashing_fixedpoint",    # registered r8 (staged r7)
+    "kmeans_balanced_sample",      # registered r8 (staged r7)
+    "kmeans_assign_serving",       # new r8 registration
+    "bpe_encode_frozen",           # new r8 registration
+    "quantile_sketch_orders",      # new r8 registration
+    "cms_probe_terms",             # staged r9 (resolved via pending_queries)
+    "kmeans_centroids_fixedpoint",  # staged r9 (resolved via pending_queries)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

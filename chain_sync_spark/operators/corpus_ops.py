@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chain_sync_spark.functions import sketches as sk
+from chain_sync_spark.operators.incremental import HIST_RANGE
 from chain_sync_spark.tables import table
 
 _NORM_CTE = f"""
@@ -1453,6 +1454,282 @@ SELECT pair, cnt, rk FROM (
 ) WHERE rk <= {BPE_TOP_MERGES}
 """
 
+# ---------------------------------------------------------------------------
+# Frozen-merge BPE encoding + quantile-sketch serving (round 8)
+# ---------------------------------------------------------------------------
+
+# A FROZEN merge table — the first 12 merges bpe_train produced on the
+# sf0.01 corpus, hardcoded as the trained artifact (the frozen-codebook
+# contract: IVF seeds, PQ codebooks and k-means centroids all ship the
+# same way).  Includes chained merges whose left/right are themselves
+# merged symbols (mer = m+er, par = p+ar, join = jo+in), so the apply
+# path is exercised on multi-char symbols, not just char pairs.  Every
+# pair has left != right — with distinct sides, two candidate sites can
+# never overlap (a site needs s[p]=l, s[p+1]=r; adjacency would force
+# r = l), which is what lets the SQL oracle below apply each merge with
+# plain window functions instead of a sequential greedy scan.
+BPE_FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("j", "o"),
+    ("jo", "in"),
+]
+
+
+def bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable serving side of the BPE tokenizer family:
+    :func:`bpe_encode` under the FROZEN merge table above — the
+    deterministic half of train/serve, exactly how a production
+    pipeline tokenizes (the merge table is trained offline once;
+    encoding replays it verbatim).  Output (doc_id, subword, n) is
+    integer/string only.
+
+    Scale: inherited from bpe_encode — rank-bounded merge table,
+    vocabulary-sized segmentation, one token→vocab join, one count
+    aggregate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mdf = spark.createDataFrame(
+        [
+            (i, l, r, l + r, 0)
+            for i, (l, r) in enumerate(BPE_FROZEN_MERGES, start=1)
+        ],
+        "rank int, left string, right string, merged string, cnt bigint",
+    )
+    return bpe_encode(docs, mdf)
+
+
+def _bpe_encode_oracle() -> str:
+    """The frozen merge list unrolled as SQL (the _kmeans_oracle()
+    precedent): per merge k, pK tags each symbol with its neighbours
+    and sK rewrites — a symbol becomes the merged pair when (sym=l,
+    next=r), and is dropped when it was the right half (prev=l,
+    sym=r).  Sound only because every frozen merge has left != right
+    (no overlapping candidate sites — see BPE_FROZEN_MERGES); an
+    assert enforces that and the alphabet (no quoting hazards)."""
+    steps = []
+    prev = "s0"
+    for k, (l, r) in enumerate(BPE_FROZEN_MERGES, start=1):
+        assert l != r and (l + r).isalnum(), (l, r)
+        steps.append(f"""
+p{k} AS (
+  SELECT word, pos, sym,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+         LAG(sym)  OVER (PARTITION BY word ORDER BY pos) AS prv
+  FROM {prev}
+),
+s{k} AS (
+  SELECT word,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         CASE WHEN sym = '{l}' AND nxt = '{r}' THEN '{l}{r}' ELSE sym END AS sym
+  FROM p{k}
+  WHERE (prv IS DISTINCT FROM '{l}') OR (sym <> '{r}')
+)""")
+        prev = f"s{k}"
+    return f"""
+WITH {_NORM_CTE.lstrip()},
+toks AS (SELECT doc_id, UNNEST(w) AS word FROM docs_words),
+vocab AS (SELECT DISTINCT word FROM toks),
+s0 AS (
+  SELECT word, CAST(t.i AS BIGINT) AS pos, substr(word, t.i, 1) AS sym
+  FROM vocab, LATERAL (SELECT UNNEST(range(1, length(word) + 1)) AS i) t
+),{",".join(steps)}
+SELECT t.doc_id, s.sym AS subword, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks t JOIN {prev} s ON t.word = s.word
+GROUP BY t.doc_id, s.sym
+"""
+
+
+# Quantile permilles the sketch-serving query reports (probe targets).
+QSK_PERMILLE = [250, 500, 750, 900, 990]
+
+
+def quantile_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch certifier for the streaming quantile-sketch family
+    (streaming/stream_sync.run_stream_histogram + probe_quantiles):
+    build the base-2 log-histogram (operators/incremental.hist_stats)
+    over order totals in one pass, then serve the QSK_PERMILLE
+    quantile probes from the constant-size sketch — the exact state a
+    streamed store holds after folding the same rows in, so this IS
+    the serving math under a driver-green certificate.
+
+    The probe is pure integer arithmetic (the round-5 output
+    contract): bin b serves quantile q/1000 when cum(b)·1000 ≥
+    q·total, and the output row is (q_permille, est_bin, cum_cnt,
+    total) — bin ids instead of the geometric-midpoint double that
+    hist_bin_value reports (pytest pins the two forms together).
+
+    Scale: ONE map-side-combined aggregate over the corpus produces
+    the ≤ 2·HIST_RANGE+3-row sketch; everything after (cumulative
+    window, probe join) runs on that constant-size relation —
+    single-partition windows over ≤ 83 rows by construction."""
+    from chain_sync_spark.operators.incremental import hist_stats
+
+    orders = table(spark, sf_dir, "orders")
+    hist = hist_stats(orders, "o_totalprice")
+    # bounded window: the sketch is <= 2*HIST_RANGE+3 rows by construction
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", F.sum("cnt").over(w).alias("cum"))
+    tot = hist.agg(F.sum("cnt").alias("total"))
+    qs = spark.createDataFrame(
+        [(q,) for q in QSK_PERMILLE], "q_permille int"
+    )
+    return (
+        qs.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cum") * F.lit(1000)
+            >= F.col("q_permille").cast("long") * F.col("total")
+        )
+        .groupBy("q_permille")
+        .agg(
+            F.min_by(F.struct("bin", "cum"), "bin").alias("m"),
+            F.max("total").alias("total"),
+        )
+        .select(
+            "q_permille",
+            F.col("m.bin").alias("est_bin"),
+            F.col("m.cum").alias("cum_cnt"),
+            "total",
+        )
+    )
+
+
+# Oracle bin id: for v >= 1 (every o_totalprice — TPC-H totals are
+# ~1e3..5e5) the signed log2 bin is 1 + floor(log2(v)) + HIST_RANGE,
+# and floor(log2(v)) is computed EXACTLY as length(bin(floor(v))) - 1
+# — a bit-length, immune to libm log2 rounding at power-of-two
+# boundaries (the Spark side's F.log2 is certified against it by this
+# very comparison).
+_QSK_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(length(bin(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT)))
+              + {HIST_RANGE} AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+),
+c AS (SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM h),
+q AS (SELECT CAST(UNNEST({QSK_PERMILLE}) AS INT) AS q_permille)
+SELECT q_permille, est_bin, cum_cnt, total FROM (
+  SELECT q.q_permille, c.bin AS est_bin, c.cum AS cum_cnt, t.total,
+         ROW_NUMBER() OVER (PARTITION BY q.q_permille ORDER BY c.bin) AS rn
+  FROM q CROSS JOIN c CROSS JOIN t
+  WHERE c.cum * 1000 >= q.q_permille * t.total
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# CMS probe serving (staged round-9 entrant)
+# ---------------------------------------------------------------------------
+
+# Fixed probe list — includes terms of very different frequency and
+# one that never occurs in any corpus tier.  The LEFT join reads
+# cells no term ever filled as 0 (exactly like
+# streaming/stream_sync.probe_cms); with the deliberately narrow demo
+# width the absent term's cells typically still collide with real
+# terms, so its estimate demonstrates the CMS's one-sided bound
+# (est >= exact = 0) rather than exact zero.
+CMS_PROBE_TERMS = ["join", "window", "stream", "quantile", "zz_absent_term"]
+
+
+def cms_probe_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch certifier of the CMS SERVING path (the read side that
+    streaming/stream_sync.probe_cms runs against a streamed store):
+    build the rows×width sketch from the raw token stream in one
+    map-side-combined pass, then serve point-frequency estimates for
+    the fixed CMS_PROBE_TERMS list — each probe hashes into its
+    CMS_ROWS cells, the estimate is the MIN, and cells no term ever
+    filled read as 0 through the LEFT join.  heavy_hitters_cms
+    certifies the sketch's ≥-exact bound over the whole vocabulary;
+    this certifies the point-probe join a monitor actually serves,
+    absent-term path included.  A pytest pins this output equal to
+    probe_cms over a store maintained by run_stream_cms on the same
+    rows.
+
+    Scale: the sketch is CONSTANT-size and broadcast; the probe side
+    is len(CMS_PROBE_TERMS)·CMS_ROWS rows. Nothing here grows with
+    the corpus except the one sketch-building aggregate."""
+    toks = _docs_words(spark, sf_dir).select(F.explode("w").alias("term"))
+    cells = toks.select(
+        "term",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            sk.hash60(
+                F.concat(
+                    F.lit("cms"), F.col("r").cast("string"),
+                    F.lit(":"), F.col("term"),
+                )
+            ),
+            F.lit(CMS_WIDTH),
+        ),
+    )
+    sketch = cells.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBE_TERMS], "term string"
+    ).select(
+        "term",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            sk.hash60(
+                F.concat(
+                    F.lit("cms"), F.col("r").cast("string"),
+                    F.lit(":"), F.col("term"),
+                )
+            ),
+            F.lit(CMS_WIDTH),
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce("cell", F.lit(0).cast("long"))).alias("est_cnt")
+        )
+    )
+
+
+_CMS_PROBE_LIST_SQL = ", ".join(f"'{t}'" for t in CMS_PROBE_TERMS)
+_CMS_PROBE_ORACLE = f"""
+WITH {_NORM_CTE},
+tok AS (SELECT t AS term FROM docs_words, UNNEST(w) AS u(t)),
+cells AS (
+  SELECT term, r,
+         {sk.hash60_sql("'cms' || r::VARCHAR || ':' || term")} % {CMS_WIDTH}
+           AS bucket
+  FROM tok, UNNEST([{_CMS_ROWS_SQL}]) AS rr(r)
+),
+sketch AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cell
+  FROM cells GROUP BY r, bucket
+),
+pc AS (
+  SELECT p.term, rr.r,
+         {sk.hash60_sql("'cms' || rr.r::VARCHAR || ':' || p.term")} % {CMS_WIDTH}
+           AS bucket
+  FROM (SELECT UNNEST([{_CMS_PROBE_LIST_SQL}]) AS term) p,
+       UNNEST([{_CMS_ROWS_SQL}]) AS rr(r)
+)
+SELECT pc.term, CAST(MIN(COALESCE(s.cell, 0)) AS BIGINT) AS est_cnt
+FROM pc LEFT JOIN sketch s ON pc.r = s.r AND pc.bucket = s.bucket
+GROUP BY pc.term
+"""
+
+
 QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1469,6 +1746,9 @@ QUERIES = {
     "heavy_hitters_cms": heavy_hitters_cms,
     # staged r5→r6, registered round 7 per registry.py's rotation plan
     "bpe_pair_merges": bpe_pair_merges,
+    # new round-8 registrations: tokenizer serving + quantile sketch
+    "bpe_encode_frozen": bpe_encode_frozen,
+    "quantile_sketch_orders": quantile_sketch_orders,
 }
 
 ORACLE = {
@@ -1488,4 +1768,18 @@ ORACLE = {
     "vocab_coverage_oov": _VOCAB_ORACLE,
     "heavy_hitters_cms": _CMS_ORACLE,
     "bpe_pair_merges": _BPE_ORACLE,
+    "bpe_encode_frozen": _bpe_encode_oracle(),
+    "quantile_sketch_orders": _QSK_ORACLE,
+}
+
+# Staged round-9 entrant (registry.pending_queries): the round-8
+# window is full — full implementation + DuckDB oracle +
+# dual-transport parity pytest now, a WINDOW slot at the next
+# recomposition.
+PENDING_QUERIES = {
+    "cms_probe_terms": cms_probe_terms,
+}
+
+PENDING_ORACLE = {
+    "cms_probe_terms": _CMS_PROBE_ORACLE,
 }

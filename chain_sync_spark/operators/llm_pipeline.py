@@ -2262,6 +2262,61 @@ def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable form of :func:`kmeans_centroids`: the
+    trained centroid ARTIFACT itself — (cid, centroid_fp), each
+    centroid's micro-unit integer components comma-joined into one
+    string (the embed_hashing_fixedpoint serialization pattern; the
+    driver canon cannot hash array columns, and the components are
+    already exact BIGINTs so the string is engine-identical by
+    construction).  With kmeans_assign_serving this completes the
+    frozen-codebook story under driver certificates: the stored
+    artifact AND the serving assignment both hold green rows.
+
+    Scale: the output is K rows regardless of corpus size — the whole
+    point of shipping centroids instead of assignments."""
+    release_caches()
+    cents = _km_train(_scoped_persist(_km_vecs(spark, sf_dir)))
+    return cents.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.concat_ws(
+            ",", F.transform(F.col("c"), lambda x: x.cast("string"))
+        ).alias("centroid_fp"),
+    )
+
+
+def _km_centroids_oracle() -> str:
+    chain, cent = _km_cte_chain()
+    return f"""WITH {chain}
+SELECT CAST(cid AS INT) AS cid,
+       string_agg(CAST(cv AS VARCHAR), ',' ORDER BY pos) AS centroid_fp
+FROM {cent}
+GROUP BY cid"""
+
+
+def kmeans_assign_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable form of the serving tier: train centroids
+    once ({KMEANS_ITERS} Lloyd iterations, the frozen-codebook
+    contract), then run :func:`kmeans_assign` on a batch the training
+    run never saw — each embedding element-REVERSED, a deterministic
+    derivation both engines can replay — so the assignment is a real
+    recomputation under frozen centroids, not an echo of the training
+    run's own final assignment.  Output (vec_id, cluster_id) is
+    integer-only.
+
+    Scale: identical to the batch query — centroids are K·dims
+    integers broadcast against the serving batch, map-side argmin, no
+    sort; serving cost is one narrow pass over the batch regardless of
+    corpus size."""
+    release_caches()
+    vecs = _scoped_persist(_km_vecs(spark, sf_dir))
+    cents = _km_train(vecs)
+    batch = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    return kmeans_assign(batch, cents)
+
+
 HASH_EMB_DIM = 64
 
 
@@ -2479,12 +2534,15 @@ FROM plan p LEFT JOIN kept k ON p.cluster_id = k.cluster_id
 """
 
 
-def _kmeans_oracle() -> str:
-    """Lloyd unrolled as SQL CTEs: ev = micro-quantized cells, then
-    per iteration dN (integer distances) → aN (argmin assignment) →
-    mN (floor-div integer means) → cN (empty clusters keep prior).
-    DuckDB widens integer SUMs to HUGEINT, so every mean folds back
-    through CAST(... AS BIGINT) before it feeds the next join."""
+def _km_cte_chain() -> tuple[str, str]:
+    """The Lloyd-training CTE chain shared by every k-means oracle:
+    ev = micro-quantized cells, then per iteration dN (integer
+    distances) → aN (argmin assignment) → mN (floor-div integer means)
+    → cN (empty clusters keep prior).  Returns (cte_sql, final_centroid
+    _cte_name) so serving oracles can consume the TRAINED centroids
+    without duplicating the unroll.  DuckDB widens integer SUMs to
+    HUGEINT, so every mean folds back through CAST(... AS BIGINT)
+    before it feeds the next join."""
     ev = f"""
 ev AS (
   SELECT vec_id, t.i - 1 AS pos,
@@ -2522,10 +2580,17 @@ c{t} AS (
   FROM {prev} p LEFT JOIN m{t} n ON p.cid = n.cid AND p.pos = n.pos
 )""")
         prev = f"c{t}"
-    final = f"""
+    return ev + "," + ",".join(steps), prev
+
+
+def _kmeans_oracle() -> str:
+    """Full training query: the shared Lloyd chain plus the final
+    corpus assignment and cluster sizes."""
+    chain, cent = _km_cte_chain()
+    return f"""WITH {chain},
 dF AS (
   SELECT e.vec_id, c.cid, SUM((e.v - c.cv) * (e.v - c.cv)) AS d
-  FROM ev e JOIN {prev} c ON e.pos = c.pos
+  FROM ev e JOIN {cent} c ON e.pos = c.pos
   GROUP BY e.vec_id, c.cid
 ),
 aF AS (
@@ -2539,7 +2604,30 @@ SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id, s.cluster_size
 FROM aF a JOIN (
   SELECT cid, COUNT(*) AS cluster_size FROM aF GROUP BY cid
 ) s ON a.cid = s.cid"""
-    return "WITH " + ev + "," + ",".join(steps) + "," + final
+
+
+def _km_serve_oracle() -> str:
+    """Serving-side oracle: train through the shared chain, then
+    assign the REVERSED-embedding batch (micro-quantization commutes
+    with element reversal, so rv just re-indexes ev's cells) under the
+    frozen centroids — same integer argmin, (d, cid) tie-break."""
+    chain, cent = _km_cte_chain()
+    return f"""WITH {chain},
+rv AS (
+  SELECT vec_id, mx - pos AS pos, v
+  FROM (SELECT vec_id, pos, v,
+               MAX(pos) OVER (PARTITION BY vec_id) AS mx FROM ev)
+),
+dS AS (
+  SELECT e.vec_id, c.cid, SUM((e.v - c.cv) * (e.v - c.cv)) AS d
+  FROM rv e JOIN {cent} c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cid
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM dS
+) WHERE rn = 1"""
 
 
 # ---------------------------------------------------------------------------
@@ -2577,6 +2665,11 @@ QUERIES = {
     "embedding_pq_adc_topk": embedding_pq_adc_topk,
     # staged r5→r6, registered round 7 per registry.py's rotation plan
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
+    # staged round 7, registered round 8 per registry.py's rotation plan
+    "embed_hashing_fixedpoint": embed_hashing_fixedpoint,
+    "kmeans_balanced_sample": kmeans_balanced_sample,
+    # new round-8 registration: the serving tier's first driver row
+    "kmeans_assign_serving": kmeans_assign_serving,
 }
 
 ORACLE = {
@@ -2609,20 +2702,19 @@ ORACLE = {
     "embedding_pq_assign": _pq_assign_oracle(),
     "embedding_pq_adc_topk": _pq_adc_oracle(),
     "kmeans_embedding_clusters": _kmeans_oracle(),
+    "embed_hashing_fixedpoint": _HASH_EMB_ORACLE,
+    "kmeans_balanced_sample": _km_balance_oracle(),
+    "kmeans_assign_serving": _km_serve_oracle(),
 }
 
-# Staged round-8 entrant (registry.pending_queries): the round-7
-# window is full and embed_hashing_trick's implementation changed in
-# round 6 (norm binding, zero-vector drop), so its fixed-point
-# serialization certifies here — full implementation + DuckDB oracle
-# + dual-transport parity pytest now, a WINDOW slot at the next
+# Staged round-9 entrant (registry.pending_queries): the round-8
+# window is full — full implementation + DuckDB oracle +
+# dual-transport parity pytest now, a WINDOW slot at the next
 # recomposition.
 PENDING_QUERIES = {
-    "embed_hashing_fixedpoint": embed_hashing_fixedpoint,
-    "kmeans_balanced_sample": kmeans_balanced_sample,
+    "kmeans_centroids_fixedpoint": kmeans_centroids_fixedpoint,
 }
 
 PENDING_ORACLE = {
-    "embed_hashing_fixedpoint": _HASH_EMB_ORACLE,
-    "kmeans_balanced_sample": _km_balance_oracle(),
+    "kmeans_centroids_fixedpoint": _km_centroids_oracle(),
 }

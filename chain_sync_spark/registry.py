@@ -9,32 +9,36 @@ contract, and the explicit ``WINDOW`` list below IS the round's
 certification window: those names are emitted first (in that order),
 then every remaining query in module order.
 
-Rotation ledger (round 7)
+Rotation ledger (round 8)
 -------------------------
 The ledger of record is "every query holds a green row in a recent
-CORRECTNESS_r* artifact".  End-of-round-6 state (recomputed from the
-raw r01-r06 artifacts): 50 latest-green r6, 41 latest-green r4, 40
-latest-green r3 (the r6 window was a re-run of the r5 window, so the
-r3 cohort is now three rounds stale), 1 rows-only by design
-(sync_markdown_parse).  Round-7 window composition (exactly 50):
+CORRECTNESS_r* artifact".  End-of-round-7 state (recomputed from the
+raw r01-r07 artifacts): 50 latest-green r7, 50 latest-green r6, 35
+latest-green r4, 1 rows-only by design (sync_markdown_parse).
+Round-8 window composition (exactly 50):
 
-  - all 40 rotation-debt names (r3-only greens — the oldest rows),
-    restoring the "no green older than two rounds" covenant
-  - the 3 round-5/6 staged entrants, now registered:
-    kmeans_embedding_clusters (llm_pipeline), scd2_event_type_history
-    (temporal), bpe_pair_merges (corpus_ops) — their first driver rows
-  - 1 new round-7 registration: scd2_asof_lookup (temporal;
-    point-in-time SCD2 consumption, integer-only output)
-  - 6 slots to r4-latest names, prioritizing the watched families:
-    neardup_prefix_filter_pairs (its helpers were migrated in r5 and
-    its green predates the migration), dedup_exact_documents and
-    dedup_embedding_semantic (r6 bench movers), multimodal_media_features
-    (the grouped-map surface), bm25_topk_documents,
-    tpch_q2_min_cost_supplier
+  - all 35 rotation-debt names (r4-only greens — the oldest rows),
+    keeping the freshness covenant
+  - the 2 round-7 staged entrants, now registered:
+    embed_hashing_fixedpoint and kmeans_balanced_sample
+    (llm_pipeline) — their first driver rows
+  - 3 new round-8 registrations: kmeans_assign_serving
+    (llm_pipeline; the serving tier's first driver row — frozen
+    centroids, reversed-embedding batch), bpe_encode_frozen
+    (corpus_ops; the tokenizer family's serving side under a frozen
+    merge table) and quantile_sketch_orders (corpus_ops; batch
+    certifier of the streaming log-histogram quantile sketch)
+  - 10 slots to r6-latest re-certs: the flagship digest, the
+    markdown builtin slice, the minhash band family (watched bench
+    mover) + its clustering consumer, the as-of join, the exact
+    profile (its sketch twin took the bench slot in r7),
+    heavy_hitters_cms + vocab_coverage_oov (their membership test
+    was generalized this round), one mid-weight TPC-H (q3) and the
+    time-RANGE frame window
 
-After a green round 7 the distribution is 50 r7 / 50 r6 / 35 r4;
-``rotation_debt()`` below lists those 35 r4-latest names — they fill
-the round-8 window first (35 + re-certs for any round-8
+After a green round 8 the distribution is 50 r8 / 50 r7 / 40 r6;
+``rotation_debt()`` below lists those 40 r6-latest names — they fill
+the round-9 window first (40 + re-certs for any round-9
 implementation changes + newly registered entrants ≈ 50).
 
 Staging protocol (unchanged since round 4): a NEW query or one whose
@@ -72,63 +76,63 @@ _MODULES = [
 # Size of the driver's correctness-artifact window (observed, r01-r06).
 DRIVER_WINDOW = 50
 
-# Round-7 certification window — exactly DRIVER_WINDOW names, emitted
+# Round-8 certification window — exactly DRIVER_WINDOW names, emitted
 # first.  See the rotation ledger in the module docstring.
 WINDOW = [
-    # -- rotation debt: every r3-only green (40) --
-    "approx_distinct_users",
-    "approx_percentile_prices",
-    "date_math_orders",
-    "embedding_ann_lsh_pairs",
-    "embedding_cosine_topk",
-    "embedding_ivf_assign",
-    "embedding_ivf_topk",
-    "embedding_label_centroids",
-    "explode_outer_rare_tokens",
-    "explode_token_frequency",
-    "funnel_session_conversion",
-    "histogram_order_prices",
-    "join_multiway_revenue",
-    "lang_id_confusion",
-    "map_funcs_events",
-    "math_funcs_lineitem",
-    "multimodal_binary_stats",
-    "multimodal_frame_sample",
-    "neardup_levenshtein_names",
-    "neardup_simhash_pairs",
-    "percentile_order_prices",
-    "regex_funcs_documents",
-    "resample_daily_gapfill",
-    "sample_stratified_documents",
-    "sessionize_event_rows",
-    "split_assign_documents",
-    "sync_account_last_active",
-    "sync_metadata_double_decode",
-    "sync_stock_image_hashtags",
-    "sync_vote_set_accumulation",
-    "text_quality_score",
-    "text_stats_profile",
-    "token_count_regex",
-    "tpch_q1_pricing_summary",
-    "training_prep_pipeline",
-    "try_funcs_safe_division",
-    "window_session_events",
-    "window_sliding_events",
-    "window_topk_orders_per_customer",
-    "window_tumbling_events",
-    # -- round-5/6 staged entrants, first driver rows --
-    "kmeans_embedding_clusters",
-    "scd2_event_type_history",
-    "bpe_pair_merges",
-    # -- new round-7 registration --
-    "scd2_asof_lookup",
-    # -- r4-latest re-certs (watched families) --
-    "neardup_prefix_filter_pairs",
-    "dedup_exact_documents",
-    "dedup_embedding_semantic",
-    "multimodal_media_features",
-    "bm25_topk_documents",
-    "tpch_q2_min_cost_supplier",
+    # -- rotation debt: every r4-only green (35) --
+    "array_funcs_documents",
+    "chunk_documents_overlap",
+    "collect_sorted_event_types",
+    "dedup_incremental_batch",
+    "dedup_segment_rewrite",
+    "embedding_ann_multiprobe",
+    "embedding_pq_adc_topk",
+    "embedding_pq_assign",
+    "embedding_quantize_int8",
+    "embedding_quantized_topk",
+    "mixture_resample_documents",
+    "neardup_cluster_canonical",
+    "pack_training_sequences",
+    "pii_scrub_documents",
+    "profile_drift_events",
+    "retention_cohort_weeks",
+    "tfidf_top_terms",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_class_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    "url_extract_normalize",
+    "window_rank_variants",
+    # -- round-7 staged entrants, first driver rows --
+    "embed_hashing_fixedpoint",
+    "kmeans_balanced_sample",
+    # -- new round-8 registrations --
+    "kmeans_assign_serving",
+    "bpe_encode_frozen",
+    "quantile_sketch_orders",
+    # -- r6-latest re-certs --
+    "flagship_sync_digest",
+    "markdown_extract_builtin",
+    "neardup_minhash_bands",
+    "neardup_clusters",
+    "join_asof_purchase_prior_view",
+    "profile_column_stats",
+    "heavy_hitters_cms",
+    "vocab_coverage_oov",
+    "tpch_q3_shipping_priority",
+    "window_trailing_7d_revenue",
 ]
 
 
@@ -179,44 +183,59 @@ def pending_queries() -> tuple[
 
 
 def rotation_debt() -> list[str]:
-    """Names whose most recent driver-green row is oldest — the round-8
+    """Names whose most recent driver-green row is oldest — the round-9
     rotation candidates (everything not in this round's WINDOW whose
-    last green was r4)."""
-    r4_only = {
-        "array_funcs_documents",
-        "chunk_documents_overlap",
-        "collect_sorted_event_types",
-        "dedup_incremental_batch",
-        "dedup_segment_rewrite",
-        "embedding_ann_multiprobe",
-        "embedding_pq_adc_topk",
-        "embedding_pq_assign",
-        "embedding_quantize_int8",
-        "embedding_quantized_topk",
-        "mixture_resample_documents",
-        "neardup_cluster_canonical",
-        "pack_training_sequences",
-        "pii_scrub_documents",
-        "profile_drift_events",
-        "retention_cohort_weeks",
-        "tfidf_top_terms",
-        "tpch_q4_order_priority",
-        "tpch_q6_forecast_revenue",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q9_product_profit",
-        "tpch_q10_returned_items",
-        "tpch_q11_important_stock",
-        "tpch_q12_ship_class_priority",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_volume_customers",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q20_excess_suppliers",
-        "tpch_q21_waiting_suppliers",
-        "tpch_q22_sales_opportunity",
-        "url_extract_normalize",
-        "window_rank_variants",
+    last green was r6)."""
+    r6_only = {
+        "agg_argmax_conditional",
+        "case_when_sign_branch",
+        "contamination_ngram_overlap",
+        "cube_status_priority",
+        "date_partition_buckets",
+        "distinct_users_per_type",
+        "doc_fingerprint_bottomk",
+        "domain_mixture_weights",
+        "filter_project_events",
+        "flagship_sync_digest",
+        "grouping_sets_status_priority",
+        "heavy_hitters_cms",
+        "higher_order_token_filter",
+        "isin_allowlist_filter",
+        "join_anti_customers_without_orders",
+        "join_asof_purchase_prior_view",
+        "join_broadcast_dims",
+        "join_null_safe_segments",
+        "join_range_value_bands",
+        "join_salted_status_dim",
+        "join_semi_customers_with_orders",
+        "json_extract_events_props",
+        "lm_known_bigram_score",
+        "markdown_extract_builtin",
+        "neardup_clusters",
+        "neardup_incremental_minhash",
+        "neardup_minhash_bands",
+        "neardup_ngram_jaccard",
+        "ngram_lm_topk",
+        "pivot_events_by_type",
+        "profile_column_stats",
+        "quality_repetition_filter",
+        "rollup_nation_segment",
+        "scalar_subquery_above_avg",
+        "segment_dedup_ratio",
+        "set_ops_all_multiset",
+        "set_ops_segments",
+        "sort_limit_top_orders",
+        "stats_corr_lineitem",
+        "string_funcs_projection",
+        "surrogate_key_md5",
+        "tpch_q13_order_distribution",
+        "tpch_q14_promo_revenue",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "unpivot_customer_metrics",
+        "vocab_coverage_oov",
+        "window_lag_event_gap",
+        "window_running_revenue",
+        "window_trailing_7d_revenue",
     }
-    return sorted(r4_only - set(WINDOW))
+    return sorted(r6_only - set(WINDOW))

@@ -135,3 +135,30 @@ def test_bpe_encode_counts_match_replica(spark):
         for r in co.bpe_encode(docs, mdf).collect()
     }
     assert got == want
+
+
+def test_bpe_encode_frozen_matches_replica(spark):
+    """The frozen-merge registry form equals the replica's greedy
+    left-to-right apply of the SAME hardcoded merge list — including
+    the chained multi-char merges (mer, par, join) — so the SQL
+    oracle's window-function unroll and the engine's fold agree with
+    the reference semantics on real data."""
+    frozen = co.BPE_FROZEN_MERGES
+    counts = _sf_word_counts()
+    word_syms = {}
+    for w in counts:
+        s = list(w)
+        for l, r in frozen:
+            s = _py_apply(s, l, r)
+        word_syms[w] = s
+    tbl = pq.read_table(f"{SF}/documents.parquet")
+    want: dict[tuple[int, str], int] = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        for w in _py_words(text):
+            for sub in word_syms[w]:
+                want[(doc_id, sub)] = want.get((doc_id, sub), 0) + 1
+    got = {
+        (r["doc_id"], r["subword"]): r["n"]
+        for r in co.bpe_encode_frozen(spark, SF).collect()
+    }
+    assert got == want

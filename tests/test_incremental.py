@@ -164,3 +164,44 @@ def test_quantile_rejects_empty_and_bad_q():
         quantile_from_hist([], 0.5)
     with pytest.raises(ValueError, match="quantile"):
         quantile_from_hist([(0, 1)], 1.5)
+
+
+def test_quantile_sketch_orders_serves_quantile_from_hist(spark):
+    """The registry form (integer bin-id probes) and the library
+    serving walk (quantile_from_hist's float target) must pick the
+    SAME bin for every probed permille — the integer comparison
+    cum·1000 >= q·total is exactly the float walk's cum >= (q/1000)
+    ·total when q/1000·total has no fractional tie, and the test run
+    proves no tie flips the pick on this data."""
+    from chain_sync_spark.operators.corpus_ops import (
+        QSK_PERMILLE,
+        quantile_sketch_orders,
+    )
+    from chain_sync_spark.operators.incremental import (
+        hist_bin_value,
+        hist_stats,
+        quantile_from_hist,
+    )
+
+    orders = table(spark, SF_DIR, "orders")
+    bins = [
+        (r["bin"], r["cnt"])
+        for r in hist_stats(orders, "o_totalprice").collect()
+    ]
+    total = sum(c for _, c in bins)
+    got = {
+        r["q_permille"]: r
+        for r in quantile_sketch_orders(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(QSK_PERMILLE)
+    for q in QSK_PERMILLE:
+        rec = got[q]
+        assert rec["total"] == total
+        # same bin as the library walk
+        assert hist_bin_value(rec["est_bin"]) == quantile_from_hist(
+            bins, q / 1000.0
+        )
+        # cum_cnt is the cumulative count at est_bin and covers the target
+        cum = sum(c for b, c in sorted(bins) if b <= rec["est_bin"])
+        assert rec["cum_cnt"] == cum
+        assert cum * 1000 >= q * total

@@ -38,15 +38,15 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
     )
 
 
-def test_rotation_ledger_complete_after_r7():
+def test_rotation_ledger_complete_after_r8():
     """Every registry query must hold a driver row in some prior
     artifact or sit inside THIS round's window (that is the whole
-    point of the rotation). After r7 lands, no query's latest GREEN
-    row may be older than r4: the window carries every r3-or-older
-    green (the r6 window was a re-run of r5's, so the r3 cohort is
-    the oldest and must rotate in full)."""
+    point of the rotation). After r8 lands, no query's latest GREEN
+    row may be older than r6: the window carries every r4-or-older
+    green (the 35-name r4 cohort is the oldest and must rotate in
+    full)."""
     artifacts = [
-        (r, f"CORRECTNESS_r0{r}.json") for r in range(2, 7)
+        (r, f"CORRECTNESS_r0{r}.json") for r in range(2, 8)
     ]
     seen = set(WINDOW)
     for _, artifact in artifacts:
@@ -67,9 +67,9 @@ def test_rotation_ledger_complete_after_r7():
             if (rec.get("rows_match") and rec.get("schema_match")
                     and rec.get("hash_match", True)):
                 last_green[name] = r
-    stale_pool = {n for n, r in last_green.items() if r <= 3}
+    stale_pool = {n for n, r in last_green.items() if r <= 4}
     stale = sorted(stale_pool - set(WINDOW))
-    assert not stale, f"r3-or-older greens left out of the r7 window: {stale}"
+    assert not stale, f"r4-or-older greens left out of the r8 window: {stale}"
 
 
 def test_rotation_debt_names_resolve():

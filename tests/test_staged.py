@@ -222,12 +222,21 @@ R7_REGISTRATIONS = [
     "scd2_asof_lookup",
 ]
 
+R8_REGISTRATIONS = [
+    "embed_hashing_fixedpoint",
+    "kmeans_balanced_sample",
+    "kmeans_assign_serving",
+    "bpe_encode_frozen",
+    "quantile_sketch_orders",
+]
 
-@pytest.mark.parametrize("name", R7_REGISTRATIONS)
-def test_r7_registration_oracle_parity_dual_transport(spark, name):
-    """Parity pin on the exact QUERIES/ORACLE entries the round-7
-    WINDOW carries (these moved from staged to registered this round;
-    scd2_asof_lookup registered directly)."""
+
+@pytest.mark.parametrize("name", R7_REGISTRATIONS + R8_REGISTRATIONS)
+def test_registration_oracle_parity_dual_transport(spark, name):
+    """Parity pin on the QUERIES/ORACLE entries registered in rounds
+    7 and 8 (staged→registered promotions plus direct registrations)
+    — the regression net for queries whose driver row is not in the
+    current WINDOW."""
     from chain_sync_spark.registry import all_oracles, all_queries
 
     _dual_transport_parity(spark, name, all_queries()[name], all_oracles()[name])
@@ -280,6 +289,21 @@ def test_kmeans_assign_matches_training_assignment(spark):
     trained = {r.vec_id: r.cluster_id
                for r in lp.kmeans_embedding_clusters(spark, SF).collect()}
     assert served == trained
+    lp.release_caches()
+
+
+def test_kmeans_assign_serving_recomputes_not_echoes(spark):
+    """The registry serving form assigns a batch the training run
+    never saw (element-reversed embeddings): it must cover every
+    vec_id and must NOT equal the training assignment wholesale —
+    proof the serving path recomputes distances under the frozen
+    centroids instead of echoing training output."""
+    served = {r.vec_id: r.cluster_id
+              for r in lp.kmeans_assign_serving(spark, SF).collect()}
+    trained = {r.vec_id: r.cluster_id
+               for r in lp.kmeans_embedding_clusters(spark, SF).collect()}
+    assert set(served) == set(trained)
+    assert served != trained
     lp.release_caches()
 
 
@@ -430,3 +454,22 @@ def test_kmeans_balanced_sample_matches_python_replica(spark):
             assert keep[c] == 1_000_000
         else:
             assert keep[c] < 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# kmeans_centroids_fixedpoint (staged round 9)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_centroids_fixedpoint_serializes_centroids(spark):
+    """The fixed-point registry form is exactly the stored-centroid
+    artifact (kmeans_centroids) serialized: same cids, and each
+    centroid_fp is the comma-join of the micro-unit components."""
+    cents = {r.cid: list(r.c) for r in lp.kmeans_centroids(spark, SF).collect()}
+    fp = {
+        r.cid: r.centroid_fp
+        for r in lp.kmeans_centroids_fixedpoint(spark, SF).collect()
+    }
+    assert set(fp) == set(cents)
+    for cid, comps in cents.items():
+        assert fp[cid] == ",".join(str(x) for x in comps)
+    lp.release_caches()

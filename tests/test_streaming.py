@@ -1208,3 +1208,46 @@ def test_stream_cluster_assign_frozen_centroids_and_replay(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="seed"):
         q.awaitTermination(120)
     assert not os.path.isdir(str(tmp_path / "store2" / "centroids"))
+
+
+def test_cms_probe_terms_matches_streamed_store_probe(spark, tmp_path):
+    """The staged batch certifier (corpus_ops.cms_probe_terms) and
+    the streaming serving path (probe_cms over a run_stream_cms
+    store) compute the same estimates when the store has folded the
+    same normalized token stream — the batch registry form IS the
+    serving math under a driver certificate, absent-term path
+    included."""
+    from chain_sync_spark.operators.corpus_ops import (
+        CMS_PROBE_TERMS,
+        _docs_words,
+        cms_probe_terms,
+    )
+    from chain_sync_spark.streaming.stream_sync import probe_cms, run_stream_cms
+
+    sf = "/root/testdata/sf0.001"
+    toks = _docs_words(spark, sf).select(F.explode("w").alias("term"))
+    src = str(tmp_path / "src")
+    toks.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    run_stream_cms(stream, store, "term", ckpt).awaitTermination(120)
+    served = {
+        r.term: r.est_cnt
+        for r in probe_cms(spark, store, CMS_PROBE_TERMS).collect()
+    }
+    batch = {r.term: r.est_cnt for r in cms_probe_terms(spark, sf).collect()}
+    assert batch == served
+    # CMS bound: estimate >= exact for every probe (the absent term's
+    # exact count is 0; with the deliberately narrow demo width its
+    # cells still collide, so only the bound holds, not equality)
+    exact = {
+        r.term: r.n
+        for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for t in CMS_PROBE_TERMS:
+        assert batch[t] >= exact.get(t, 0)
