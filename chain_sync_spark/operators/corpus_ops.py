@@ -1658,9 +1658,20 @@ def cms_probe_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sketch is CONSTANT-size and broadcast; the probe side
     is len(CMS_PROBE_TERMS)·CMS_ROWS rows. Nothing here grows with
     the corpus except the one sketch-building aggregate."""
-    toks = _docs_words(spark, sf_dir).select(F.explode("w").alias("term"))
-    cells = toks.select(
+    # Aggregate the token stream to per-term counts FIRST (one
+    # map-side-combined aggregate), so the md5 bucketing runs over the
+    # vocabulary-sized relation instead of 3x per raw token — the same
+    # shape cms_stats and heavy_hitters_cms use; cells are sums, so
+    # the sketch is value-identical.
+    tc = (
+        _docs_words(spark, sf_dir)
+        .select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = tc.select(
         "term",
+        "cnt",
         F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r"),
     ).withColumn(
         "bucket",
@@ -1674,9 +1685,7 @@ def cms_probe_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CMS_WIDTH),
         ),
     )
-    sketch = cells.groupBy("r", "bucket").agg(
-        F.count(F.lit(1)).alias("cell")
-    )
+    sketch = cells.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
     probes = spark.createDataFrame(
         [(t,) for t in CMS_PROBE_TERMS], "term string"
     ).select(
