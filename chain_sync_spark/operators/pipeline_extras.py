@@ -20,7 +20,7 @@ No self-joins, no all-pairs, nothing quadratic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chain_sync_spark.functions import sketches as sk
@@ -564,6 +564,165 @@ FROM (
 )
 WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# 9. Duplicated token-span audit (staged round-9 entrant)
+# ---------------------------------------------------------------------------
+
+SD_N = 8  # tokens per shingle; a merged span is a maximal duplicated run
+
+
+def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-SPAN audit — the token-level analog of
+    exact substring deduplication (public: Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every {SD_N}-token shingle that occurs more than once ANYWHERE in
+    the corpus (across documents or repeated within one) marks its
+    token interval as duplicated, and overlapping/adjacent marked
+    intervals merge into maximal spans per document — the spans a
+    dedup pass would cut, where the existing dedup family only scores
+    whole documents (exact/minhash) or pairs (jaccard).  Output per
+    document: (doc_id, n_tokens, n_spans, dup_tokens, dup_micros) —
+    integer-only (dup_micros per the ratio contract; 0 for token-less
+    docs).
+
+    Scale: one narrow map pass builds per-position shingle hashes
+    (hash-hoisted via bind1 — the token array binds once per row, so
+    the per-position slice never re-evaluates the tokenizer); the
+    duplicate set is ONE hash aggregate keyed on the shingle hash
+    (map-side combined, one row per distinct shingle shuffled); the
+    hit join is hash-keyed; span merging is a per-document window
+    (partitioned, never global).  No self-join, no all-pairs — the
+    suffix-array construction the paper uses single-node is replaced
+    by the shuffle-friendly shingle-hash form."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # sequence(1, 0) is DESCENDING in Spark (the _word_chars trap), so
+    # docs shorter than one shingle take the explicit empty branch.
+    sh_arr = sk.bind1(
+        sk.words(sk.normalize_text(F.col("text"))),
+        lambda w: F.when(
+            F.size(w) < F.lit(SD_N), F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(SD_N - 1)),
+                lambda i: sk.hash60(
+                    F.concat(
+                        F.lit("sd:"), F.concat_ws(" ", F.slice(w, i, SD_N))
+                    )
+                ),
+            )
+        ),
+    )
+    base = d.select(
+        "doc_id",
+        F.size(sk.words(sk.normalize_text(F.col("text")))).alias("n_tokens"),
+        sh_arr.alias("sh"),
+    )
+    pos = base.select("doc_id", F.posexplode("sh").alias("pos", "h"))
+    # Duplicate marking as ONE count-over-h window instead of a
+    # (groupBy h → join back) pair: the corpus is scanned and hashed
+    # once, and the only thing shuffled is the narrow (doc_id, pos, h)
+    # relation keyed by shingle hash — at scale that beats
+    # re-tokenizing and re-hashing the corpus for the join's second
+    # scan. Per-h partition state is one shingle's occurrence list,
+    # the same magnitude the groupBy form would see as skew.
+    wh = Window.partitionBy("h")
+    hits = (
+        pos.withColumn("c", F.count(F.lit(1)).over(wh))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos") - F.lag("pos").over(wdoc) <= F.lit(SD_N), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    spans = (
+        flagged.withColumn("sid", F.sum("new_span").over(wdoc))
+        .groupBy("doc_id", "sid")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(SD_N - 1)).alias("e"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + F.lit(1)).alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias(
+                "dup_tokens"
+            ),
+        )
+        .withColumn(
+            "dup_micros",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                sk.ratio_micros("dup_tokens", "n_tokens")
+            ),
+        )
+    )
+
+
+_SPAN_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, {sk.WORDS_SQL.format(c=_NORM_SQL)} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         {sk.hash60_sql(f"'sd:' || array_to_string(w[u.i : u.i + {SD_N - 1}], ' ')")} AS h
+  FROM dw, UNNEST(range(1, GREATEST(len(w) - {SD_N - 1}, 0) + 1)) AS u(i)
+),
+hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM sh
+  ) WHERE c > 1
+),
+flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SD_N} THEN 0 ELSE 1 END AS f
+  FROM hits
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + {SD_N - 1} AS e
+  FROM sp GROUP BY doc_id, sid
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.w) AS INT) AS n_tokens,
+       COALESCE(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       COALESCE(p.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       CASE WHEN len(d.w) = 0 THEN CAST(0 AS BIGINT)
+            ELSE {sk.ratio_micros_sql("COALESCE(p.dup_tokens, 0)", "len(d.w)")}
+       END AS dup_micros
+FROM dw d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+PENDING_QUERIES = {
+    "dedup_token_spans": dedup_token_spans,
+}
+
+PENDING_ORACLE = {
+    "dedup_token_spans": _SPAN_ORACLE,
+}
 
 
 QUERIES = {

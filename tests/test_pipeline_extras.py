@@ -157,3 +157,41 @@ def test_cluster_canonical_prefers_quality_over_min_id(spark, tmp_path):
     assert 10 in by_cluster, f"expected cluster rooted at 10, got {by_cluster}"
     assert by_cluster[10].canonical_doc == 11
     assert by_cluster[10].cluster_size == 3
+
+
+def test_dedup_token_spans_known_answer(spark, tmp_path):
+    """Hand corpus pinning every span behavior: cross-doc duplication,
+    adjacent-hit merging into one maximal span, two separated spans in
+    one doc, WITHIN-doc repetition, short docs (< SD_N tokens, no
+    shingles), and token-less docs (no ratio division)."""
+    assert px.SD_N == 8  # fixture geometry assumes 8-token shingles
+    c10 = " ".join(f"c{i}" for i in range(10))
+    a8 = " ".join(f"a{i}" for i in range(8))
+    b8 = " ".join(f"b{i}" for i in range(8))
+    r8 = " ".join(f"r{i}" for i in range(8))
+    m9 = " ".join(f"m{i}" for i in range(9))
+    z9 = " ".join(f"z{i}" for i in range(9))
+    w9 = " ".join(f"w{i}" for i in range(9))
+    rows = [
+        (1, c10, "en", "s", len(c10)),                    # whole doc duplicated
+        (2, "u1 u2 " + c10, "en", "s", 1),                # shifted copy
+        (3, f"{a8} {m9} {b8}", "en", "s", 1),             # two separated spans
+        (4, f"{a8} {z9} {b8}", "en", "s", 1),             # the other side
+        (5, f"{r8} {w9} {r8}", "en", "s", 1),             # within-doc repeat
+        (6, "s1 s2 s3", "en", "s", 1),                    # too short to shingle
+        (7, "!!!", "en", "s", 1),                         # normalizes to empty
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens, r.dup_micros)
+        for r in px.dedup_token_spans(spark, d).collect()
+    }
+    assert got == {
+        1: (10, 1, 10, 1000000),   # hits at pos 0,1,2 merge into 0..9
+        2: (12, 1, 10, 833333),    # round-half-up(10/12 * 1e6)
+        3: (25, 2, 16, 640000),    # spans 0..7 and 17..24, gap 17 > SD_N
+        4: (25, 2, 16, 640000),
+        5: (25, 2, 16, 640000),    # same-hash shingle twice in ONE doc
+        6: (3, 0, 0, 0),
+        7: (0, 0, 0, 0),
+    }
