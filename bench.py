@@ -90,6 +90,7 @@ EXTENDED_SET = [
     "cms_probe_terms",             # staged r9 (resolved via pending_queries)
     "kmeans_centroids_fixedpoint",  # staged r9 (resolved via pending_queries)
     "dedup_token_spans",           # staged r9 (resolved via pending_queries)
+    "bloom_probe_fingerprints",    # staged r9 (resolved via pending_queries)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

@@ -1781,14 +1781,121 @@ ORACLE = {
     "quantile_sketch_orders": _QSK_ORACLE,
 }
 
-# Staged round-9 entrant (registry.pending_queries): the round-8
+# ---------------------------------------------------------------------------
+# Bloom membership probe (staged round-9 entrant)
+# ---------------------------------------------------------------------------
+
+BLOOM_ABSENT_PROBES = 50
+
+
+def bloom_probe_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-sketch serving (classical Bloom filter, Bloom 1970):
+    build the occupied-bit set over the corpus's exact-dedup
+    fingerprints (md5 of normalized text) in one pass, then probe a
+    derived batch — every 7th document's fingerprint (true members)
+    plus {BLOOM_ABSENT_PROBES} synthetic keys that never occur.  A key
+    hits iff ALL of its K bit positions are occupied, so members can
+    NEVER miss (bloom_hit >= present row-by-row) while absent keys
+    may false-positive at the m/n-determined rate — the pre-screen an
+    incremental dedup pipeline runs before paying the exact anti-join
+    (dedup_incremental_batch), skipping the full probe for the
+    overwhelmingly-common novel case.  Output (key, bloom_hit,
+    present) is string/integer only; `present` is TRUE membership
+    (recomputed by joining the corpus keys), so the false-positive
+    rows are visible as bloom_hit=1, present=0.
+
+    Scale: the sketch is the <= BLOOM_BITS-row occupied-bit set —
+    constant-size, broadcast to the probes; `present` is one
+    key-keyed join against the corpus fingerprints; nothing here is
+    all-pairs and the sketch never grows with history (the streaming
+    maintainer merges by bit-set union)."""
+    from chain_sync_spark.operators.incremental import (
+        bloom_bits,
+        bloom_positions,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(sk.normalize_text(F.col("text"))).alias("fp")
+    )
+    corpus_keys = d.select("fp").distinct()
+    occ = bloom_bits(corpus_keys, "fp").withColumn("occ", F.lit(1))
+    present_probes = (
+        d.filter(F.col("doc_id") % 7 == 0).select(F.col("fp").alias("key"))
+    )
+    absent_probes = spark.range(BLOOM_ABSENT_PROBES).select(
+        F.md5(F.concat(F.lit("absent:"), F.col("id").cast("string"))).alias(
+            "key"
+        )
+    )
+    probes = present_probes.unionByName(absent_probes).distinct()
+    pb = probes.select(
+        "key", F.explode(bloom_positions(F.col("key"))).alias("bit")
+    )
+    hits = (
+        pb.join(F.broadcast(occ), "bit", "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("occ", F.lit(0))).alias("bloom_hit"))
+    )
+    member = corpus_keys.select(
+        F.col("fp").alias("key"), F.lit(1).alias("present")
+    )
+    return hits.join(member, "key", "left").select(
+        "key",
+        "bloom_hit",
+        F.coalesce("present", F.lit(0)).alias("present"),
+    )
+
+
+def _bloom_probe_oracle() -> str:
+    from chain_sync_spark.operators.incremental import BLOOM_BITS, BLOOM_K
+
+    ks = ", ".join(str(k) for k in range(BLOOM_K))
+    norm = sk.NORMALIZE_SQL.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id, md5({norm}) AS fp FROM documents),
+ck AS (SELECT DISTINCT fp FROM d),
+bits AS (
+  SELECT DISTINCT
+         ({sk.hash60_sql("'bloom' || k::VARCHAR || ':' || fp")})
+           % {BLOOM_BITS} AS bit
+  FROM ck, UNNEST([{ks}]) AS kk(k)
+),
+probes AS (
+  SELECT DISTINCT key FROM (
+    SELECT fp AS key FROM d WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT md5('absent:' || i::VARCHAR) AS key
+    FROM (SELECT UNNEST(range(0, {BLOOM_ABSENT_PROBES})) AS i)
+  )
+),
+pb AS (
+  SELECT key,
+         ({sk.hash60_sql("'bloom' || k::VARCHAR || ':' || key")})
+           % {BLOOM_BITS} AS bit
+  FROM probes, UNNEST([{ks}]) AS kk(k)
+),
+hits AS (
+  SELECT key,
+         CAST(MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS INT)
+           AS bloom_hit
+  FROM pb LEFT JOIN bits b USING (bit) GROUP BY key
+)
+SELECT h.key, h.bloom_hit,
+       CAST(CASE WHEN c.fp IS NULL THEN 0 ELSE 1 END AS INT) AS present
+FROM hits h LEFT JOIN ck c ON h.key = c.fp
+"""
+
+
+# Staged round-9 entrants (registry.pending_queries): the round-8
 # window is full — full implementation + DuckDB oracle +
 # dual-transport parity pytest now, a WINDOW slot at the next
 # recomposition.
 PENDING_QUERIES = {
     "cms_probe_terms": cms_probe_terms,
+    "bloom_probe_fingerprints": bloom_probe_fingerprints,
 }
 
 PENDING_ORACLE = {
     "cms_probe_terms": _CMS_PROBE_ORACLE,
+    "bloom_probe_fingerprints": _bloom_probe_oracle(),
 }

@@ -285,6 +285,55 @@ def quantile_from_hist(bins: list[tuple[int, int]], q: float) -> float:
     return hist_bin_value(ordered[-1][0])
 
 
+# --- mergeable Bloom filter (membership sketch) ----------------------------
+#
+# The classical Bloom filter (public: Bloom 1970): K hash positions per
+# key in an m-bit space; a key "hits" iff all K positions are occupied.
+# No false negatives ever; false positives at a rate set by m/n and K.
+# Represented here as the SET of occupied bit positions (<= BLOOM_BITS
+# rows) instead of a packed bitmap — the set form makes the merge a
+# plain distinct-union (append-only friendly, order-independent) and
+# the probe a join, with no bit-twiddling to keep cross-engine.
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def bloom_positions(key: F.Column) -> F.Column:
+    """The K bit positions of one key: independent md5-domain hashes
+    ('bloom0:'..'bloomK-1:' prefixes) mod BLOOM_BITS — identical in
+    Spark and DuckDB via the portable hash60."""
+    from chain_sync_spark.functions import sketches as sk
+
+    return F.array(
+        *[
+            F.pmod(
+                sk.hash60(F.concat(F.lit(f"bloom{k}:"), key)),
+                F.lit(BLOOM_BITS),
+            ).cast("int")
+            for k in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_bits(batch: DataFrame, key_col: str) -> DataFrame:
+    """Mergeable Bloom partial of one batch's keys: the distinct
+    occupied bit positions, (bit int). Constant-size (<= BLOOM_BITS
+    rows) however large the batch."""
+    return (
+        batch.select(
+            F.explode(bloom_positions(F.col(key_col))).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def merge_bloom(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Occupied-bit union — O(bits) regardless of history; merge order
+    never changes the result (bit sets are idempotent unions)."""
+    return existing.unionByName(delta).distinct()
+
+
 def finalize_rollup(agg: DataFrame) -> DataFrame:
     """Read-side projection: derived measures (avg) computed from the
     algebraic state; DECIMAL sums surface as double."""

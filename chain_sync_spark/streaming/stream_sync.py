@@ -1008,6 +1008,74 @@ def probe_cms(spark, store_dir: str, terms: list[str]) -> DataFrame:
     )
 
 
+def run_stream_bloom(
+    stream_df: DataFrame,
+    store_dir: str,
+    key_col: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming Bloom-filter maintenance: each micro-batch's occupied
+    bit positions (operators/incremental.bloom_bits) union into the
+    stored bit set — membership pre-screening over an unbounded key
+    stream with CONSTANT state (<= BLOOM_BITS rows), where an exact
+    member set would grow with history.  The batch certifier
+    (corpus_ops.bloom_probe_fingerprints) proves the no-false-negative
+    bound and surfaces the false-positive rows on static data; this
+    maintainer keeps the same bit set fresh per trigger.  The union is
+    idempotent as well as order-independent, so even a replayed batch
+    merging twice could not corrupt the sketch — the batch-id
+    high-water mark still skips it for cost, not correctness.
+
+    Same idempotence/commit contract as run_stream_rollup: the
+    (checkpoint identity, batch-id) high-water mark commits atomically
+    with the table, the store is bound to its checkpoint."""
+    import os
+
+    from chain_sync_spark.operators.incremental import bloom_bits, merge_bloom
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return  # replayed batch under the same checkpoint — already merged
+        spark = batch_df.sparkSession
+        delta = bloom_bits(batch_df, key_col)
+        if os.path.isdir(store_dir):
+            merged = merge_bloom(spark.read.parquet(store_dir), delta)
+        else:
+            merged = delta
+        _commit_store(merged, store_dir, {"checkpoint": ckpt_id, "batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def probe_bloom(spark, store_dir: str, keys: list[str]) -> DataFrame:
+    """Read-only membership probes against a streamed Bloom store: a
+    key hits iff ALL of its K bit positions are occupied.  No false
+    negatives over everything the maintainer has folded in; false
+    positives at the m/n rate.  The store never exceeds BLOOM_BITS
+    rows, so the serving join broadcasts it however long the stream
+    history."""
+    from chain_sync_spark.operators.incremental import bloom_positions
+
+    occ = spark.read.parquet(store_dir).withColumn("occ", F.lit(1))
+    probes = spark.createDataFrame([(k,) for k in keys], "key string").select(
+        "key", F.explode(bloom_positions(F.col("key"))).alias("bit")
+    )
+    return (
+        probes.join(F.broadcast(occ), "bit", "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("occ", F.lit(0))).alias("bloom_hit"))
+    )
+
+
 def run_stream_profile(
     stream_df: DataFrame,
     store_dir: str,

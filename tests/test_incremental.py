@@ -205,3 +205,40 @@ def test_quantile_sketch_orders_serves_quantile_from_hist(spark):
         cum = sum(c for b, c in sorted(bins) if b <= rec["est_bin"])
         assert rec["cum_cnt"] == cum
         assert cum * 1000 >= q * total
+
+
+def test_bloom_fold_order_invariant_and_no_false_negatives(spark):
+    """Bloom partials folded in any batch split equal the one-pass bit
+    set (idempotent unions), every key of the folded stream hits (no
+    false negatives, ever), and the state never exceeds BLOOM_BITS."""
+    from chain_sync_spark.operators.incremental import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_bits,
+        bloom_positions,
+        merge_bloom,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select(
+        F.md5(F.col("text")).alias("fp")
+    )
+    one_pass = {r.bit for r in bloom_bits(docs, "fp").collect()}
+    assert len(one_pass) <= BLOOM_BITS
+
+    parts = docs.randomSplit([1.0, 1.0, 1.0], seed=11)
+    folded_df = bloom_bits(parts[0], "fp")
+    for p in parts[1:] + [parts[1]]:  # re-fold one part: idempotent
+        folded_df = merge_bloom(folded_df, bloom_bits(p, "fp"))
+    assert {r.bit for r in folded_df.collect()} == one_pass
+
+    # no false negatives: every folded key's K positions are occupied
+    missing = (
+        docs.select(F.explode(bloom_positions(F.col("fp"))).alias("bit"))
+        .distinct()
+        .collect()
+    )
+    assert {r.bit for r in missing} <= one_pass
+    assert all(0 <= r.bit < BLOOM_BITS for r in missing)
+    # K distinct hash domains actually used
+    pos = docs.select(bloom_positions(F.col("fp")).alias("p")).first()["p"]
+    assert len(pos) == BLOOM_K

@@ -1251,3 +1251,54 @@ def test_cms_probe_terms_matches_streamed_store_probe(spark, tmp_path):
     }
     for t in CMS_PROBE_TERMS:
         assert batch[t] >= exact.get(t, 0)
+
+
+def test_stream_bloom_matches_one_pass_and_serves_probes(spark, tmp_path):
+    """Streaming Bloom maintenance: the folded store equals the
+    one-pass occupied-bit set, a replayed run on the same checkpoint
+    is a no-op, and probe_bloom over the store agrees with the batch
+    certifier's bloom_hit for the exact same probe keys (members all
+    hit; absent keys only ever over-report)."""
+    from chain_sync_spark.operators.corpus_ops import bloom_probe_fingerprints
+    from chain_sync_spark.operators.incremental import bloom_bits
+    from chain_sync_spark.streaming.stream_sync import probe_bloom, run_stream_bloom
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    from chain_sync_spark.functions import sketches as sk
+
+    fps = tbl(spark, sf, "documents").select(
+        sk.normalize_text(F.col("text")).alias("norm")
+    ).select(F.md5("norm").alias("fp"))
+    src = str(tmp_path / "src")
+    fps.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema(fps.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    run_stream_bloom(_stream(), store, "fp", ckpt).awaitTermination(120)
+    one_pass = {r.bit for r in bloom_bits(fps, "fp").collect()}
+    assert {r.bit for r in spark.read.parquet(store).collect()} == one_pass
+
+    # replay on the same checkpoint: nothing re-merges (union is
+    # idempotent anyway — this asserts the cost guard, not correctness)
+    run_stream_bloom(_stream(), store, "fp", ckpt).awaitTermination(120)
+    assert {r.bit for r in spark.read.parquet(store).collect()} == one_pass
+
+    batch = {
+        r.key: (r.bloom_hit, r.present)
+        for r in bloom_probe_fingerprints(spark, sf).collect()
+    }
+    served = {
+        r.key: r.bloom_hit
+        for r in probe_bloom(spark, store, sorted(batch)).collect()
+    }
+    assert served == {k: h for k, (h, _) in batch.items()}
+    for k, (hit, present) in batch.items():
+        assert hit >= present  # no false negatives, row by row
