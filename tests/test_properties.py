@@ -204,3 +204,131 @@ def test_bind1_transparent_for_shingles_batch(spark):
     )
     canon = lambda rs: {r.id: list(r.sh) for r in rs}  # noqa: E731
     assert canon(bound) == canon(raw) == canon(via_col)
+
+
+def test_bpe_apply_fold_matches_replica_random_batch(spark):
+    """Random words over a 3-letter alphabet (dense repeats force
+    overlapping candidate sites) against a merge chain that includes
+    l==r merges and merged-symbol operands: the engine-side fold
+    equals the greedy left-to-right non-overlapping replica."""
+    import random
+
+    from chain_sync_spark.operators.corpus_ops import bpe_apply_merges
+
+    rng = random.Random(83)
+    words = sorted(
+        {
+            "".join(rng.choice("abc") for _ in range(rng.randint(0, 12)))
+            for _ in range(300)
+        }
+    )
+    merges = [("a", "a"), ("b", "c"), ("a", "bc"), ("aa", "a"), ("c", "c")]
+
+    def _apply(s, l, r):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    want = {}
+    for w in words:
+        s = list(w)
+        for l, r in merges:
+            s = _apply(s, l, r)
+        want[w] = s
+    vocab = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["s"])
+        for r in bpe_apply_merges(vocab, merges).collect()
+    }
+    assert got == want
+
+
+def test_bloom_members_always_hit_random_batch(spark, tmp_path):
+    """Serving-path no-false-negative property on random keys: every
+    member of the folded key set hits through probe_bloom's join math
+    (not by construction); non-members may or may not hit."""
+    import random
+    import string
+
+    from chain_sync_spark.operators.incremental import bloom_bits
+    from chain_sync_spark.streaming.stream_sync import probe_bloom
+
+    rng = random.Random(7)
+
+    def _key():
+        return "".join(
+            rng.choice(string.ascii_lowercase)
+            for _ in range(rng.randint(1, 20))
+        )
+
+    members = sorted({_key() for _ in range(400)})
+    others = sorted({_key() + "!" for _ in range(100)})
+    df = spark.createDataFrame([(k,) for k in members], "k string")
+    store = str(tmp_path / "bloom")
+    bloom_bits(df, "k").write.parquet(store)
+    got = {
+        r.key: r.bloom_hit
+        for r in probe_bloom(spark, store, members + others).collect()
+    }
+    assert all(got[k] == 1 for k in members)
+    assert set(got) == set(members) | set(others)
+
+
+def test_dedup_token_spans_matches_replica_random_batch(spark, tmp_path):
+    """Random docs over a 6-token vocabulary (dense shingle
+    collisions) — span counts, duplicated-token totals, and the
+    integer ratio all equal a from-scratch replica of shingle-mark +
+    interval-merge."""
+    import random
+    from collections import Counter
+
+    from chain_sync_spark.operators.pipeline_extras import (
+        SD_N,
+        dedup_token_spans,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(6)]
+    rows, toks = [], {}
+    for d in range(30):
+        n = rng.randint(0, 30)
+        ws = [rng.choice(vocab) for _ in range(n)]
+        toks[d] = ws
+        text = " ".join(ws)
+        rows.append((d, text, "en", "s", len(text)))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    sh = {
+        (d, i): tuple(ws[i : i + SD_N])
+        for d, ws in toks.items()
+        for i in range(len(ws) - SD_N + 1)
+    }
+    cnt = Counter(sh.values())
+    want = {}
+    for d, ws in toks.items():
+        hits = sorted(i for (dd, i), g in sh.items() if dd == d and cnt[g] > 1)
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= SD_N:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        n_spans = len(spans)
+        dup = sum(e + SD_N - 1 - s + 1 for s, e in spans)
+        n = len(ws)
+        micros = 0 if n == 0 else (dup * 2_000_000 + n) // (2 * n)
+        want[d] = (n, n_spans, dup, micros)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens, r.dup_micros)
+        for r in dedup_token_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == want
