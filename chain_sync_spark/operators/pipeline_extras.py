@@ -716,12 +716,155 @@ FROM dw d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of the span audit — the keep-first cut of
+    exact substring deduplication (Lee et al. 2021): for every
+    duplicated {SD_N}-token shingle, the globally FIRST occurrence
+    (minimal (doc_id, pos)) keeps its text; every other occurrence's
+    token interval is cut from its document.  Output per document:
+    (doc_id, n_tokens, cut_tokens, kept_md5) — the md5 of the kept
+    token stream is the rewritten document's fingerprint, so the
+    result row stays narrow while still pinning the exact rewritten
+    content cross-engine.
+
+    Scale: the shingle pass and h-keyed shuffle are shared shape with
+    dedup_token_spans; the keep-first rule is the SAME count window
+    plus a min window over an integer (doc_id, pos) code — no extra
+    shuffle; covered positions explode each cut shingle into {SD_N}
+    rows (bounded 8x the hit count, duplicated text only); the final
+    rebuild is one per-document anti-join + ordered aggregate."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(sk.words(sk.normalize_text(F.col("text")))).alias(
+            "pos", "word"
+        ),
+    )
+    sh_arr = sk.bind1(
+        sk.words(sk.normalize_text(F.col("text"))),
+        lambda w: F.when(
+            F.size(w) < F.lit(SD_N), F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(SD_N - 1)),
+                lambda i: sk.hash60(
+                    F.concat(
+                        F.lit("sd:"), F.concat_ws(" ", F.slice(w, i, SD_N))
+                    )
+                ),
+            )
+        ),
+    )
+    pos = d.select("doc_id", F.posexplode(sh_arr).alias("pos", "h"))
+    # occurrence code: doc_id * 2^20 + pos — an integer total order on
+    # (doc_id, pos) both engines can MIN over a window (pos < 2^20 by
+    # far; doc ids < 2^43 keep the product inside BIGINT)
+    coded = pos.withColumn(
+        "code", F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+    )
+    wh = Window.partitionBy("h")
+    cut_hits = (
+        coded.withColumn("c", F.count(F.lit(1)).over(wh))
+        .withColumn("first_code", F.min("code").over(wh))
+        .filter((F.col("c") > 1) & (F.col("code") != F.col("first_code")))
+        .select("doc_id", "pos")
+    )
+    covered = cut_hits.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(SD_N - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    per_doc = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word"))
+                        ),
+                        lambda s: s["word"],
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    base = d.select(
+        "doc_id",
+        F.size(sk.words(sk.normalize_text(F.col("text")))).alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens")
+                - F.coalesce("kept_tokens", F.lit(0).cast("long"))
+            ).alias("cut_tokens"),
+            # a fully-cut (or token-less) doc keeps the empty stream:
+            # md5('') on both engines (DuckDB string_agg over zero rows
+            # is NULL — the oracle COALESCEs to '' to match)
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
+_CUT_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, {sk.WORDS_SQL.format(c=_NORM_SQL)} AS w FROM documents
+),
+toks AS (
+  SELECT doc_id, u.i - 1 AS pos, w[u.i] AS word
+  FROM dw, UNNEST(range(1, len(w) + 1)) AS u(i)
+),
+sh AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         doc_id * {1 << 20} + (u.i - 1) AS code,
+         {sk.hash60_sql(f"'sd:' || array_to_string(w[u.i : u.i + {SD_N - 1}], ' ')")} AS h
+  FROM dw, UNNEST(range(1, GREATEST(len(w) - {SD_N - 1}, 0) + 1)) AS u(i)
+),
+cut_hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, code,
+           COUNT(*) OVER (PARTITION BY h) AS c,
+           MIN(code) OVER (PARTITION BY h) AS first_code
+    FROM sh
+  ) WHERE c > 1 AND code <> first_code
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + k AS pos
+  FROM cut_hits, UNNEST(range(0, {SD_N})) AS kk(k)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.w) AS INT) AS n_tokens,
+       CAST(len(d.w) - COALESCE(p.kept_tokens, 0) AS BIGINT) AS cut_tokens,
+       COALESCE(p.kept_md5, md5('')) AS kept_md5
+FROM dw d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 PENDING_QUERIES = {
     "dedup_token_spans": dedup_token_spans,
+    "dedup_span_cut": dedup_span_cut,
 }
 
 PENDING_ORACLE = {
     "dedup_token_spans": _SPAN_ORACLE,
+    "dedup_span_cut": _CUT_ORACLE,
 }
 
 

@@ -195,3 +195,47 @@ def test_dedup_token_spans_known_answer(spark, tmp_path):
         6: (3, 0, 0, 0),
         7: (0, 0, 0, 0),
     }
+
+
+def test_dedup_span_cut_keep_first_known_answer(spark, tmp_path):
+    """Keep-first cut on the span fixture: the globally-first
+    occurrence of each duplicated shingle keeps its text (doc 1 and
+    doc 3 stay whole), later occurrences are cut (doc 2 loses the
+    shared run but keeps its unique prefix; doc 4 loses both shared
+    runs; doc 5's SECOND within-doc copy is cut while the first
+    stays), and short/empty docs pass through."""
+    from hashlib import md5 as _md5
+
+    def h(s):
+        return _md5(s.encode()).hexdigest()
+
+    c10 = " ".join(f"c{i}" for i in range(10))
+    a8 = " ".join(f"a{i}" for i in range(8))
+    b8 = " ".join(f"b{i}" for i in range(8))
+    r8 = " ".join(f"r{i}" for i in range(8))
+    m9 = " ".join(f"m{i}" for i in range(9))
+    z9 = " ".join(f"z{i}" for i in range(9))
+    w9 = " ".join(f"w{i}" for i in range(9))
+    rows = [
+        (1, c10, "en", "s", len(c10)),
+        (2, "u1 u2 " + c10, "en", "s", 1),
+        (3, f"{a8} {m9} {b8}", "en", "s", 1),
+        (4, f"{a8} {z9} {b8}", "en", "s", 1),
+        (5, f"{r8} {w9} {r8}", "en", "s", 1),
+        (6, "s1 s2 s3", "en", "s", 1),
+        (7, "!!!", "en", "s", 1),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.cut_tokens, r.kept_md5)
+        for r in px.dedup_span_cut(spark, d).collect()
+    }
+    assert got == {
+        1: (10, 0, h(c10)),                      # first occurrence keeps
+        2: (12, 10, h("u1 u2")),                 # later copy cut
+        3: (25, 0, h(f"{a8} {m9} {b8}")),
+        4: (25, 16, h(z9)),                      # both shared runs cut
+        5: (25, 8, h(f"{r8} {w9}")),             # second within-doc copy cut
+        6: (3, 0, h("s1 s2 s3")),
+        7: (0, 0, h("")),
+    }
