@@ -573,6 +573,80 @@ WHERE rk = 1
 SD_N = 8  # tokens per shingle; a merged span is a maximal duplicated run
 
 
+def _shingle_pos(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): one row per {SD_N}-token shingle position of
+    a (doc_id, text) relation.  Hash-hoisted via bind1 (the token
+    array binds once per row, so the per-position slice never
+    re-evaluates the tokenizer); sequence(1, 0) is DESCENDING in
+    Spark (the _word_chars trap), so docs shorter than one shingle
+    take the explicit empty branch."""
+    sh_arr = sk.bind1(
+        sk.words(sk.normalize_text(F.col("text"))),
+        lambda w: F.when(
+            F.size(w) < F.lit(SD_N), F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(SD_N - 1)),
+                lambda i: sk.hash60(
+                    F.concat(
+                        F.lit("sd:"), F.concat_ws(" ", F.slice(w, i, SD_N))
+                    )
+                ),
+            )
+        ),
+    )
+    return d.select("doc_id", F.posexplode(sh_arr).alias("pos", "h"))
+
+
+def _rebuild_after_cut(d: DataFrame, cut_hits: DataFrame) -> DataFrame:
+    """Rewrite step shared by the cut operators: expand each cut
+    shingle hit into its {SD_N} covered token positions (bounded 8x
+    the hit count — duplicated text only), anti-join the token
+    stream, and rebuild (doc_id, n_tokens, cut_tokens, kept_md5) with
+    the kept stream fingerprinted in position order."""
+    toks = d.select(
+        "doc_id",
+        F.posexplode(sk.words(sk.normalize_text(F.col("text")))).alias(
+            "pos", "word"
+        ),
+    )
+    covered = cut_hits.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(SD_N - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    base = d.select(
+        "doc_id",
+        F.size(sk.words(sk.normalize_text(F.col("text")))).alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("n_tokens")
+            - F.coalesce("kept_tokens", F.lit(0).cast("long"))
+        ).alias("cut_tokens"),
+        # a fully-cut (or token-less) doc keeps the empty stream:
+        # md5('') on both engines (DuckDB string_agg over zero rows
+        # is NULL — the oracles COALESCE to '' to match)
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )
+
+
 def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-SPAN audit — the token-level analog of
     exact substring deduplication (public: Lee et al. 2021,
@@ -597,29 +671,7 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array construction the paper uses single-node is replaced
     by the shuffle-friendly shingle-hash form."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # sequence(1, 0) is DESCENDING in Spark (the _word_chars trap), so
-    # docs shorter than one shingle take the explicit empty branch.
-    sh_arr = sk.bind1(
-        sk.words(sk.normalize_text(F.col("text"))),
-        lambda w: F.when(
-            F.size(w) < F.lit(SD_N), F.array().cast("array<bigint>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - F.lit(SD_N - 1)),
-                lambda i: sk.hash60(
-                    F.concat(
-                        F.lit("sd:"), F.concat_ws(" ", F.slice(w, i, SD_N))
-                    )
-                ),
-            )
-        ),
-    )
-    base = d.select(
-        "doc_id",
-        F.size(sk.words(sk.normalize_text(F.col("text")))).alias("n_tokens"),
-        sh_arr.alias("sh"),
-    )
-    pos = base.select("doc_id", F.posexplode("sh").alias("pos", "h"))
+    pos = _shingle_pos(d)
     # Duplicate marking as ONE count-over-h window instead of a
     # (groupBy h → join back) pair: the corpus is scanned and hashed
     # once, and the only thing shuffled is the narrow (doc_id, pos, h)
@@ -652,9 +704,12 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + F.lit(1)).alias("dup_tokens"),
     )
+    base = d.select(
+        "doc_id",
+        F.size(sk.words(sk.normalize_text(F.col("text")))).alias("n_tokens"),
+    )
     return (
-        base.select("doc_id", "n_tokens")
-        .join(per_doc, "doc_id", "left")
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -734,32 +789,10 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (bounded 8x the hit count, duplicated text only); the final
     rebuild is one per-document anti-join + ordered aggregate."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(sk.words(sk.normalize_text(F.col("text")))).alias(
-            "pos", "word"
-        ),
-    )
-    sh_arr = sk.bind1(
-        sk.words(sk.normalize_text(F.col("text"))),
-        lambda w: F.when(
-            F.size(w) < F.lit(SD_N), F.array().cast("array<bigint>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - F.lit(SD_N - 1)),
-                lambda i: sk.hash60(
-                    F.concat(
-                        F.lit("sd:"), F.concat_ws(" ", F.slice(w, i, SD_N))
-                    )
-                ),
-            )
-        ),
-    )
-    pos = d.select("doc_id", F.posexplode(sh_arr).alias("pos", "h"))
     # occurrence code: doc_id * 2^20 + pos — an integer total order on
     # (doc_id, pos) both engines can MIN over a window (pos < 2^20 by
     # far; doc ids < 2^43 keep the product inside BIGINT)
-    coded = pos.withColumn(
+    coded = _shingle_pos(d).withColumn(
         "code", F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
     )
     wh = Window.partitionBy("h")
@@ -769,49 +802,83 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("c") > 1) & (F.col("code") != F.col("first_code")))
         .select("doc_id", "pos")
     )
-    covered = cut_hits.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(SD_N - 1))
-        ).alias("pos"),
-    ).distinct()
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    per_doc = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("kept_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "word"))
-                        ),
-                        lambda s: s["word"],
-                    ),
-                )
-            ).alias("kept_md5"),
-        )
+    return _rebuild_after_cut(d, cut_hits)
+
+
+SPAN_BATCH_MOD = 5  # doc_id % MOD == 0 is the newly-crawled batch
+
+
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-crawl form of the span cut: the historical corpus
+    (doc_id % {SPAN_BATCH_MOD} != 0) is already ingested, and every
+    new-batch document (doc_id % {SPAN_BATCH_MOD} == 0) cuts the
+    token intervals whose {SD_N}-token shingle ALREADY EXISTS in
+    history — history always wins, so re-crawled boilerplate is cut
+    from the new data without ever rewriting the ingested corpus
+    (the daily companion of dedup_span_cut's full-corpus keep-first
+    pass, exactly as dedup_incremental_batch companions
+    dedup_exact_documents).  Batch-internal duplication is left to
+    the full pass.  Output covers batch docs only: (doc_id,
+    n_tokens, cut_tokens, kept_md5).
+
+    Scale: history contributes ONE distinct-shingle-hash relation
+    (vocabulary-of-shingles-sized, shuffled on h — never broadcast);
+    the batch side is O(batch); the cut join is a hash-keyed
+    semi-join.  Nothing rescans history text beyond its one shingle
+    pass — and against a STREAMED shingle store the history pass
+    amortizes to O(batch) per day (the neardup-index pattern)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = F.col("doc_id") % SPAN_BATCH_MOD == 0
+    hist_h = _shingle_pos(docs.filter(~is_new)).select("h").distinct()
+    batch = docs.filter(is_new)
+    cut_hits = (
+        _shingle_pos(batch)
+        .join(hist_h, "h", "left_semi")
+        .select("doc_id", "pos")
     )
-    base = d.select(
-        "doc_id",
-        F.size(sk.words(sk.normalize_text(F.col("text")))).alias("n_tokens"),
-    )
-    return (
-        base.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (
-                F.col("n_tokens")
-                - F.coalesce("kept_tokens", F.lit(0).cast("long"))
-            ).alias("cut_tokens"),
-            # a fully-cut (or token-less) doc keeps the empty stream:
-            # md5('') on both engines (DuckDB string_agg over zero rows
-            # is NULL — the oracle COALESCEs to '' to match)
-            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
-        )
-    )
+    return _rebuild_after_cut(batch, cut_hits)
+
+
+_INCR_SPAN_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, {sk.WORDS_SQL.format(c=_NORM_SQL)} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         {sk.hash60_sql(f"'sd:' || array_to_string(w[u.i : u.i + {SD_N - 1}], ' ')")} AS h
+  FROM dw, UNNEST(range(1, GREATEST(len(w) - {SD_N - 1}, 0) + 1)) AS u(i)
+),
+hist AS (SELECT DISTINCT h FROM sh WHERE doc_id % {SPAN_BATCH_MOD} <> 0),
+toks AS (
+  SELECT doc_id, u.i - 1 AS pos, w[u.i] AS word
+  FROM dw, UNNEST(range(1, len(w) + 1)) AS u(i)
+  WHERE doc_id % {SPAN_BATCH_MOD} = 0
+),
+cut_hits AS (
+  SELECT s.doc_id, s.pos
+  FROM sh s JOIN hist USING (h)
+  WHERE s.doc_id % {SPAN_BATCH_MOD} = 0
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + k AS pos
+  FROM cut_hits, UNNEST(range(0, {SD_N})) AS kk(k)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.w) AS INT) AS n_tokens,
+       CAST(len(d.w) - COALESCE(p.kept_tokens, 0) AS BIGINT) AS cut_tokens,
+       COALESCE(p.kept_md5, md5('')) AS kept_md5
+FROM dw d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % {SPAN_BATCH_MOD} = 0
+"""
 
 
 _CUT_ORACLE = f"""
@@ -860,11 +927,13 @@ FROM dw d LEFT JOIN per_doc p USING (doc_id)
 PENDING_QUERIES = {
     "dedup_token_spans": dedup_token_spans,
     "dedup_span_cut": dedup_span_cut,
+    "dedup_incremental_spans": dedup_incremental_spans,
 }
 
 PENDING_ORACLE = {
     "dedup_token_spans": _SPAN_ORACLE,
     "dedup_span_cut": _CUT_ORACLE,
+    "dedup_incremental_spans": _INCR_SPAN_ORACLE,
 }
 
 

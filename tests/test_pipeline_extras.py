@@ -239,3 +239,38 @@ def test_dedup_span_cut_keep_first_known_answer(spark, tmp_path):
         6: (3, 0, h("s1 s2 s3")),
         7: (0, 0, h("")),
     }
+
+
+def test_dedup_incremental_spans_history_wins(spark, tmp_path):
+    """Rolling-crawl semantics: batch docs (doc_id % SPAN_BATCH_MOD
+    == 0) cut exactly the intervals whose shingle exists in history;
+    history docs are not in the output; batch-internal duplication is
+    NOT cut (left to the full pass)."""
+    from hashlib import md5 as _md5
+
+    def h(s):
+        return _md5(s.encode()).hexdigest()
+
+    assert px.SPAN_BATCH_MOD == 5
+    c10 = " ".join(f"c{i}" for i in range(10))
+    q8 = " ".join(f"q{i}" for i in range(8))
+    rows = [
+        # history (ids not divisible by 5)
+        (1, c10, "en", "s", 1),
+        (2, "noise tokens only here", "en", "s", 1),
+        # batch: 10 re-crawls history's run; 15 and 20 share q8 only
+        # with EACH OTHER (batch-internal -> not cut)
+        (10, "u1 u2 " + c10, "en", "s", 1),
+        (15, q8, "en", "s", 1),
+        (20, f"{q8} tail1 tail2", "en", "s", 1),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.cut_tokens, r.kept_md5)
+        for r in px.dedup_incremental_spans(spark, d).collect()
+    }
+    assert got == {
+        10: (12, 10, h("u1 u2")),          # history run cut
+        15: (8, 0, h(q8)),                 # batch-internal: kept
+        20: (10, 0, h(f"{q8} tail1 tail2")),
+    }
