@@ -278,6 +278,13 @@ PQ_STORE_TABLES = {
 CLUSTER_STORE_TABLES = {
     "assignments": "vec_id long, cluster_id int, batch_id long",
 }
+SHINGLE_STORE_TABLES = {
+    "shingles": "h long",
+    "decisions": (
+        "doc_id long, n_tokens int, cut_tokens long, kept_md5 string,"
+        " batch_id long"
+    ),
+}
 
 
 def _delta_path(store_dir: str, name: str, batch_id: int) -> str:
@@ -706,6 +713,105 @@ def run_stream_neardup_index(
             )
         finally:
             sh_b.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def probe_shingle_index(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Read-only duplicated-span probe against a
+    run_stream_shingle_index store: for each input doc (doc_id,
+    text), cut every token interval whose 8-token shingle already
+    exists in the stored history and report (doc_id, n_tokens,
+    cut_tokens, kept_md5) — the dry-run "how much of this crawl is
+    boilerplate we already hold?" without mutating the index.  Same
+    cut math as the batch operator pipeline_extras.
+    dedup_incremental_spans (a pytest pins decision parity), history
+    side served from the store."""
+    from chain_sync_spark.operators.pipeline_extras import (
+        _rebuild_after_cut,
+        _shingle_pos,
+    )
+
+    hist_h = read_store_table(
+        spark, store_dir, "shingles", SHINGLE_STORE_TABLES["shingles"]
+    )
+    d = docs.select("doc_id", "text")
+    cut_hits = (
+        _shingle_pos(d).join(hist_h, "h", "left_semi").select("doc_id", "pos")
+    )
+    return _rebuild_after_cut(d, cut_hits)
+
+
+def run_stream_shingle_index(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuously-maintained exact-shingle index — the streaming
+    twin of pipeline_extras.dedup_incremental_spans: each micro-batch
+    of documents (doc_id, text) cuts the token intervals whose
+    shingle the STORE already holds (history wins), records one
+    decision row per doc, and appends the batch's genuinely-new
+    shingle hashes so later batches treat this one as history.
+
+    Store layout (append-only commit — delta dirs + one atomic marker
+    replace per batch, crash-recoverable via _recover_append_store):
+      store_dir/shingles/delta-<b>   (h)                — history set
+      store_dir/decisions/delta-<b>  (doc_id, n_tokens, cut_tokens,
+                                      kept_md5, batch_id)
+      store_dir/_rollup_commit.json                     — commit point
+
+    Scale: the probe is a hash-keyed semi-join of the batch's shingle
+    positions against the store; the append is the batch's DISTINCT
+    new hashes (anti-joined against the store, so the index holds one
+    row per distinct shingle ever seen); commit IO is O(batch).  The
+    cut/rebuild math is the shared pipeline_extras machinery, so the
+    batch certifier's driver green covers the serving arithmetic."""
+    import os
+
+    from chain_sync_spark.operators.pipeline_extras import (
+        _rebuild_after_cut,
+        _shingle_pos,
+    )
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_append_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return
+        spark = batch_df.sparkSession
+        d = batch_df.select("doc_id", "text")
+        pos = _shingle_pos(d).persist()
+        try:
+            hist_h = read_store_table(
+                spark, store_dir, "shingles", SHINGLE_STORE_TABLES["shingles"]
+            )
+            cut_hits = (
+                pos.join(hist_h, "h", "left_semi").select("doc_id", "pos")
+            )
+            dec = _rebuild_after_cut(d, cut_hits).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            )
+            new_h = (
+                pos.select("h").distinct().join(hist_h, "h", "left_anti")
+            )
+            _commit_append(
+                store_dir,
+                {"shingles": new_h, "decisions": dec},
+                batch_id,
+                {"checkpoint": ckpt_id, "batch_id": batch_id},
+            )
+        finally:
+            pos.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_process)

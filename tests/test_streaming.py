@@ -1302,3 +1302,92 @@ def test_stream_bloom_matches_one_pass_and_serves_probes(spark, tmp_path):
     assert served == {k: h for k, (h, _) in batch.items()}
     for k, (hit, present) in batch.items():
         assert hit >= present  # no false negatives, row by row
+
+
+def test_stream_shingle_index_matches_batch_incremental(spark, tmp_path):
+    """Streamed shingle index: history docs ingested first (empty
+    store — nothing cut), then the new batch cut against the stored
+    history reproduces the batch certifier
+    (pipeline_extras.dedup_incremental_spans) decision-for-decision;
+    the read-only probe agrees; a replay on the same checkpoint is a
+    no-op; the store holds each distinct shingle hash once."""
+    from chain_sync_spark.operators.pipeline_extras import (
+        SPAN_BATCH_MOD,
+        _shingle_pos,
+        dedup_incremental_spans,
+    )
+    from chain_sync_spark.streaming.stream_sync import (
+        SHINGLE_STORE_TABLES,
+        probe_shingle_index,
+        read_store_table,
+        run_stream_shingle_index,
+    )
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents").select("doc_id", "text")
+    is_new = F.col("doc_id") % SPAN_BATCH_MOD == 0
+    hist, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        run_stream_shingle_index(stream, store, ckpt).awaitTermination(180)
+
+    import glob
+    import shutil
+
+    def _add(df, stage, name):
+        df.coalesce(1).write.mode("overwrite").json(str(tmp_path / stage))
+        part = glob.glob(str(tmp_path / stage / "part-*.json"))[0]
+        shutil.copy(part, str(src / name))
+
+    _add(hist, "stage_h", "h.json")
+    _run()                      # batch 1: history into the empty store
+
+    # read-only probe BEFORE the batch is ingested: history-only store
+    want = {
+        r.doc_id: (r.n_tokens, r.cut_tokens, r.kept_md5)
+        for r in dedup_incremental_spans(spark, sf).collect()
+    }
+    probed = {
+        r.doc_id: (r.n_tokens, r.cut_tokens, r.kept_md5)
+        for r in probe_shingle_index(spark, store, batch).collect()
+    }
+    assert probed == want
+
+    _add(batch, "stage_b", "b.json")
+    _run()                      # batch 2: the new crawl vs stored history
+
+    dec = read_store_table(
+        spark, store, "decisions", SHINGLE_STORE_TABLES["decisions"]
+    )
+    # history batch saw an empty store: nothing cut
+    h_rows = dec.filter(F.col("batch_id") == 0).collect()
+    assert h_rows and all(r.cut_tokens == 0 for r in h_rows)
+    # the new batch reproduces the batch certifier exactly
+    got = {
+        r.doc_id: (r.n_tokens, r.cut_tokens, r.kept_md5)
+        for r in dec.filter(F.col("batch_id") == 1).collect()
+    }
+    assert got == want
+    # replay on the same checkpoint: no new deltas
+    n_dec = dec.count()
+    _run()
+    assert read_store_table(
+        spark, store, "decisions", SHINGLE_STORE_TABLES["decisions"]
+    ).count() == n_dec
+    # store holds each distinct shingle hash exactly once
+    stored = read_store_table(
+        spark, store, "shingles", SHINGLE_STORE_TABLES["shingles"]
+    )
+    assert stored.count() == stored.distinct().count()
+    all_h = _shingle_pos(docs).select("h").distinct().count()
+    assert stored.count() == all_h
