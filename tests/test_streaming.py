@@ -1391,3 +1391,23 @@ def test_stream_shingle_index_matches_batch_incremental(spark, tmp_path):
     assert stored.count() == stored.distinct().count()
     all_h = _shingle_pos(docs).select("h").distinct().count()
     assert stored.count() == all_h
+    # compact_store works verbatim on the shingle schema dict: deltas
+    # fold into one base, probe results and decision rows unchanged
+    import os
+
+    from chain_sync_spark.streaming.stream_sync import compact_store
+
+    assert compact_store(spark, store, SHINGLE_STORE_TABLES) == 1
+    for name in SHINGLE_STORE_TABLES:
+        dirs = os.listdir(os.path.join(store, name))
+        assert [d for d in dirs if d.startswith("delta-")] == []
+    assert read_store_table(
+        spark, store, "shingles", SHINGLE_STORE_TABLES["shingles"]
+    ).count() == all_h
+    post = {
+        r.doc_id: (r.n_tokens, r.cut_tokens, r.kept_md5)
+        for r in read_store_table(
+            spark, store, "decisions", SHINGLE_STORE_TABLES["decisions"]
+        ).filter(F.col("batch_id") == 1).collect()
+    }
+    assert post == want
