@@ -93,6 +93,7 @@ EXTENDED_SET = [
     "bloom_probe_fingerprints",    # staged r9 (resolved via pending_queries)
     "dedup_span_cut",              # staged r9 (resolved via pending_queries)
     "dedup_incremental_spans",     # staged r9 (resolved via pending_queries)
+    "neardup_winnow_pairs",        # staged r9 (resolved via pending_queries)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

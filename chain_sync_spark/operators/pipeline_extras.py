@@ -924,16 +924,144 @@ FROM dw d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# 10. Winnowing fingerprints (staged round-9 entrant)
+# ---------------------------------------------------------------------------
+
+WN_K = 4        # tokens per gram
+WN_W = 4        # grams per winnowing window
+WN_MIN_SHARED = 2   # fingerprints two docs must share to pair
+WN_MAX_DF = 50  # drop boilerplate fingerprints present in > this many docs
+
+
+def _winnow_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): one row per {WN_K}-token gram — the span
+    machinery's builder at gram granularity ('wn:' hash domain, so
+    winnowing fingerprints never collide with span shingles)."""
+    g_arr = sk.bind1(
+        sk.words(sk.normalize_text(F.col("text"))),
+        lambda w: F.when(
+            F.size(w) < F.lit(WN_K), F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(WN_K - 1)),
+                lambda i: sk.hash60(
+                    F.concat(
+                        F.lit("wn:"), F.concat_ws(" ", F.slice(w, i, WN_K))
+                    )
+                ),
+            )
+        ),
+    )
+    return d.select("doc_id", F.posexplode(g_arr).alias("pos", "h"))
+
+
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, h): each document's winnowing fingerprint set —
+    the DISTINCT window-minimum gram hashes over every full window of
+    {WN_W} consecutive {WN_K}-token grams (public algorithm:
+    Schleimer, Wilkerson & Aiken 2003, "Winnowing: Local Algorithms
+    for Document Fingerprinting" — the MOSS fingerprinter).
+    Guarantee: any shared token run of >= WN_W + WN_K - 1 tokens
+    contains a full shared window in both documents, whose minimum
+    hash lands in BOTH fingerprint sets — alignment-independent,
+    while storing ~1/{WN_W} of the gram hashes (the sampled
+    alternative to dedup_token_spans' every-position index)."""
+    wcnt = Window.partitionBy("doc_id")
+    wfwd = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WN_W - 1)
+    )
+    return (
+        _winnow_grams(d)
+        .withColumn("n_grams", F.count(F.lit(1)).over(wcnt))
+        .withColumn("wmin", F.min("h").over(wfwd))
+        .filter(F.col("pos") <= F.col("n_grams") - F.lit(WN_W))
+        .select("doc_id", F.col("wmin").alias("h"))
+        .distinct()
+    )
+
+
+def neardup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-duplicate candidate pairs: documents
+    sharing >= {WN_MIN_SHARED} fingerprints after dropping
+    boilerplate fingerprints present in > {WN_MAX_DF} documents (the
+    standard stop-fingerprint cap, same fanout bound as the LSH band
+    family).  Output (doc_a, doc_b, shared_fps), doc_a < doc_b.
+
+    Scale: the fingerprint relation is ~1/{WN_W} of the gram stream
+    (the winnowing win — the index a plagiarism/dedup service stores);
+    the pair join is hash-keyed with per-key fanout capped by
+    WN_MAX_DF, so candidates are O(N · capped collisions) — no
+    all-pairs path, exactly the banded-LSH cost class but with a
+    DETERMINISTIC match guarantee for runs >= WN_W + WN_K - 1
+    tokens instead of a probabilistic one."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = winnow_fingerprints(d)
+    cap = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WN_MAX_DF)
+        .select("h")
+    )
+    fpc = fp.join(cap, "h", "left_semi")
+    a, b = fpc.alias("a"), fpc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WN_MIN_SHARED)
+    )
+
+
+_WINNOW_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, {sk.WORDS_SQL.format(c=_NORM_SQL)} AS w FROM documents
+),
+g AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         {sk.hash60_sql(f"'wn:' || array_to_string(w[u.i : u.i + {WN_K - 1}], ' ')")} AS h
+  FROM dw, UNNEST(range(1, GREATEST(len(w) - {WN_K - 1}, 0) + 1)) AS u(i)
+),
+c AS (
+  SELECT doc_id, pos, h,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WN_W - 1} FOLLOWING)
+           AS wmin
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, wmin AS h FROM c WHERE pos <= n_grams - {WN_W}
+),
+cap AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= {WN_MAX_DF}),
+fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN cap USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WN_MIN_SHARED}
+"""
+
+
 PENDING_QUERIES = {
     "dedup_token_spans": dedup_token_spans,
     "dedup_span_cut": dedup_span_cut,
     "dedup_incremental_spans": dedup_incremental_spans,
+    "neardup_winnow_pairs": neardup_winnow_pairs,
 }
 
 PENDING_ORACLE = {
     "dedup_token_spans": _SPAN_ORACLE,
     "dedup_span_cut": _CUT_ORACLE,
     "dedup_incremental_spans": _INCR_SPAN_ORACLE,
+    "neardup_winnow_pairs": _WINNOW_ORACLE,
 }
 
 

@@ -274,3 +274,76 @@ def test_dedup_incremental_spans_history_wins(spark, tmp_path):
         15: (8, 0, h(q8)),                 # batch-internal: kept
         20: (10, 0, h(f"{q8} tail1 tail2")),
     }
+
+
+def _py_hash60(s: str) -> int:
+    from hashlib import md5
+
+    return int(md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_winnow_guarantee_shared_run(spark, tmp_path):
+    """The winnowing guarantee: two docs sharing a token run of
+    exactly WN_W + WN_K - 1 tokens (one full shared window) ALWAYS
+    share at least one fingerprint, regardless of alignment — here
+    the shared run sits at different offsets in the two docs."""
+    assert (px.WN_K, px.WN_W) == (4, 4)
+    run7 = " ".join(f"s{i}" for i in range(7))
+    rows = [
+        (1, f"{run7} x1 x2 x3 x4 x5", "en", "s", 1),
+        (2, f"y1 y2 y3 y4 {run7} y5 y6", "en", "s", 1),
+        (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "en", "s", 1),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fps = {}
+    for r in px.winnow_fingerprints(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.h)
+    assert fps[1] & fps[2], "shared 7-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_neardup_winnow_pairs_matches_replica_random_batch(spark, tmp_path):
+    """Random docs over a tiny vocabulary — fingerprint sets, the
+    boilerplate cap, and the pair counts all equal a from-scratch
+    replica of gram-hash -> full-window minima -> distinct -> df-cap
+    -> pair join."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(59)
+    vocab = [f"t{i}" for i in range(3)]
+    rows, toks = [], {}
+    for d in range(40):
+        n = rng.randint(0, 60)
+        ws = [rng.choice(vocab) for _ in range(n)]
+        toks[d] = ws
+        text = " ".join(ws)
+        rows.append((d, text, "en", "s", len(text)))
+    dpath = _write_docs(spark, tmp_path, rows)
+
+    K, W = px.WN_K, px.WN_W
+    fp = {}
+    for d, ws in toks.items():
+        g = [
+            _py_hash60("wn:" + " ".join(ws[i : i + K]))
+            for i in range(len(ws) - K + 1)
+        ]
+        fp[d] = {min(g[j : j + W]) for j in range(len(g) - W + 1)}
+    df = Counter(h for s in fp.values() for h in s)
+    fpc = {d: {h for h in s if df[h] <= px.WN_MAX_DF} for d, s in fp.items()}
+    want = {}
+    ids = sorted(fpc)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(fpc[a] & fpc[b])
+            if shared >= px.WN_MIN_SHARED:
+                want[(a, b)] = shared
+    got = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in px.neardup_winnow_pairs(spark, dpath).collect()
+    }
+    assert got == want
+    assert want, "fixture must actually produce candidate pairs"
