@@ -4,9 +4,13 @@ Images/audio/video ride through the pipeline as `binary` columns with
 a typed metadata struct — the lakehouse-standard layout (content
 column + sidecar metadata), so Spark never interprets the bytes until
 an explicit decode step. The decode itself is a `mapInPandas` stage:
-Arrow-batched, schema-stable, partition-parallel. The actual codec
-libraries (PIL / torchaudio / av) are NOT present in this
-environment, so the codec call is isolated behind `decode_media`:
+Arrow-batched, schema-stable, partition-parallel. One REAL codec is
+built in with no external dependencies: binary PPM (P6) images parse,
+feature-extract, and nearest-neighbor resize through pure numpy
+(`_parse_ppm` / `_resize_ppm`) — the reference implementation proving
+the seam end to end on genuine pixels. Richer codec libraries
+(PIL / torchaudio / av) are NOT present in this environment, so for
+every other format the codec call is isolated behind `decode_media`:
 real decoding raises NotImplementedError with a clear message, and a
 deterministic fake decoder (md5-seeded) stands in so the Spark-side
 plumbing — schema, batching, UDF signature, partitioning — is real
@@ -36,17 +40,86 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 8
 FEATURES_SCHEMA = f"media_id long, n_bytes int, features array<float>"
 
-_FAKE_DECODE = True  # no codec libs in this container — see module docstring
+_FAKE_DECODE = True  # non-PPM codec libs absent — see module docstring
+
+
+def _parse_ppm(payload: bytes):
+    """Parse a binary PPM (P6): returns (width, height, maxval,
+    H×W×3 uint8 ndarray) or None when the payload is not P6.  Full
+    header grammar: magic, then three whitespace-separated integers
+    with '#' comments allowed, then ONE whitespace byte before the
+    raw sample data.  Pure numpy — no codec library."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    i, vals = 2, []
+    try:
+        while len(vals) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                i = payload.index(b"\n", i) + 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        i += 1  # the single whitespace byte after maxval
+        w, h, maxval = vals
+        if w <= 0 or h <= 0 or not 0 < maxval < 256:
+            return None
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        return w, h, maxval, data.reshape(h, w, 3)
+    except (ValueError, IndexError):
+        return None  # malformed header/short payload → not decodable
+
+
+def _ppm_features(img) -> list[float]:
+    """FEATURE_DIM floats from real pixels: per-channel means, gray
+    mean/std/min/max, aspect ratio — deterministic numpy float64."""
+    w, h, maxval, px = img
+    f = px.astype("float64") / float(maxval)
+    gray = f.mean(axis=2)
+    return [
+        float(f[..., 0].mean()),
+        float(f[..., 1].mean()),
+        float(f[..., 2].mean()),
+        float(gray.mean()),
+        float(gray.std()),
+        float(gray.min()),
+        float(gray.max()),
+        float(w) / float(h),
+    ]
+
+
+def _resize_ppm(img, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize of a parsed PPM, re-encoded as P6 —
+    index sampling (floor grid), deterministic on every platform."""
+    import numpy as np
+
+    w, h, maxval, px = img
+    rows = (np.arange(target_h) * h) // target_h
+    cols = (np.arange(target_w) * w) // target_w
+    out = px[rows][:, cols]
+    return f"P6\n{target_w} {target_h}\n{maxval}\n".encode() + out.tobytes()
 
 
 def decode_media(payload: bytes, kind: str) -> list[float]:
     """Decode one payload into a fixed-width feature vector.
 
-    Real implementation would dispatch on `kind` to PIL (image),
-    soundfile (audio), or av (video frame sampling). Those libraries
-    are unavailable here, so the deterministic fake derives features
-    from the md5 digest — stable across runs and engines, preserving
+    Image payloads in binary PPM (P6) decode for REAL — header parse,
+    pixel statistics — through the pure-numpy codec above.  Other
+    formats would dispatch on `kind` to PIL (image), soundfile
+    (audio), or av (video frame sampling); those libraries are
+    unavailable here, so the deterministic fake derives features from
+    the md5 digest — stable across runs and engines, preserving
     testability of everything around the codec."""
+    if kind == "image":
+        img = _parse_ppm(payload)
+        if img is not None:
+            return _ppm_features(img)
     if not _FAKE_DECODE:  # pragma: no cover — flipped on real deployments
         raise NotImplementedError(
             f"real {kind} decoding requires codec libraries (PIL/soundfile/av) "
@@ -99,37 +172,44 @@ def extract_features(media: DataFrame) -> DataFrame:
 def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize stage: (media_id, kind, payload, meta) → same layout
     with meta.width/height replaced and the payload re-encoded.
-    The real re-encode would call the codec (PIL .resize / ffmpeg
-    scale); the deterministic stand-in truncates-or-pads the payload
-    to the byte budget implied by the target dimensions, preserving
-    the invariant a real resize has: output size is a function of
-    target dims, not input size.
+    PPM (P6) image payloads resize for REAL — nearest-neighbor index
+    sampling in numpy, re-encoded as P6.  Other formats' re-encode
+    would call the codec (PIL .resize / ffmpeg scale); their
+    deterministic stand-in truncates-or-pads the payload to the byte
+    budget implied by the target dimensions, preserving the invariant
+    a real resize has: output size is a function of target dims, not
+    input size.
 
     Spark-side plumbing is the real thing: Arrow-batched mapInPandas,
     schema-stable, partition-preserving — payload bytes never
     shuffle. Aspect-ratio metadata math runs here (not in the codec)
-    so the plan carries it even with the stub."""
+    so the plan carries it even where the stand-in runs."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         budget = target_w * target_h  # 1 byte/px stand-in for the codec
         for pdf in it:
-            if not _FAKE_DECODE:  # pragma: no cover — real codec seam
-                raise NotImplementedError(
-                    "real resize requires codec libraries (PIL/av) "
-                    "not present in this environment"
-                )
-            payloads = [
-                (p or b"")[:budget].ljust(budget, b"\0") for p in pdf["payload"]
-            ]
+            payloads, formats = [], []
+            for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                img = _parse_ppm(p) if k == "image" else None
+                if img is not None:
+                    payloads.append(_resize_ppm(img, target_w, target_h))
+                    formats.append("ppm")
+                    continue
+                if not _FAKE_DECODE:  # pragma: no cover — real codec seam
+                    raise NotImplementedError(
+                        "real resize requires codec libraries (PIL/av) "
+                        "not present in this environment"
+                    )
+                payloads.append((p or b"")[:budget].ljust(budget, b"\0"))
+                formats.append((m or {}).get("format"))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload": payloads,
                     "meta": [
-                        {"width": target_w, "height": target_h,
-                         "format": (m or {}).get("format")}
-                        for m in pdf["meta"]
+                        {"width": target_w, "height": target_h, "format": fmt}
+                        for fmt in formats
                     ],
                 }
             )

@@ -635,3 +635,79 @@ def test_hashing_embeddings_compose_with_ann_operators(spark, tmp_path):
         seen.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert all(len(v) == lp.ANN_TOPK for v in seen.values())
     lp.release_caches()
+
+
+def _ppm_bytes(w, h, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    header = f"P6\n# comment line\n{w} {h}\n255\n".encode()
+    return header + px.tobytes(), px
+
+
+def test_ppm_decode_real_pixels():
+    """The built-in P6 codec decodes genuine pixels: features equal
+    hand-computed numpy statistics (channel means, gray stats, aspect
+    ratio), header comments parse, malformed payloads fall back to
+    the md5 stand-in instead of crashing."""
+    import numpy as np
+
+    payload, px = _ppm_bytes(6, 3, seed=1)
+    f = px.astype(np.float64) / 255.0
+    gray = f.mean(axis=2)
+    want = [
+        f[..., 0].mean(), f[..., 1].mean(), f[..., 2].mean(),
+        gray.mean(), gray.std(), gray.min(), gray.max(), 6.0 / 3.0,
+    ]
+    got = mm.decode_media(payload, "image")
+    assert got == [float(x) for x in want]
+    # malformed P6 header → stand-in path, not a crash
+    bad = mm.decode_media(b"P6\n0 0\n255\n", "image")
+    assert len(bad) == mm.FEATURE_DIM
+    # truncated pixel data → stand-in path
+    short = mm.decode_media(b"P6\n4 4\n255\nxx", "image")
+    assert len(short) == mm.FEATURE_DIM
+
+
+def test_ppm_pipeline_through_mapinpandas(spark):
+    """Real PPM payloads ride the Arrow-batched stages end to end:
+    extract_features emits the true pixel statistics, resize_media
+    nearest-neighbor-resamples and re-encodes P6 (dims, format, and
+    exact pixels all checked against a numpy reference); a non-PPM
+    row in the same batch takes the stand-in path untouched."""
+    import numpy as np
+
+    p1, px1 = _ppm_bytes(8, 4, seed=2)
+    p2, px2 = _ppm_bytes(5, 5, seed=3)
+    rows = [
+        (1, "image", bytearray(p1), (8, 4, "ppm")),
+        (2, "image", bytearray(p2), (5, 5, "ppm")),
+        (3, "text", bytearray(b"just text"), (9, 1, "utf-8")),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    feats = {r.media_id: r.features
+             for r in mm.extract_features(media).collect()}
+    f1 = px1.astype(np.float64) / 255.0
+    assert abs(feats[1][0] - f1[..., 0].mean()) < 1e-6
+    assert abs(feats[1][7] - 2.0) < 1e-6
+    assert feats[3] == [
+        np.float32(b / 255.0)
+        for b in __import__("hashlib").md5(b"just text").digest()[: mm.FEATURE_DIM]
+    ]
+
+    out = {r.media_id: r for r in mm.resize_media(media, 4, 2).collect()}
+    for mid, src in ((1, px1), (2, px2)):
+        img = mm._parse_ppm(bytes(out[mid].payload))
+        assert img is not None
+        w, h, maxval, got_px = img
+        assert (w, h, maxval) == (4, 2, 255)
+        rowsel = (np.arange(2) * src.shape[0]) // 2
+        colsel = (np.arange(4) * src.shape[1]) // 4
+        assert (got_px == src[rowsel][:, colsel]).all()
+        assert out[mid].meta.format == "ppm"
+        assert (out[mid].meta.width, out[mid].meta.height) == (4, 2)
+    # the text row keeps the byte-budget stand-in
+    assert len(bytes(out[3].payload)) == 8
+    assert out[3].meta.format == "utf-8"
