@@ -106,12 +106,83 @@ def _resize_ppm(img, target_w: int, target_h: int) -> bytes:
     return f"P6\n{target_w} {target_h}\n{maxval}\n".encode() + out.tobytes()
 
 
+def _parse_wav(payload: bytes):
+    """Minimal RIFF/WAVE parser: uncompressed PCM (format tag 1),
+    8- or 16-bit, any channel count (downmixed to mono by mean).
+    Walks the chunk list (word-aligned), so extra chunks (LIST, fact)
+    are tolerated.  Returns (sample_rate, n_channels, float64 mono
+    samples in [-1, 1]) or None when the payload is not such a WAV.
+    Pure numpy — no codec library."""
+    import numpy as np
+
+    if (
+        not payload
+        or len(payload) < 44
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        s = (
+            np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(
+                "float64"
+            )
+            / 32768.0
+        )
+    else:
+        s = (np.frombuffer(data, dtype=np.uint8).astype("float64") - 128.0) / 128.0
+    if n_ch > 1:
+        s = s[: (len(s) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    if len(s) == 0:
+        return None
+    return rate, n_ch, s
+
+
+def _wav_features(aud) -> list[float]:
+    """FEATURE_DIM floats from real samples: duration, RMS, mean,
+    peak, zero-crossing rate, normalized sample rate, channel count,
+    std — deterministic numpy float64."""
+    import numpy as np
+
+    rate, n_ch, s = aud
+    zc = float(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+    return [
+        float(len(s)) / float(rate),
+        float(np.sqrt((s * s).mean())),
+        float(s.mean()),
+        float(np.abs(s).max()),
+        zc / float(len(s)),
+        float(rate) / 48000.0,
+        float(n_ch),
+        float(s.std()),
+    ]
+
+
 def decode_media(payload: bytes, kind: str) -> list[float]:
     """Decode one payload into a fixed-width feature vector.
 
-    Image payloads in binary PPM (P6) decode for REAL — header parse,
-    pixel statistics — through the pure-numpy codec above.  Other
-    formats would dispatch on `kind` to PIL (image), soundfile
+    Image payloads in binary PPM (P6) and audio payloads in
+    uncompressed RIFF/WAVE PCM decode for REAL — header parse, pixel
+    or sample statistics — through the pure-numpy codecs above.
+    Other formats would dispatch on `kind` to PIL (image), soundfile
     (audio), or av (video frame sampling); those libraries are
     unavailable here, so the deterministic fake derives features from
     the md5 digest — stable across runs and engines, preserving
@@ -120,6 +191,10 @@ def decode_media(payload: bytes, kind: str) -> list[float]:
         img = _parse_ppm(payload)
         if img is not None:
             return _ppm_features(img)
+    if kind == "audio":
+        aud = _parse_wav(payload)
+        if aud is not None:
+            return _wav_features(aud)
     if not _FAKE_DECODE:  # pragma: no cover — flipped on real deployments
         raise NotImplementedError(
             f"real {kind} decoding requires codec libraries (PIL/soundfile/av) "

@@ -711,3 +711,51 @@ def test_ppm_pipeline_through_mapinpandas(spark):
     # the text row keeps the byte-budget stand-in
     assert len(bytes(out[3].payload)) == 8
     assert out[3].meta.format == "utf-8"
+
+
+def _wav_bytes(samples16, rate=8000, n_ch=1, extra_chunk=False):
+    import numpy as np
+
+    data = np.asarray(samples16, dtype="<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * n_ch * 2).to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if extra_chunk:
+        chunks += b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_decode_real_samples():
+    """The built-in PCM WAV codec decodes genuine samples: features
+    equal hand-computed numpy statistics, extra RIFF chunks are
+    tolerated, stereo downmixes to mono, and malformed payloads fall
+    back to the md5 stand-in."""
+    import numpy as np
+
+    t = np.arange(64)
+    sine = (np.sin(2 * np.pi * t / 16) * 16384).astype("<i2")
+    payload = _wav_bytes(sine, rate=8000, extra_chunk=True)
+    s = sine.astype(np.float64) / 32768.0
+    zc = float(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+    want = [
+        64 / 8000.0, float(np.sqrt((s * s).mean())), float(s.mean()),
+        float(np.abs(s).max()), zc / 64.0, 8000 / 48000.0, 1.0,
+        float(s.std()),
+    ]
+    assert mm.decode_media(payload, "audio") == want
+
+    # stereo downmix: L = sine, R = -sine -> silence
+    inter = np.empty(128, dtype="<i2")
+    inter[0::2], inter[1::2] = sine, -sine
+    st = mm.decode_media(_wav_bytes(inter, rate=8000, n_ch=2), "audio")
+    assert st[1] == 0.0 and st[6] == 2.0  # rms 0, 2 channels
+
+    # malformed -> stand-in path
+    assert len(mm.decode_media(b"RIFFxxxxWAVE", "audio")) == mm.FEATURE_DIM
+    # a WAV presented as kind=image also takes the stand-in
+    assert mm.decode_media(payload, "image") != want
