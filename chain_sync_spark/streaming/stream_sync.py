@@ -285,6 +285,11 @@ SHINGLE_STORE_TABLES = {
         " batch_id long"
     ),
 }
+WINNOW_STORE_TABLES = {
+    "fps": "doc_id long, h long",
+    "hdf": "h long, df long",
+    "pairs": "doc_a long, doc_b long, shared_fps long, batch_id long",
+}
 
 
 def _delta_path(store_dir: str, name: str, batch_id: int) -> str:
@@ -812,6 +817,126 @@ def run_stream_shingle_index(
             )
         finally:
             pos.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _winnow_capped_index(spark, store_dir: str) -> DataFrame:
+    """The stored (doc_id, h) fingerprint relation with boilerplate
+    fingerprints removed: h's total document frequency (summed over
+    the per-batch hdf deltas) must stay within WN_MAX_DF."""
+    from chain_sync_spark.operators.pipeline_extras import WN_MAX_DF
+
+    fps = read_store_table(spark, store_dir, "fps", WINNOW_STORE_TABLES["fps"])
+    hdf = read_store_table(spark, store_dir, "hdf", WINNOW_STORE_TABLES["hdf"])
+    cap = (
+        hdf.groupBy("h")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") <= WN_MAX_DF)
+        .select("h")
+    )
+    return fps.join(cap, "h", "left_semi")
+
+
+def probe_winnow_index(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Read-only near-dup probe against a run_stream_winnow_index
+    store: each input doc's winnowing fingerprint set is matched
+    against the STORED per-doc sets; pairs sharing >= WN_MIN_SHARED
+    non-boilerplate fingerprints are reported as (doc_a stored,
+    doc_b probed, shared_fps) — the MOSS serving path ("which stored
+    documents does this submission overlap?") without mutating the
+    index."""
+    from chain_sync_spark.operators.pipeline_extras import (
+        WN_MIN_SHARED,
+        winnow_fingerprints,
+    )
+
+    idx = _winnow_capped_index(spark, store_dir)
+    fp_b = winnow_fingerprints(docs.select("doc_id", "text"))
+    return (
+        idx.alias("a")
+        .join(fp_b.alias("b"), F.col("a.h") == F.col("b.h"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WN_MIN_SHARED)
+    )
+
+
+def run_stream_winnow_index(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuously-maintained winnowing fingerprint index — the
+    streaming twin of pipeline_extras.neardup_winnow_pairs and the
+    shape of a plagiarism/overlap service (MOSS): each micro-batch of
+    documents (doc_id, text) probes its fingerprint sets against the
+    STORED per-doc sets (boilerplate-capped), records the matched
+    pairs, and appends its own fingerprints plus per-hash document
+    frequency deltas.
+
+    Store layout (append-only commit — delta dirs + one atomic marker
+    replace per batch, crash-recoverable via _recover_append_store):
+      store_dir/fps/delta-<b>    (doc_id, h)   — per-doc fingerprints
+      store_dir/hdf/delta-<b>    (h, df)       — df deltas (read: SUM)
+      store_dir/pairs/delta-<b>  (doc_a, doc_b, shared_fps, batch_id)
+      store_dir/_rollup_commit.json            — commit point
+
+    The df cap is evaluated at PROBE time over the summed deltas, so
+    a fingerprint that becomes boilerplate later stops pairing without
+    any store rewrite.  In-batch pairs are intentionally not recorded
+    (the batch certifier covers the full-corpus form); commit IO is
+    O(batch); the stored index is ~1/WN_W of the gram stream."""
+    import os
+
+    from chain_sync_spark.operators.pipeline_extras import (
+        WN_MIN_SHARED,
+        winnow_fingerprints,
+    )
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_append_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return
+        spark = batch_df.sparkSession
+        fp_b = winnow_fingerprints(
+            batch_df.select("doc_id", "text")
+        ).persist()
+        try:
+            idx = _winnow_capped_index(spark, store_dir)
+            pairs = (
+                idx.alias("a")
+                .join(fp_b.alias("b"), F.col("a.h") == F.col("b.h"))
+                .groupBy(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .agg(F.count(F.lit(1)).alias("shared_fps"))
+                .filter(F.col("shared_fps") >= WN_MIN_SHARED)
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            hdf_delta = fp_b.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            _commit_append(
+                store_dir,
+                {"fps": fp_b, "hdf": hdf_delta, "pairs": pairs},
+                batch_id,
+                {"checkpoint": ckpt_id, "batch_id": batch_id},
+            )
+        finally:
+            fp_b.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_process)

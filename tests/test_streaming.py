@@ -1411,3 +1411,98 @@ def test_stream_shingle_index_matches_batch_incremental(spark, tmp_path):
         ).filter(F.col("batch_id") == 1).collect()
     }
     assert post == want
+
+
+def test_stream_winnow_index_serves_and_records_pairs(spark, tmp_path):
+    """Streamed winnowing index (the MOSS service shape): batch 2's
+    recorded pairs against the stored batch-1 fingerprints equal a
+    Python replica of capped-index matching; the pre-ingest read-only
+    probe agrees; replay appends nothing; the stored df deltas sum to
+    the true per-hash document frequencies."""
+    from collections import Counter
+
+    from chain_sync_spark.operators.pipeline_extras import (
+        WN_MAX_DF,
+        WN_MIN_SHARED,
+        winnow_fingerprints,
+    )
+    from chain_sync_spark.streaming.stream_sync import (
+        WINNOW_STORE_TABLES,
+        probe_winnow_index,
+        read_store_table,
+        run_stream_winnow_index,
+    )
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents").select("doc_id", "text")
+    first, second = docs.filter("doc_id < 250"), docs.filter("doc_id >= 250")
+
+    fp1, fp2 = {}, {}
+    for r in winnow_fingerprints(first).collect():
+        fp1.setdefault(r.doc_id, set()).add(r.h)
+    for r in winnow_fingerprints(second).collect():
+        fp2.setdefault(r.doc_id, set()).add(r.h)
+    df1 = Counter(h for s in fp1.values() for h in s)
+    idx = {d: {h for h in s if df1[h] <= WN_MAX_DF} for d, s in fp1.items()}
+    want = {}
+    for a, sa in idx.items():
+        for b, sb in fp2.items():
+            shared = len(sa & sb)
+            if shared >= WN_MIN_SHARED:
+                want[(a, b)] = shared
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    import glob
+    import shutil
+
+    def _add(df, stage, name):
+        df.coalesce(1).write.mode("overwrite").json(str(tmp_path / stage))
+        part = glob.glob(str(tmp_path / stage / "part-*.json"))[0]
+        shutil.copy(part, str(src / name))
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        run_stream_winnow_index(stream, store, ckpt).awaitTermination(180)
+
+    _add(first, "stage_1", "a.json")
+    _run()
+    probed = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in probe_winnow_index(spark, store, second).collect()
+    }
+    assert probed == want
+    _add(second, "stage_2", "b.json")
+    _run()
+    pairs = read_store_table(
+        spark, store, "pairs", WINNOW_STORE_TABLES["pairs"]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in pairs.filter(F.col("batch_id") == 1).collect()
+    }
+    assert got == want
+    assert pairs.filter(F.col("batch_id") == 0).count() == 0  # empty store
+    n_pairs = pairs.count()
+    _run()  # replay: no-op
+    assert read_store_table(
+        spark, store, "pairs", WINNOW_STORE_TABLES["pairs"]
+    ).count() == n_pairs
+    # df deltas sum to the true per-hash document frequencies
+    df_all = Counter(df1)
+    for s in fp2.values():
+        for h in s:
+            df_all[h] += 1
+    hdf = read_store_table(spark, store, "hdf", WINNOW_STORE_TABLES["hdf"])
+    got_df = {
+        r.h: r.total
+        for r in hdf.groupBy("h").agg(F.sum("df").alias("total")).collect()
+    }
+    assert got_df == dict(df_all)
