@@ -1890,12 +1890,85 @@ FROM hits h LEFT JOIN ck c ON h.key = c.fp
 # window is full — full implementation + DuckDB oracle +
 # dual-transport parity pytest now, a WINDOW slot at the next
 # recomposition.
+# ---------------------------------------------------------------------------
+# Tokenizer fertility under the frozen merge table (staged entrant)
+# ---------------------------------------------------------------------------
+
+def bpe_fertility_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility report under the FROZEN merge
+    table — the metric a mixture designer actually sizes corpora with:
+    training budgets are set in TOKENS, not characters, and
+    chars-per-token (tokenizer fertility) varies by domain, so the
+    per-source token totals + fertility ratios here are the input to
+    token-weighted mixture design (domain_mixture_weights weighs by
+    doc counts; this weighs by what the model will actually see).
+
+    Output is the round-5 integer contract: (source, n_docs,
+    total_tokens, total_chars, chars_per_token_micros,
+    tokens_per_doc_micros) — ratios in BIGINT micro-units via pure
+    integer arithmetic. Sources whose documents produce zero tokens
+    are absent by construction (no denominator exists).
+
+    Scale: bpe_encode_frozen's cost profile (vocabulary-sized
+    segmentation + one token→vocab join) followed by ONE map-side-
+    combined aggregate keyed on source — the report side adds no
+    corpus-sized shuffle beyond the encode itself. total_chars is
+    exact normalized-word chars reconstructed as sum(n·len(subword)):
+    BPE merges never cross word boundaries, so subword lengths
+    partition each word's characters."""
+    enc = bpe_encode_frozen(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = (
+        enc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum(F.col("n") * F.length("subword")).alias("total_chars"),
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_tokens",
+        "total_chars",
+        sk.ratio_micros("total_chars", "total_tokens").alias(
+            "chars_per_token_micros"
+        ),
+        sk.ratio_micros("total_tokens", "n_docs").alias(
+            "tokens_per_doc_micros"
+        ),
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    return f"""
+WITH enc AS (SELECT * FROM ({_bpe_encode_oracle()}) e0),
+agg AS (
+  SELECT d.source,
+         CAST(COUNT(DISTINCT enc.doc_id) AS BIGINT) AS n_docs,
+         CAST(SUM(enc.n) AS BIGINT) AS total_tokens,
+         CAST(SUM(enc.n * length(enc.subword)) AS BIGINT) AS total_chars
+  FROM enc JOIN documents d ON enc.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, total_tokens, total_chars,
+       {sk.ratio_micros_sql('total_chars', 'total_tokens')}
+         AS chars_per_token_micros,
+       {sk.ratio_micros_sql('total_tokens', 'n_docs')}
+         AS tokens_per_doc_micros
+FROM agg
+"""
+
+
 PENDING_QUERIES = {
     "cms_probe_terms": cms_probe_terms,
     "bloom_probe_fingerprints": bloom_probe_fingerprints,
+    "bpe_fertility_frozen": bpe_fertility_frozen,
 }
 
 PENDING_ORACLE = {
     "cms_probe_terms": _CMS_PROBE_ORACLE,
     "bloom_probe_fingerprints": _bloom_probe_oracle(),
+    "bpe_fertility_frozen": _bpe_fertility_oracle(),
 }

@@ -2707,14 +2707,112 @@ ORACLE = {
     "kmeans_assign_serving": _km_serve_oracle(),
 }
 
-# Staged round-9 entrant (registry.pending_queries): the round-8
-# window is full — full implementation + DuckDB oracle +
-# dual-transport parity pytest now, a WINDOW slot at the next
-# recomposition.
+# ---------------------------------------------------------------------------
+# ANN recall audit (staged entrant)
+# ---------------------------------------------------------------------------
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{ANN_TOPK} certification of the multi-probe LSH index
+    against brute-force cosine — the quality audit a production ANN
+    deployment runs before trusting the approximate path: for each
+    query, how many of the TRUE top-{ANN_TOPK} neighbors does the
+    Hamming<=1 probe set even reach?  Output (query_id, topk_n, hits,
+    recall_micros) is pure integer (hits = true neighbors whose
+    bucket is within Hamming 1 of the query's; recall_micros the
+    fixed-point ratio), so the audit is engine-exact, not a float
+    summary.
+
+    This is the measurement half of embedding_ann_multiprobe's
+    recall/cost dial: re-run with a Hamming-2 probe set and the
+    recall_micros delta prices the extra fan-out.
+
+    Scale: the ground-truth side is the bounded query sample
+    (ANN_QUERIES × ANN_TOPK rows — the standard sampled-recall
+    audit; exhaustive ground truth would be the all-pairs scan the
+    index exists to avoid). Buckets are one corpus map pass; the
+    50-row truth relation broadcasts to it, the query buckets
+    broadcast again, one tiny aggregate ends it. No corpus-sized
+    shuffle at all."""
+    topk = embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    bucket = F.lit(0)
+    for h in range(LSH_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[h]])
+        bucket = bucket + F.when(
+            sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)
+        ).otherwise(F.lit(0))
+    bucketed = emb.select("vec_id", bucket.alias("bucket"))
+    qb = bucketed.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("qbucket")
+    )
+    j = (
+        bucketed.join(
+            F.broadcast(topk), bucketed.vec_id == topk.neighbor_id
+        )
+        .select("query_id", F.col("bucket").alias("nbucket"))
+        .join(F.broadcast(qb), "query_id")
+    )
+    agg = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("topk_n"),
+        F.sum(
+            F.when(
+                F.bit_count(F.col("qbucket").bitwiseXOR(F.col("nbucket"))) <= 1,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("hits"),
+    )
+    return agg.select(
+        "query_id",
+        "topk_n",
+        "hits",
+        sk.ratio_micros("hits", "topk_n").alias("recall_micros"),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    bits = " + ".join(
+        f"CASE WHEN {sk.dot_sql('embedding', f'({HYPERPLANES[h]}::DOUBLE[])')} > 0"
+        f" THEN {1 << h} ELSE 0 END"
+        for h in range(LSH_PLANES)
+    )
+    return f"""
+WITH topk AS (
+  SELECT query_id, neighbor_id FROM ({_COSINE_TOPK_ORACLE}) t
+),
+bucketed AS (
+  SELECT vec_id, {bits} AS bucket FROM embeddings
+),
+j AS (
+  SELECT t.query_id,
+         CASE WHEN bit_count(xor(qb.bucket, nb.bucket)) <= 1
+              THEN 1 ELSE 0 END AS hit
+  FROM topk t
+  JOIN bucketed nb ON nb.vec_id = t.neighbor_id
+  JOIN bucketed qb ON qb.vec_id = t.query_id
+),
+agg AS (
+  SELECT query_id,
+         CAST(COUNT(*) AS BIGINT) AS topk_n,
+         CAST(SUM(hit) AS BIGINT) AS hits
+  FROM j GROUP BY query_id
+)
+SELECT query_id, topk_n, hits,
+       {sk.ratio_micros_sql('hits', 'topk_n')} AS recall_micros
+FROM agg
+"""
+
+
+# Staged entrants (registry.pending_queries): the round-8 window is
+# full — full implementation + DuckDB oracle + dual-transport parity
+# pytest now, a WINDOW slot at the next recomposition.
 PENDING_QUERIES = {
     "kmeans_centroids_fixedpoint": kmeans_centroids_fixedpoint,
+    "ann_recall_audit": ann_recall_audit,
 }
 
 PENDING_ORACLE = {
     "kmeans_centroids_fixedpoint": _km_centroids_oracle(),
+    "ann_recall_audit": _ann_recall_oracle(),
 }

@@ -1050,11 +1050,75 @@ HAVING COUNT(*) >= {WN_MIN_SHARED}
 """
 
 
+# ---------------------------------------------------------------------------
+# 11. Winnow family cluster step (staged round-9/10 entrant)
+# ---------------------------------------------------------------------------
+
+def winnow_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the winnowing pair graph — the
+    cluster step that completes the winnow family exactly as
+    neardup_clusters completes MinHash-LSH: each group of documents
+    transitively linked by >= {WN_MIN_SHARED} shared fingerprints
+    collapses to one component, labeled by its min doc_id. Output
+    (doc_id, cluster_id, cluster_size, is_canonical).
+
+    Unlike the probabilistic MinHash graph, winnow edges carry the
+    deterministic guarantee (any shared run of >= WN_W + WN_K - 1
+    tokens produces an edge), so the components are the documents a
+    MOSS-style service would report as one reuse group.
+
+    Scale: pair generation is the capped-fanout fingerprint join
+    (neardup_winnow_pairs); components use the shared
+    iterative min-label loop — one node-keyed shuffle join per round,
+    rounds = component diameter (reuse groups are small and dense),
+    lineage checkpointed. The oracle replays the fixpoint with a
+    recursive CTE."""
+    from chain_sync_spark.operators.llm_pipeline import connected_components
+
+    pairs = neardup_winnow_pairs(spark, sf_dir)
+    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = connected_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+_WINNOW_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE wpairs AS (
+  SELECT doc_a, doc_b FROM ({_WINNOW_ORACLE}) wp
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM wpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM wpairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+walk(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.dst AS doc_id, w.label
+  FROM walk w JOIN edges e ON w.doc_id = e.src
+),
+comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
+
+
 PENDING_QUERIES = {
     "dedup_token_spans": dedup_token_spans,
     "dedup_span_cut": dedup_span_cut,
     "dedup_incremental_spans": dedup_incremental_spans,
     "neardup_winnow_pairs": neardup_winnow_pairs,
+    "winnow_dup_clusters": winnow_dup_clusters,
 }
 
 PENDING_ORACLE = {
@@ -1062,6 +1126,7 @@ PENDING_ORACLE = {
     "dedup_span_cut": _CUT_ORACLE,
     "dedup_incremental_spans": _INCR_SPAN_ORACLE,
     "neardup_winnow_pairs": _WINNOW_ORACLE,
+    "winnow_dup_clusters": _WINNOW_CLUSTERS_ORACLE,
 }
 
 

@@ -38,12 +38,15 @@ Round-8 window composition (exactly 50):
 
 After a green round 8 the distribution is 50 r8 / 50 r7 / 40 r6;
 ``rotation_debt()`` below lists those 40 r6-latest names — they fill
-the round-9 window first, then the 7 staged entrants register
+the round-9 window first, then the 10 staged entrants register
 (cms_probe_terms, kmeans_centroids_fixedpoint, dedup_token_spans,
 dedup_span_cut, dedup_incremental_spans, bloom_probe_fingerprints,
-neardup_winnow_pairs — all dual-transport-certified at sf0.001 AND
-sf0.01 this round), leaving ~3 slots for round-9 impl-changed
-re-certs.
+neardup_winnow_pairs, winnow_dup_clusters, bpe_fertility_frozen,
+ann_recall_audit — all dual-transport-certified at sf0.001 AND
+sf0.01 this round), filling the window to exactly 50.  If a round-9
+impl change forces a re-cert, it displaces staged entrants from the
+END of that list (recall audit first) to round 10 — rotation debt
+and changed impls always outrank first registrations.
 
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level

@@ -473,3 +473,121 @@ def test_kmeans_centroids_fixedpoint_serializes_centroids(spark):
     for cid, comps in cents.items():
         assert fp[cid] == ",".join(str(x) for x in comps)
     lp.release_caches()
+
+
+# ---------------------------------------------------------------------------
+# winnow_dup_clusters (staged)
+# ---------------------------------------------------------------------------
+
+def test_winnow_clusters_hand_computed(spark, tmp_path):
+    """Known answer: A == B (20 shared tokens -> 6 shared fps), C
+    shares A/B's 10-token suffix run (>= WN_W + WN_K - 1 = 7 tokens,
+    so the winnowing guarantee forces shared fingerprints -> 2 each),
+    D is disjoint. Components: {1,2,3} labeled by min doc_id 1; D has
+    no edges and is absent (a cluster report lists linked docs only)."""
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    w = [f"tok{i:02d}" for i in range(20)]
+    a = " ".join(w)
+    c = " ".join(w[10:] + [f"uniq{i}" for i in range(10)])
+    d = " ".join(f"zzz{i}" for i in range(20))
+    spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, a, "en", "s", len(a)),
+         (3, c, "en", "s", len(c)), (4, d, "en", "s", len(d))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    pairs = sorted(
+        (r.doc_a, r.doc_b, r.shared_fps)
+        for r in px.neardup_winnow_pairs(spark, str(tmp_path)).collect()
+    )
+    assert pairs == [(1, 2, 6), (1, 3, 2), (2, 3, 2)]
+    got = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in px.winnow_dup_clusters(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 1, 3, True), (2, 1, 3, False), (3, 1, 3, False)]
+    lp.release_caches()
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_audit (staged)
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_audit_replica(spark):
+    """From-scratch float64 replica over the sf0.001 embeddings:
+    brute-force rounded-cosine top-k (left-fold dot, HALF_UP 4 dp,
+    neighbor-id tie-break — the op's exact ranking) and hyperplane
+    sign buckets, then per-query Hamming<=1 hit counts. Pins hits,
+    topk_n and the integer recall ratio."""
+    import math
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    embs = {
+        i: [float(x) for x in e]
+        for i, e in zip(ids, t.column("embedding").to_pylist())
+    }
+
+    def dot(a, b):
+        return sum(a[i] * b[i] for i in range(len(a)))  # left fold, f64
+
+    def rcos(a, b):
+        c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        return math.floor(c * 10_000 + 0.5) / 10_000
+
+    bucket = {}
+    for i, e in embs.items():
+        bucket[i] = sum(
+            1 << h
+            for h in range(lp.LSH_PLANES)
+            if dot(e, [float(v) for v in lp.HYPERPLANES[h]]) > 0
+        )
+    expected = {}
+    for q in range(lp.ANN_QUERIES):
+        scored = sorted(
+            ((-rcos(embs[q], embs[v]), v) for v in embs if v != q)
+        )[: lp.ANN_TOPK]
+        hits = sum(
+            1
+            for _, v in scored
+            if bin(bucket[q] ^ bucket[v]).count("1") <= 1
+        )
+        n = len(scored)
+        expected[q] = (n, hits, (hits * 1_000_000 * 2 + n) // (2 * n))
+    got = {
+        r.query_id: (r.topk_n, r.hits, r.recall_micros)
+        for r in lp.ann_recall_audit(spark, SF).collect()
+    }
+    assert got == expected
+    assert all(0 <= rec <= 1_000_000 for (_, _, rec) in got.values())
+
+
+# ---------------------------------------------------------------------------
+# bpe_fertility_frozen (staged)
+# ---------------------------------------------------------------------------
+
+def test_bpe_fertility_hand_computed(spark, tmp_path):
+    """Known answer under the frozen merges: 'er er in' -> tokens
+    [er, er, in] (3 tokens, 6 chars); 'stat' -> s,t,a,t --(s,t)-->
+    [st,a,t] --(a,t)--> [st,at] (2 tokens, 4 chars). Integer ratios
+    in micro-units."""
+    from chain_sync_spark.operators import corpus_ops as co
+
+    spark.createDataFrame(
+        [(1, "er er in", "en", "s1", 8), (2, "stat", "en", "s2", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: (
+            r.n_docs,
+            r.total_tokens,
+            r.total_chars,
+            r.chars_per_token_micros,
+            r.tokens_per_doc_micros,
+        )
+        for r in co.bpe_fertility_frozen(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "s1": (1, 3, 6, 2_000_000, 3_000_000),
+        "s2": (1, 2, 4, 2_000_000, 2_000_000),
+    }
