@@ -1307,6 +1307,127 @@ def probe_bloom(spark, store_dir: str, keys: list[str]) -> DataFrame:
     )
 
 
+_LM_STORE_SCHEMA = "w1 string, w2 string, cnt bigint"
+
+
+def _bigram_counts(docs: DataFrame) -> DataFrame:
+    """(w1, w2, cnt) bigram counts of a documents-shaped frame — the
+    shared tokenizer (corpus_ops._bigram_pairs over normalize→words),
+    so stored counts are interchangeable with every batch bigram
+    consumer."""
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.operators.corpus_ops import _bigram_pairs
+
+    d = docs.select(
+        "doc_id", sk.words(sk.normalize_text(F.col("text"))).alias("w")
+    )
+    return _bigram_pairs(d).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def run_stream_lm(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuously-maintained bigram language model — the streaming
+    twin of the corpus LM behind corpus_ops.lm_known_bigram_score /
+    ngram_lm_topk: each micro-batch of documents (doc_id, text) folds
+    its bigram counts in as an additive delta, so the stored model
+    always reflects everything ingested without ever rescanning
+    history.  This is the reference-LM maintenance loop of a rolling
+    quality filter: the model grows with the trusted corpus while
+    probe_lm scores each NEW crawl batch against it before admission.
+
+    Store layout (append-only commit — delta dirs + one atomic marker
+    replace per batch, crash-recoverable via _recover_append_store):
+      store_dir/bigrams/delta-<b>   (w1, w2, cnt) — read: SUM by key
+      store_dir/_rollup_commit.json               — commit point
+
+    Counts are additive, so deltas need no store read at commit time
+    (pure O(batch distinct bigrams) IO — cheaper than even the bloom
+    maintainer's read-merge-rewrite) and summing deltas at probe time
+    is exact regardless of batch boundaries.  The store grows with
+    DISTINCT bigrams (Zipf-bounded vocabulary², not corpus size);
+    compact_store folds the deltas when they accumulate — at cluster
+    scale both the store and the probe join are hash-partitioned on
+    (w1, w2), nothing broadcasts."""
+    import os
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_append_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return  # replayed batch under the same checkpoint — already merged
+        delta = _bigram_counts(batch_df)
+        _commit_append(
+            store_dir,
+            {"bigrams": delta},
+            batch_id,
+            {"checkpoint": ckpt_id, "batch_id": batch_id},
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def probe_lm(spark: SparkSession, store_dir: str, docs: DataFrame) -> DataFrame:
+    """Score a batch of documents (doc_id, text) against a streamed
+    bigram-LM store: per doc, the fraction of its bigrams "known" to
+    the stored model (summed count >= corpus_ops.LM_MIN_COUNT) — the
+    same integer contract as the batch scorer
+    (corpus_ops.lm_known_bigram_score: n_bigrams, n_known,
+    known_micros BIGINT, keep), so a probe over a store that folded
+    the whole corpus is decision-identical to the batch run.
+
+    Scale: ONE hash join of the batch's bigram rows against the
+    summed store keyed (w1, w2), then a map-side-combinable per-doc
+    aggregate; the document text never travels past the first
+    projection."""
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.operators.corpus_ops import (
+        LM_KEEP_MICROS,
+        LM_MIN_COUNT,
+        _bigram_pairs,
+    )
+
+    counts = (
+        read_store_table(spark, store_dir, "bigrams", _LM_STORE_SCHEMA)
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    d = docs.select(
+        "doc_id", sk.words(sk.normalize_text(F.col("text"))).alias("w")
+    )
+    pairs = _bigram_pairs(d, "doc_id")
+    micros = sk.ratio_micros("n_known", "n_bigrams")
+    return (
+        pairs.join(counts, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                (F.coalesce("cnt", F.lit(0).cast("long")) >= LM_MIN_COUNT)
+                .cast("long")
+            ).alias("n_known"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_known",
+            micros.alias("known_micros"),
+            (micros >= LM_KEEP_MICROS).alias("keep"),
+        )
+    )
+
+
 def run_stream_profile(
     stream_df: DataFrame,
     store_dir: str,

@@ -1506,3 +1506,100 @@ def test_stream_winnow_index_serves_and_records_pairs(spark, tmp_path):
         for r in hdf.groupBy("h").agg(F.sum("df").alias("total")).collect()
     }
     assert got_df == dict(df_all)
+
+
+def test_stream_lm_matches_batch_scorer(spark, tmp_path):
+    """Streamed bigram LM: a store that folded the whole corpus in
+    file-sized micro-batches scores every document decision-identical
+    to the batch scorer (lm_known_bigram_score), a replayed run on the
+    same checkpoint appends nothing, and compact_store folds the
+    deltas with every probe row unchanged."""
+    from chain_sync_spark.operators.corpus_ops import lm_known_bigram_score
+    from chain_sync_spark.streaming.stream_sync import (
+        _LM_STORE_SCHEMA,
+        compact_store,
+        probe_lm,
+        read_store_table,
+        run_stream_lm,
+    )
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        run_stream_lm(stream, store, ckpt).awaitTermination(120)
+
+    _run()
+    batch = {
+        r.doc_id: (r.n_bigrams, r.n_known, r.known_micros, r.keep)
+        for r in lm_known_bigram_score(spark, sf).collect()
+    }
+    served = {
+        r.doc_id: (r.n_bigrams, r.n_known, r.known_micros, r.keep)
+        for r in probe_lm(spark, store, docs).collect()
+    }
+    assert served == batch
+
+    n_rows = read_store_table(spark, store, "bigrams", _LM_STORE_SCHEMA).count()
+    _run()  # replay under the same checkpoint: no-op
+    assert (
+        read_store_table(spark, store, "bigrams", _LM_STORE_SCHEMA).count()
+        == n_rows
+    )
+
+    # compaction folds the three deltas into one base; probes unchanged
+    compact_store(spark, store, {"bigrams": _LM_STORE_SCHEMA})
+    assert {
+        r.doc_id: (r.n_bigrams, r.n_known, r.known_micros, r.keep)
+        for r in probe_lm(spark, store, docs).collect()
+    } == batch
+
+
+def test_stream_lm_scores_unseen_batch_against_history(spark, tmp_path):
+    """The rolling-quality-filter shape: the store holds only the
+    HISTORY corpus; a new doc made of stock history bigrams scores
+    keep=True, a garble doc of never-seen tokens scores 0 known — and
+    neither probe mutates the store."""
+    from chain_sync_spark.operators.corpus_ops import LM_MIN_COUNT
+    from chain_sync_spark.streaming.stream_sync import (
+        _LM_STORE_SCHEMA,
+        probe_lm,
+        read_store_table,
+        run_stream_lm,
+    )
+
+    # history: one stock bigram repeated past the known threshold
+    stock = " ".join(["alpha beta"] * LM_MIN_COUNT)
+    hist = spark.createDataFrame(
+        [(1, stock)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    hist.write.mode("overwrite").json(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(hist.schema).json(src)
+    run_stream_lm(stream, store, ckpt).awaitTermination(120)
+
+    probe = spark.createDataFrame(
+        [(100, "alpha beta alpha beta"), (101, "zzq qqz zzq qqz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_known, r.keep)
+        for r in probe_lm(spark, store, probe).collect()
+    }
+    # 'alpha beta' x2 + 'beta alpha' (count LM_MIN_COUNT-1, unknown)
+    assert got[100] == (3, 2, True)
+    assert got[101] == (3, 0, False)
+    n_rows = read_store_table(spark, store, "bigrams", _LM_STORE_SCHEMA).count()
+    assert n_rows == 2  # (alpha,beta), (beta,alpha) — probes appended nothing
