@@ -4,11 +4,14 @@ Images/audio/video ride through the pipeline as `binary` columns with
 a typed metadata struct — the lakehouse-standard layout (content
 column + sidecar metadata), so Spark never interprets the bytes until
 an explicit decode step. The decode itself is a `mapInPandas` stage:
-Arrow-batched, schema-stable, partition-parallel. One REAL codec is
-built in with no external dependencies: binary PPM (P6) images parse,
-feature-extract, and nearest-neighbor resize through pure numpy
-(`_parse_ppm` / `_resize_ppm`) — the reference implementation proving
-the seam end to end on genuine pixels. Richer codec libraries
+Arrow-batched, schema-stable, partition-parallel. THREE real codecs
+are built in with no external dependencies: binary PPM (P6) and
+uncompressed 24-bit BMP (BI_RGB) images parse, feature-extract, and
+nearest-neighbor resize through pure numpy (`_parse_ppm` /
+`_parse_bmp` / `_resize_px`; each format re-encodes as itself), and
+RIFF/WAVE PCM audio parses and feature-extracts (`_parse_wav`) — the
+reference implementations proving the seam end to end on genuine
+pixels and samples. Richer codec libraries
 (PIL / torchaudio / av) are NOT present in this environment, so for
 every other format the codec call is isolated behind `decode_media`:
 real decoding raises NotImplementedError with a clear message, and a
@@ -94,16 +97,114 @@ def _ppm_features(img) -> list[float]:
     ]
 
 
-def _resize_ppm(img, target_w: int, target_h: int) -> bytes:
-    """Nearest-neighbor resize of a parsed PPM, re-encoded as P6 —
-    index sampling (floor grid), deterministic on every platform."""
+def _resize_px(img, target_w: int, target_h: int):
+    """Nearest-neighbor resize of any parsed image tuple — index
+    sampling (floor grid), deterministic on every platform. Shared by
+    every image codec's resize path; each re-encodes as itself."""
     import numpy as np
 
     w, h, maxval, px = img
     rows = (np.arange(target_h) * h) // target_h
     cols = (np.arange(target_w) * w) // target_w
-    out = px[rows][:, cols]
-    return f"P6\n{target_w} {target_h}\n{maxval}\n".encode() + out.tobytes()
+    return target_w, target_h, maxval, px[rows][:, cols]
+
+
+def _encode_ppm(img) -> bytes:
+    """Re-encode a parsed image tuple as binary PPM (P6)."""
+    w, h, maxval, px = img
+    return f"P6\n{w} {h}\n{maxval}\n".encode() + px.tobytes()
+
+
+def _resize_ppm(img, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize of a parsed PPM, re-encoded as P6."""
+    return _encode_ppm(_resize_px(img, target_w, target_h))
+
+
+def _parse_bmp(payload: bytes):
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB):
+    returns the same (width, height, 255, H×W×3 uint8 RGB ndarray)
+    tuple as `_parse_ppm`, or None when the payload is not such a
+    BMP.  Handles the format's real quirks — rows padded to 4-byte
+    boundaries, bottom-up row order (positive height) vs top-down
+    (negative), BGR channel order — so features/resize code never
+    sees them.  Pure numpy — no codec library."""
+    import numpy as np
+
+    if not payload or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if (
+        hdr_size < 40
+        or planes != 1
+        or bpp != 24
+        or compression != 0  # BI_RGB only
+        or w <= 0
+        or h == 0
+        or off < 54
+    ):
+        return None
+    top_down = h < 0
+    h_abs = -h if top_down else h
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(payload) < off + row_bytes * h_abs:
+        return None  # truncated pixel data → not decodable
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h_abs, offset=off
+    )
+    px = data.reshape(h_abs, row_bytes)[:, : w * 3].reshape(h_abs, w, 3)
+    if not top_down:
+        px = px[::-1]  # bottom-up storage → natural top-down order
+    return w, h_abs, 255, px[..., ::-1]  # BGR → RGB
+
+
+def _encode_bmp(img) -> bytes:
+    """Re-encode a parsed image tuple as a bottom-up 24-bit BI_RGB
+    BMP — the inverse of `_parse_bmp` (parse∘encode is identity on
+    the pixel array)."""
+    import numpy as np
+
+    w, h, _maxval, px = img
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+    )
+    return header + info + data
+
+
+def _parse_image(payload: bytes):
+    """Dispatch across the built-in image codecs: (parsed, format) or
+    (None, None). New image codecs plug in here and in resize_media's
+    re-encode arm only."""
+    img = _parse_ppm(payload)
+    if img is not None:
+        return img, "ppm"
+    img = _parse_bmp(payload)
+    if img is not None:
+        return img, "bmp"
+    return None, None
 
 
 def _parse_wav(payload: bytes):
@@ -179,16 +280,17 @@ def _wav_features(aud) -> list[float]:
 def decode_media(payload: bytes, kind: str) -> list[float]:
     """Decode one payload into a fixed-width feature vector.
 
-    Image payloads in binary PPM (P6) and audio payloads in
-    uncompressed RIFF/WAVE PCM decode for REAL — header parse, pixel
-    or sample statistics — through the pure-numpy codecs above.
+    Image payloads in binary PPM (P6) or uncompressed 24-bit BMP and
+    audio payloads in uncompressed RIFF/WAVE PCM decode for REAL —
+    header parse, pixel or sample statistics — through the pure-numpy
+    codecs above.
     Other formats would dispatch on `kind` to PIL (image), soundfile
     (audio), or av (video frame sampling); those libraries are
     unavailable here, so the deterministic fake derives features from
     the md5 digest — stable across runs and engines, preserving
     testability of everything around the codec."""
     if kind == "image":
-        img = _parse_ppm(payload)
+        img, _fmt = _parse_image(payload)
         if img is not None:
             return _ppm_features(img)
     if kind == "audio":
@@ -247,8 +349,9 @@ def extract_features(media: DataFrame) -> DataFrame:
 def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize stage: (media_id, kind, payload, meta) → same layout
     with meta.width/height replaced and the payload re-encoded.
-    PPM (P6) image payloads resize for REAL — nearest-neighbor index
-    sampling in numpy, re-encoded as P6.  Other formats' re-encode
+    PPM (P6) and 24-bit BMP image payloads resize for REAL —
+    nearest-neighbor index sampling in numpy, each re-encoded as its
+    own format.  Other formats' re-encode
     would call the codec (PIL .resize / ffmpeg scale); their
     deterministic stand-in truncates-or-pads the payload to the byte
     budget implied by the target dimensions, preserving the invariant
@@ -265,10 +368,12 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
         for pdf in it:
             payloads, formats = [], []
             for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
-                img = _parse_ppm(p) if k == "image" else None
+                img, fmt = _parse_image(p) if k == "image" else (None, None)
                 if img is not None:
-                    payloads.append(_resize_ppm(img, target_w, target_h))
-                    formats.append("ppm")
+                    small = _resize_px(img, target_w, target_h)
+                    encode = _encode_bmp if fmt == "bmp" else _encode_ppm
+                    payloads.append(encode(small))
+                    formats.append(fmt)
                     continue
                 if not _FAKE_DECODE:  # pragma: no cover — real codec seam
                     raise NotImplementedError(

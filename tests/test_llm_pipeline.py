@@ -759,3 +759,90 @@ def test_wav_decode_real_samples():
     assert len(mm.decode_media(b"RIFFxxxxWAVE", "audio")) == mm.FEATURE_DIM
     # a WAV presented as kind=image also takes the stand-in
     assert mm.decode_media(payload, "image") != want
+
+
+def _bmp_bytes(w, h, seed=0, top_down=False):
+    """Hand-built 24-bit BI_RGB BMP: padded rows, BGR order, bottom-up
+    unless top_down. Returns (payload, RGB pixel array in natural
+    top-down order)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    stored = px if top_down else px[::-1]
+    body[:, : w * 3] = stored[..., ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2
+    )
+    header = (
+        b"BM" + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+    )
+    return header + info + data, px
+
+
+def test_bmp_decode_real_pixels():
+    """The built-in BMP codec handles the format's quirks — 4-byte
+    row padding (w=3 -> 12-byte rows with 3 pad bytes), bottom-up vs
+    top-down row order, BGR channels — and produces the SAME features
+    as the identical pixels in P6; malformed/truncated/8-bit payloads
+    fall back to the md5 stand-in."""
+    import numpy as np
+
+    payload, px = _bmp_bytes(3, 5, seed=7)          # w=3 forces padding
+    got = mm.decode_media(payload, "image")
+    ppm = b"P6\n3 5\n255\n" + px.tobytes()
+    assert got == mm.decode_media(ppm, "image")     # codec-independent features
+    f = px.astype(np.float64) / 255.0
+    assert abs(got[0] - f[..., 0].mean()) < 1e-12
+    assert got[7] == 3.0 / 5.0
+
+    td, px_td = _bmp_bytes(3, 5, seed=7, top_down=True)
+    assert mm.decode_media(td, "image") == got      # row order normalized
+    parsed = mm._parse_bmp(payload)
+    assert parsed is not None and (parsed[3] == px).all()
+
+    assert mm._parse_bmp(payload[:40]) is None      # truncated header
+    assert mm._parse_bmp(payload[:-4]) is None      # truncated pixels
+    bad_bpp = bytearray(payload); bad_bpp[28:30] = (8).to_bytes(2, "little")
+    assert mm._parse_bmp(bytes(bad_bpp)) is None    # 8-bit → not supported
+    assert len(mm.decode_media(payload[:-4], "image")) == mm.FEATURE_DIM
+
+
+def test_bmp_roundtrip_and_resize_pipeline(spark):
+    """parse∘encode is identity on pixels; through the Arrow stages a
+    BMP row resizes for real (exact nearest-neighbor reference) and
+    re-encodes as BMP while a PPM row in the same batch re-encodes as
+    P6 — each format stays itself."""
+    import numpy as np
+
+    bmp, bpx = _bmp_bytes(6, 4, seed=8)
+    assert mm._parse_bmp(mm._encode_bmp((6, 4, 255, bpx)))[3].tolist() == bpx.tolist()
+
+    ppm, ppx = _ppm_bytes(5, 5, seed=9)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), (6, 4, "bmp")),
+         (2, "image", bytearray(ppm), (5, 5, "ppm"))],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_media(media, 3, 2).collect()}
+    got = mm._parse_bmp(bytes(out[1].payload))
+    assert got is not None and out[1].meta.format == "bmp"
+    rowsel = (np.arange(2) * 4) // 2
+    colsel = (np.arange(3) * 6) // 3
+    assert (got[3] == bpx[rowsel][:, colsel]).all()
+    assert (got[0], got[1]) == (3, 2)
+    assert mm._parse_ppm(bytes(out[2].payload)) is not None
+    assert out[2].meta.format == "ppm"
+    feats = {r.media_id: r.features
+             for r in mm.extract_features(media).collect()}
+    fb = bpx.astype(np.float64) / 255.0
+    assert abs(feats[1][3] - fb.mean(axis=2).mean()) < 1e-6
