@@ -347,3 +347,68 @@ def test_neardup_winnow_pairs_matches_replica_random_batch(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture must actually produce candidate pairs"
+
+
+def test_winnow_dup_clusters_matches_union_find_replica(spark, tmp_path):
+    """Random dense docs — the connected components over the winnow
+    pair graph equal a from-scratch union-find over the replica's
+    pairs: same membership, min-id labels, sizes, canonical flags;
+    docs without edges stay absent."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(61)
+    # two disjoint vocabularies → cross-group edges are impossible, so
+    # the graph has >= 2 components and label separation is exercised
+    vocabs = ([f"t{i}" for i in range(3)], [f"u{i}" for i in range(3)])
+    rows, toks = [], {}
+    for d in range(40):
+        vocab = vocabs[d % 2]
+        n = rng.randint(0, 60)
+        ws = [rng.choice(vocab) for _ in range(n)]
+        toks[d] = ws
+        text = " ".join(ws)
+        rows.append((d, text, "en", "s", len(text)))
+    dpath = _write_docs(spark, tmp_path, rows)
+
+    K, W = px.WN_K, px.WN_W
+    fp = {}
+    for d, ws in toks.items():
+        g = [
+            _py_hash60("wn:" + " ".join(ws[i : i + K]))
+            for i in range(len(ws) - K + 1)
+        ]
+        fp[d] = {min(g[j : j + W]) for j in range(len(g) - W + 1)}
+    df = Counter(h for s in fp.values() for h in s)
+    fpc = {d: {h for h in s if df[h] <= px.WN_MAX_DF} for d, s in fp.items()}
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(fpc)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if len(fpc[a] & fpc[b]) >= px.WN_MIN_SHARED:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for d in parent:
+        comp.setdefault(find(d), set()).add(d)
+    want = {
+        d: (min(members), len(members), d == min(members))
+        for members in comp.values()
+        for d in members
+    }
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in px.winnow_dup_clusters(spark, dpath).collect()
+    }
+    assert got == want
+    assert len({c for c, _, _ in want.values()}) >= 2, "need >1 component"
