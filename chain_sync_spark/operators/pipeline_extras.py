@@ -1020,8 +1020,11 @@ def neardup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_ORACLE = f"""
-WITH dw AS (
+# Shared CTE text: documents → per-doc winnowing fingerprint sets
+# (the SQL rendering of winnow_fingerprints) — ONE definition for
+# every winnow-family oracle, so a tokenizer/windowing fix lands in
+# all of them at once.
+_WINNOW_FP_CTE = f"""dw AS (
   SELECT doc_id, {sk.WORDS_SQL.format(c=_NORM_SQL)} AS w FROM documents
 ),
 g AS (
@@ -1039,7 +1042,10 @@ c AS (
 ),
 fp AS (
   SELECT DISTINCT doc_id, wmin AS h FROM c WHERE pos <= n_grams - {WN_W}
-),
+)"""
+
+_WINNOW_ORACLE = f"""
+WITH {_WINNOW_FP_CTE},
 cap AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= {WN_MAX_DF}),
 fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN cap USING (h))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1113,12 +1119,90 @@ FROM comp
 """
 
 
+# ---------------------------------------------------------------------------
+# 12. Cross-source overlap matrix (staged round-10 entrant)
+# ---------------------------------------------------------------------------
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE containment matrix over winnowing fingerprints —
+    the corpus-curation view above the per-document pair reports:
+    for each ordered source pair (src_a, src_b), how much of src_a's
+    distinct fingerprint set also appears in src_b
+    (containment(A→B) = |fp(A) ∩ fp(B)| / |fp(A)|).  This is how a
+    crawl pipeline decides which snapshot/feed is redundant before
+    paying document-level dedup: a source 90%-contained in another is
+    a near-subset, and the asymmetry (A→B high, B→A low) says WHICH
+    one is the subset.  Output (src_a, src_b, shared_fps, a_fps,
+    contain_micros) — string/integer only; pairs sharing zero
+    fingerprints are absent by construction.
+
+    Scale: the fingerprint relation is the stored ~1/{WN_W}-sampled
+    winnow index; lifting it to SOURCE grain (distinct (source, h))
+    collapses per-document multiplicity FIRST, so the self-join's
+    per-hash fanout is bounded by the number of SOURCES, not
+    documents, and the result is at most sources² rows — corpus size
+    only enters through the one distinct pass."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sfp = (
+        winnow_fingerprints(d.select("doc_id", "text"))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    tot = sfp.groupBy("source").agg(F.count(F.lit(1)).alias("a_fps"))
+    a, b = sfp.alias("a"), sfp.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return shared.join(
+        F.broadcast(tot.withColumnRenamed("source", "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "shared_fps",
+        "a_fps",
+        sk.ratio_micros("shared_fps", "a_fps").alias("contain_micros"),
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH {_WINNOW_FP_CTE},
+sfp AS (
+  SELECT DISTINCT d.source, fp.h
+  FROM fp JOIN documents d USING (doc_id)
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS a_fps
+  FROM sfp GROUP BY source
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM sfp a JOIN sfp b ON a.h = b.h AND a.source <> b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.src_a, s.src_b, s.shared_fps, t.a_fps,
+       {sk.ratio_micros_sql('s.shared_fps', 't.a_fps')} AS contain_micros
+FROM shared s JOIN tot t ON s.src_a = t.source
+"""
+
+
 PENDING_QUERIES = {
     "dedup_token_spans": dedup_token_spans,
     "dedup_span_cut": dedup_span_cut,
     "dedup_incremental_spans": dedup_incremental_spans,
     "neardup_winnow_pairs": neardup_winnow_pairs,
     "winnow_dup_clusters": winnow_dup_clusters,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 PENDING_ORACLE = {
@@ -1127,6 +1211,7 @@ PENDING_ORACLE = {
     "dedup_incremental_spans": _INCR_SPAN_ORACLE,
     "neardup_winnow_pairs": _WINNOW_ORACLE,
     "winnow_dup_clusters": _WINNOW_CLUSTERS_ORACLE,
+    "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
 }
 
 

@@ -46,7 +46,10 @@ ann_recall_audit — all dual-transport-certified at sf0.001 AND
 sf0.01 this round), filling the window to exactly 50.  If a round-9
 impl change forces a re-cert, it displaces staged entrants from the
 END of that list (recall audit first) to round 10 — rotation debt
-and changed impls always outrank first registrations.
+and changed impls always outrank first registrations.  An 11th
+staged entrant, source_overlap_matrix (same full battery), is
+explicitly ROUND-10-queued: it stays in PENDING through the round-9
+recomposition and registers at round 10 with that round's debt.
 
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level

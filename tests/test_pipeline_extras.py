@@ -412,3 +412,48 @@ def test_winnow_dup_clusters_matches_union_find_replica(spark, tmp_path):
     }
     assert got == want
     assert len({c for c, _, _ in want.values()}) >= 2, "need >1 component"
+
+
+def test_source_overlap_matrix_containment_asymmetry(spark, tmp_path):
+    """Known answer: source s2 holds exactly one of s1's two disjoint
+    documents, so fp(s2) ⊂ fp(s1): containment s2→s1 is exactly
+    1.0 (1_000_000 micros) while s1→s2 is the strict subset ratio —
+    the asymmetry that identifies WHICH source is the near-subset.
+    Totals are pinned against the pure-python winnowing replica; a
+    disjoint third source never appears."""
+    import random
+
+    rng = random.Random(17)
+    t1 = " ".join(f"a{i}" for i in range(20))
+    t2 = " ".join(f"b{i}" for i in range(25))
+    t3 = " ".join(f"c{i}" for i in range(20))
+    dpath = _write_docs(spark, tmp_path, [
+        (1, t1, "en", "s1", len(t1)),
+        (2, t2, "en", "s1", len(t2)),
+        (3, t1, "en", "s2", len(t1)),
+        (4, t3, "en", "s3", len(t3)),
+    ])
+
+    K, W = px.WN_K, px.WN_W
+
+    def fps(text):
+        ws = text.split(" ")
+        g = [
+            _py_hash60("wn:" + " ".join(ws[i : i + K]))
+            for i in range(len(ws) - K + 1)
+        ]
+        return {min(g[j : j + W]) for j in range(len(g) - W + 1)}
+
+    f1, f2 = fps(t1), fps(t2)
+    assert not f1 & f2  # disjoint vocabularies -> disjoint fingerprints
+    n1, n12 = len(f1), len(f1 | f2)
+    got = {
+        (r.src_a, r.src_b): (r.shared_fps, r.a_fps, r.contain_micros)
+        for r in px.source_overlap_matrix(spark, dpath).collect()
+    }
+    micros = lambda num, den: (num * 2_000_000 + den) // (2 * den)  # noqa: E731
+    assert got == {
+        ("s2", "s1"): (n1, n1, 1_000_000),
+        ("s1", "s2"): (n1, n12, micros(n1, n12)),
+    }
+    assert got[("s1", "s2")][2] < 1_000_000  # strict-subset asymmetry
