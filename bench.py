@@ -94,6 +94,10 @@ EXTENDED_SET = [
     "dedup_span_cut",              # staged r9 (resolved via pending_queries)
     "dedup_incremental_spans",     # staged r9 (resolved via pending_queries)
     "neardup_winnow_pairs",        # staged r9 (resolved via pending_queries)
+    "winnow_dup_clusters",         # staged r9 (resolved via pending_queries)
+    "bpe_fertility_frozen",        # staged r9 (resolved via pending_queries)
+    "ann_recall_audit",            # staged r9 (resolved via pending_queries)
+    "source_overlap_matrix",       # staged r10 (resolved via pending_queries)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 
