@@ -332,3 +332,49 @@ def test_dedup_token_spans_matches_replica_random_batch(spark, tmp_path):
         for r in dedup_token_spans(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    top_down=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_parse_encode_roundtrip(w, h, top_down, seed):
+    """BMP codec roundtrip across every row-padding residue (w mod 4)
+    and both row orders: parse∘encode is the identity on pixels and
+    dims, and encode∘parse re-parses to the same pixels regardless of
+    the source payload's row order."""
+    import numpy as np
+
+    from chain_sync_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    enc = mm._encode_bmp((w, h, 255, px))
+    parsed = mm._parse_bmp(enc)
+    assert parsed is not None
+    pw, ph, maxval, got = parsed
+    assert (pw, ph, maxval) == (w, h, 255)
+    assert (got == px).all()
+    # a top-down source payload parses to the same natural-order pixels
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    stored = px if top_down else px[::-1]
+    body[:, : w * 3] = stored[..., ::-1].reshape(h, w * 3)
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body.tobytes()).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    payload = (
+        b"BM" + (54 + body.size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little") + info
+        + body.tobytes()
+    )
+    reparsed = mm._parse_bmp(payload)
+    assert reparsed is not None and (reparsed[3] == px).all()
