@@ -1603,3 +1603,44 @@ def test_stream_lm_scores_unseen_batch_against_history(spark, tmp_path):
     assert got[101] == (3, 0, False)
     n_rows = read_store_table(spark, store, "bigrams", _LM_STORE_SCHEMA).count()
     assert n_rows == 2  # (alpha,beta), (beta,alpha) — probes appended nothing
+
+
+def test_stream_lm_orphan_delta_invisible_and_recovered(spark, tmp_path):
+    """Crash window for the LM store: a delta dir written past the
+    committed marker (data landed, marker replace never ran) is
+    invisible to probes — its counts must not push a bigram over the
+    known threshold — and recovery deletes it so the replayed batch
+    can rewrite it cleanly."""
+    import os
+
+    from chain_sync_spark.operators.corpus_ops import LM_MIN_COUNT
+    from chain_sync_spark.streaming.stream_sync import (
+        _recover_append_store,
+        probe_lm,
+        run_stream_lm,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, " ".join(["alpha beta"] * LM_MIN_COUNT))],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    hist.write.mode("overwrite").json(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(hist.schema).json(src)
+    run_stream_lm(stream, store, ckpt).awaitTermination(120)
+
+    # orphan: enough 'gamma delta' mass to cross the threshold — but
+    # uncommitted, so the probe must keep scoring it unknown
+    orphan = f"{store}/bigrams/delta-00000099"
+    spark.createDataFrame(
+        [("gamma", "delta", LM_MIN_COUNT * 2)], "w1 string, w2 string, cnt bigint"
+    ).write.parquet(orphan)
+    probe = spark.createDataFrame(
+        [(7, "gamma delta gamma delta")], "doc_id long, text string"
+    )
+    got = probe_lm(spark, store, probe).collect()[0]
+    assert (got.n_bigrams, got.n_known, bool(got.keep)) == (3, 0, False)
+    _recover_append_store(store)
+    assert not os.path.isdir(orphan)
