@@ -442,7 +442,11 @@ def read_store_table(
 
 
 def compact_store(
-    spark: SparkSession, store_dir: str, tables: dict[str, str]
+    spark: SparkSession,
+    store_dir: str,
+    tables: dict[str, str],
+    *,
+    folds: dict | None = None,
 ) -> int:
     """Offline maintenance for an append-only store — the local
     analogue of lakehouse OPTIMIZE: fold every committed delta of each
@@ -453,6 +457,18 @@ def compact_store(
     stream; per-batch commits stay O(batch) because compaction is an
     explicit, occasional O(history) job — exactly the cost split a
     lakehouse gives you.
+
+    ``folds`` optionally maps a table name to a DataFrame→DataFrame
+    fold applied during compaction — for stores whose rows are
+    themselves mergeable, not just appendable (the LM store's
+    additive (w1, w2, cnt) counts: ``compact_lm_store`` collapses
+    duplicate keys so the base converges to GLOBAL-distinct size
+    instead of sum-of-batch-distinct).  A fold must be
+    read-equivalent: readers always aggregate across base+deltas
+    anyway, so folding changes the stored row count, never a probe
+    result.  Tables not named fold as plain row unions (the
+    append-only doc/pair stores, where every row is already
+    distinct).
 
     Safe to run between micro-batches of a STOPPED stream (single
     writer per store, like the stream itself).  Crash windows: a
@@ -474,6 +490,9 @@ def compact_store(
         return committed  # nothing newer than the last compaction
     for name, schema in tables.items():
         rows = read_store_table(spark, store_dir, name, schema)
+        fold = (folds or {}).get(name)
+        if fold is not None:
+            rows = fold(rows)
         staging = os.path.join(store_dir, name, f"{_COMPACT_PREFIX}staging")
         rows.write.mode("overwrite").parquet(staging)
         os.replace(
@@ -1375,6 +1394,26 @@ def run_stream_lm(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def compact_lm_store(spark: SparkSession, store_dir: str) -> int:
+    """LM-store maintenance: compact_store with the key-collapsing
+    fold — duplicate (w1, w2) rows across deltas sum into one, so the
+    compacted base holds GLOBAL-distinct bigrams instead of the
+    sum of per-batch distinct counts.  Read-equivalent by
+    construction (probe_lm sums by key over base+deltas either way);
+    this is the fold that stops a long-running LM store's row count
+    from growing with batch count."""
+    return compact_store(
+        spark,
+        store_dir,
+        {"bigrams": _LM_STORE_SCHEMA},
+        folds={
+            "bigrams": lambda df: df.groupBy("w1", "w2").agg(
+                F.sum("cnt").alias("cnt")
+            )
+        },
     )
 
 

@@ -1644,3 +1644,57 @@ def test_stream_lm_orphan_delta_invisible_and_recovered(spark, tmp_path):
     assert (got.n_bigrams, got.n_known, bool(got.keep)) == (3, 0, False)
     _recover_append_store(store)
     assert not os.path.isdir(orphan)
+
+
+def test_compact_lm_store_collapses_keys_probe_unchanged(spark, tmp_path):
+    """The key-collapsing LM compaction: after 3 overlapping batches
+    the compacted base holds exactly the GLOBAL-distinct bigrams (not
+    the sum of per-batch distincts), total mass is conserved, and
+    probe decisions are identical before/after."""
+    from chain_sync_spark.streaming.stream_sync import (
+        _LM_STORE_SCHEMA,
+        compact_lm_store,
+        probe_lm,
+        read_store_table,
+        run_stream_lm,
+    )
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    run_stream_lm(stream, store, ckpt).awaitTermination(120)
+
+    def _counts():
+        return {
+            (r.w1, r.w2): r.total
+            for r in read_store_table(spark, store, "bigrams", _LM_STORE_SCHEMA)
+            .groupBy("w1", "w2")
+            .agg(F.sum("cnt").alias("total"))
+            .collect()
+        }
+
+    before_rows = read_store_table(spark, store, "bigrams", _LM_STORE_SCHEMA).count()
+    before_counts = _counts()
+    before_probe = {
+        r.doc_id: (r.n_bigrams, r.n_known, r.known_micros, r.keep)
+        for r in probe_lm(spark, store, docs).collect()
+    }
+    assert before_rows > len(before_counts)  # overlap across batches
+
+    assert compact_lm_store(spark, store) == 2  # 3 batches: 0..2
+    after_rows = read_store_table(spark, store, "bigrams", _LM_STORE_SCHEMA).count()
+    assert after_rows == len(before_counts)  # one row per distinct key
+    assert _counts() == before_counts       # mass conserved
+    assert {
+        r.doc_id: (r.n_bigrams, r.n_known, r.known_micros, r.keep)
+        for r in probe_lm(spark, store, docs).collect()
+    } == before_probe
