@@ -4,14 +4,15 @@ Images/audio/video ride through the pipeline as `binary` columns with
 a typed metadata struct — the lakehouse-standard layout (content
 column + sidecar metadata), so Spark never interprets the bytes until
 an explicit decode step. The decode itself is a `mapInPandas` stage:
-Arrow-batched, schema-stable, partition-parallel. THREE real codecs
-are built in with no external dependencies: binary PPM (P6) and
+Arrow-batched, schema-stable, partition-parallel. FOUR real codecs
+are built in with no external dependencies: binary PPM (P6), binary
+PGM (P5 grayscale, replicated to the shared RGB tuple) and
 uncompressed 24-bit BMP (BI_RGB) images parse, feature-extract, and
-nearest-neighbor resize through pure numpy (`_parse_ppm` /
-`_parse_bmp` / `_resize_px`; each format re-encodes as itself), and
-RIFF/WAVE PCM audio parses and feature-extracts (`_parse_wav`) — the
-reference implementations proving the seam end to end on genuine
-pixels and samples. Richer codec libraries
+nearest-neighbor resize through pure numpy (`_parse_image` dispatch /
+`_resize_px`; each format re-encodes as itself), and RIFF/WAVE PCM
+audio parses and feature-extracts (`_parse_wav`) — the reference
+implementations proving the seam end to end on genuine pixels and
+samples. Richer codec libraries
 (PIL / torchaudio / av) are NOT present in this environment, so for
 every other format the codec call is isolated behind `decode_media`:
 real decoding raises NotImplementedError with a clear message, and a
@@ -46,17 +47,14 @@ FEATURES_SCHEMA = f"media_id long, n_bytes int, features array<float>"
 _FAKE_DECODE = True  # non-PPM codec libs absent — see module docstring
 
 
-def _parse_ppm(payload: bytes):
-    """Parse a binary PPM (P6): returns (width, height, maxval,
-    H×W×3 uint8 ndarray) or None when the payload is not P6.  Full
-    header grammar: magic, then three whitespace-separated integers
-    with '#' comments allowed, then ONE whitespace byte before the
-    raw sample data.  Pure numpy — no codec library."""
-    import numpy as np
-
-    if not payload or not payload.startswith(b"P6"):
+def _pnm_header(payload: bytes, magic: bytes):
+    """Shared binary-PNM header walk: magic, then three whitespace-
+    separated integers with '#' comments allowed, then ONE whitespace
+    byte before the raw sample data.  Returns (w, h, maxval,
+    data_offset) or None on any malformation."""
+    if not payload or not payload.startswith(magic):
         return None
-    i, vals = 2, []
+    i, vals = len(magic), []
     try:
         while len(vals) < 3:
             while i < len(payload) and payload[i : i + 1].isspace():
@@ -73,10 +71,45 @@ def _parse_ppm(payload: bytes):
         w, h, maxval = vals
         if w <= 0 or h <= 0 or not 0 < maxval < 256:
             return None
-        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-        return w, h, maxval, data.reshape(h, w, 3)
+        return w, h, maxval, i
     except (ValueError, IndexError):
-        return None  # malformed header/short payload → not decodable
+        return None  # malformed header → not decodable
+
+
+def _parse_ppm(payload: bytes):
+    """Parse a binary PPM (P6): returns (width, height, maxval,
+    H×W×3 uint8 ndarray) or None when the payload is not P6.
+    Pure numpy — no codec library."""
+    import numpy as np
+
+    hdr = _pnm_header(payload, b"P6")
+    if hdr is None:
+        return None
+    w, h, maxval, i = hdr
+    try:
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    except ValueError:
+        return None  # short pixel data → not decodable
+    return w, h, maxval, data.reshape(h, w, 3)
+
+
+def _parse_pgm(payload: bytes):
+    """Parse a binary PGM (P5, grayscale): same header grammar as P6,
+    one byte per pixel.  Returns the SAME (width, height, maxval,
+    H×W×3 ndarray) tuple as the color codecs — the gray plane
+    replicated across channels — so features and resize apply
+    unchanged (all three channel means equal the gray mean)."""
+    import numpy as np
+
+    hdr = _pnm_header(payload, b"P5")
+    if hdr is None:
+        return None
+    w, h, maxval, i = hdr
+    try:
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i)
+    except ValueError:
+        return None  # short pixel data → not decodable
+    return w, h, maxval, np.repeat(data.reshape(h, w, 1), 3, axis=2)
 
 
 def _ppm_features(img) -> list[float]:
@@ -113,6 +146,14 @@ def _encode_ppm(img) -> bytes:
     """Re-encode a parsed image tuple as binary PPM (P6)."""
     w, h, maxval, px = img
     return f"P6\n{w} {h}\n{maxval}\n".encode() + px.tobytes()
+
+
+def _encode_pgm(img) -> bytes:
+    """Re-encode a parsed image tuple as binary PGM (P5) — the red
+    plane, which for anything parsed FROM a PGM is the gray plane
+    (all three channels are replicas)."""
+    w, h, maxval, px = img
+    return f"P5\n{w} {h}\n{maxval}\n".encode() + px[..., 0].tobytes()
 
 
 def _resize_ppm(img, target_w: int, target_h: int) -> bytes:
@@ -201,6 +242,9 @@ def _parse_image(payload: bytes):
     img = _parse_ppm(payload)
     if img is not None:
         return img, "ppm"
+    img = _parse_pgm(payload)
+    if img is not None:
+        return img, "pgm"
     img = _parse_bmp(payload)
     if img is not None:
         return img, "bmp"
@@ -280,10 +324,10 @@ def _wav_features(aud) -> list[float]:
 def decode_media(payload: bytes, kind: str) -> list[float]:
     """Decode one payload into a fixed-width feature vector.
 
-    Image payloads in binary PPM (P6) or uncompressed 24-bit BMP and
-    audio payloads in uncompressed RIFF/WAVE PCM decode for REAL —
-    header parse, pixel or sample statistics — through the pure-numpy
-    codecs above.
+    Image payloads in binary PPM (P6), binary PGM (P5) or
+    uncompressed 24-bit BMP and audio payloads in uncompressed
+    RIFF/WAVE PCM decode for REAL — header parse, pixel or sample
+    statistics — through the pure-numpy codecs above.
     Other formats would dispatch on `kind` to PIL (image), soundfile
     (audio), or av (video frame sampling); those libraries are
     unavailable here, so the deterministic fake derives features from
@@ -371,7 +415,9 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 img, fmt = _parse_image(p) if k == "image" else (None, None)
                 if img is not None:
                     small = _resize_px(img, target_w, target_h)
-                    encode = _encode_bmp if fmt == "bmp" else _encode_ppm
+                    encode = {"bmp": _encode_bmp, "pgm": _encode_pgm}.get(
+                        fmt, _encode_ppm
+                    )
                     payloads.append(encode(small))
                     formats.append(fmt)
                     continue

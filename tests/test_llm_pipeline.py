@@ -846,3 +846,39 @@ def test_bmp_roundtrip_and_resize_pipeline(spark):
              for r in mm.extract_features(media).collect()}
     fb = bpx.astype(np.float64) / 255.0
     assert abs(feats[1][3] - fb.mean(axis=2).mean()) < 1e-6
+
+
+def test_pgm_decode_resize_and_gray_equivalence(spark):
+    """The P5 grayscale codec: features equal the P6 encoding of the
+    same gray pixels (channel means == gray mean), header comments
+    parse, resize re-encodes as P5 with exact nearest-neighbor
+    pixels, a P5 row and a P6 row coexist in one Arrow batch, and
+    malformed/truncated payloads fall back to the stand-in."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(4, 6), dtype=np.uint8)
+    pgm = b"P5\n# c\n6 4\n255\n" + gray.tobytes()
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    ppm = b"P6\n6 4\n255\n" + rgb.tobytes()
+    got = mm.decode_media(pgm, "image")
+    assert got == mm.decode_media(ppm, "image")
+    assert got[0] == got[1] == got[2] == got[3]  # channels == gray mean
+
+    p2, px2 = _ppm_bytes(5, 5, seed=12)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(pgm), (6, 4, "pgm")),
+         (2, "image", bytearray(p2), (5, 5, "ppm"))],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_media(media, 3, 2).collect()}
+    small = mm._parse_pgm(bytes(out[1].payload))
+    assert small is not None and out[1].meta.format == "pgm"
+    rowsel = (np.arange(2) * 4) // 2
+    colsel = (np.arange(3) * 6) // 3
+    assert (small[3][..., 0] == gray[rowsel][:, colsel]).all()
+    assert mm._parse_ppm(bytes(out[2].payload)) is not None
+    assert out[2].meta.format == "ppm"
+
+    assert mm._parse_pgm(b"P5\n0 0\n255\n") is None
+    assert len(mm.decode_media(b"P5\n4 4\n255\nxx", "image")) == mm.FEATURE_DIM
