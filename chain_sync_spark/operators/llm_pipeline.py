@@ -2711,7 +2711,9 @@ ORACLE = {
 # ANN recall audit (staged entrant)
 # ---------------------------------------------------------------------------
 
-def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall_audit(
+    spark: SparkSession, sf_dir: str, *, max_hamming: int = 1
+) -> DataFrame:
     """Recall@{ANN_TOPK} certification of the multi-probe LSH index
     against brute-force cosine — the quality audit a production ANN
     deployment runs before trusting the approximate path: for each
@@ -2723,8 +2725,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary.
 
     This is the measurement half of embedding_ann_multiprobe's
-    recall/cost dial: re-run with a Hamming-2 probe set and the
-    recall_micros delta prices the extra fan-out.
+    recall/cost dial: ``max_hamming`` IS the dial (the registry form
+    audits the default Hamming<=1 probe set; re-run at 2 and the
+    recall_micros delta prices the extra fan-out — recall is
+    monotone in the radius, a pytest-pinned property).
 
     Scale: the ground-truth side is the bounded query sample
     (ANN_QUERIES × ANN_TOPK rows — the standard sampled-recall
@@ -2758,7 +2762,8 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("topk_n"),
         F.sum(
             F.when(
-                F.bit_count(F.col("qbucket").bitwiseXOR(F.col("nbucket"))) <= 1,
+                F.bit_count(F.col("qbucket").bitwiseXOR(F.col("nbucket")))
+                <= F.lit(max_hamming),
                 F.lit(1),
             ).otherwise(F.lit(0))
         ).alias("hits"),

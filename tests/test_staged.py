@@ -591,3 +591,26 @@ def test_bpe_fertility_hand_computed(spark, tmp_path):
         "s1": (1, 3, 6, 2_000_000, 3_000_000),
         "s2": (1, 2, 4, 2_000_000, 2_000_000),
     }
+
+
+def test_ann_recall_monotone_in_probe_radius(spark):
+    """The recall/cost dial: per query, hits at Hamming<=2 >= hits at
+    Hamming<=1 >= hits at Hamming<=0, and the full-radius audit
+    (max_hamming = LSH_PLANES) reaches recall 1.0 for every query —
+    every bucket is within LSH_PLANES bit flips of any other."""
+    by_radius = {
+        r: {
+            row.query_id: row.hits
+            for row in lp.ann_recall_audit(spark, SF, max_hamming=r).collect()
+        }
+        for r in (0, 1, 2, lp.LSH_PLANES)
+    }
+    for q in by_radius[1]:
+        assert by_radius[0][q] <= by_radius[1][q] <= by_radius[2][q]
+    full = {
+        row.query_id: row.recall_micros
+        for row in lp.ann_recall_audit(
+            spark, SF, max_hamming=lp.LSH_PLANES
+        ).collect()
+    }
+    assert all(v == 1_000_000 for v in full.values())
