@@ -4,15 +4,18 @@ Images/audio/video ride through the pipeline as `binary` columns with
 a typed metadata struct — the lakehouse-standard layout (content
 column + sidecar metadata), so Spark never interprets the bytes until
 an explicit decode step. The decode itself is a `mapInPandas` stage:
-Arrow-batched, schema-stable, partition-parallel. FOUR real codecs
+Arrow-batched, schema-stable, partition-parallel. FIVE real codecs
 are built in with no external dependencies: binary PPM (P6), binary
-PGM (P5 grayscale, replicated to the shared RGB tuple) and
-uncompressed 24-bit BMP (BI_RGB) images parse, feature-extract, and
-nearest-neighbor resize through pure numpy (`_parse_image` dispatch /
-`_resize_px`; each format re-encodes as itself), and RIFF/WAVE PCM
-audio parses and feature-extracts (`_parse_wav`) — the reference
-implementations proving the seam end to end on genuine pixels and
-samples. Richer codec libraries
+PGM (P5 grayscale, replicated to the shared RGB tuple), uncompressed
+24-bit BMP (BI_RGB), and GIF87a/89a (full LZW decode — variable code
+widths, CLEAR/EOI, 12-bit cap — plus extensions, local color tables
+and interlacing; re-encode through a real LZW compressor) images
+parse, feature-extract, and nearest-neighbor resize through pure
+python/numpy (`_parse_image` dispatch / `_resize_px`; each format
+re-encodes as itself, GIF by resizing the INDEX matrix under its own
+color table), and RIFF/WAVE PCM audio parses and feature-extracts
+(`_parse_wav`) — the reference implementations proving the seam end
+to end on genuine pixels and samples. Richer codec libraries
 (PIL / torchaudio / av) are NOT present in this environment, so for
 every other format the codec call is isolated behind `decode_media`:
 real decoding raises NotImplementedError with a clear message, and a
@@ -235,6 +238,237 @@ def _encode_bmp(img) -> bytes:
     return header + info + data
 
 
+def _gif_subblocks(payload: bytes, i: int):
+    """Concatenate a GIF sub-block chain starting at offset ``i``:
+    returns (bytes, offset_after_terminator) or None if truncated."""
+    parts = []
+    while True:
+        if i >= len(payload):
+            return None
+        n = payload[i]
+        i += 1
+        if n == 0:
+            return b"".join(parts), i
+        if i + n > len(payload):
+            return None
+        parts.append(payload[i : i + n])
+        i += n
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int):
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/EOI
+    codes, 12-bit cap).  Returns exactly ``n_pixels`` indices or None
+    on any malformation."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table: list[bytes] = [bytes([c]) for c in range(clear)] + [b"", b""]
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out of codes before n_pixels
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([c]) for c in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return None  # EOI before the pixel count filled
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # code beyond the table → corrupt stream
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return list(out[:n_pixels])
+
+
+# Interlaced GIF row passes: (start, step) in output row order.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _parse_gif_indexed(payload: bytes):
+    """Parse a GIF87a/89a's FIRST image frame in its native indexed
+    form: returns (width, height, palette bytes, H×W uint8 index
+    ndarray) or None.  Walks extensions, honors a local color table
+    override, de-interlaces.  Pure python/numpy — no codec library."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[i : i + n]
+        if len(gct) < n:
+            return None
+        i += n
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: label byte + sub-block chain
+            sb = _gif_subblocks(payload, i + 2)
+            if sb is None:
+                return None
+            i = sb[1]
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                return None
+            w = int.from_bytes(payload[i + 5 : i + 7], "little")
+            h = int.from_bytes(payload[i + 7 : i + 9], "little")
+            ipacked = payload[i + 9]
+            i += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table overrides
+                n = 3 * (2 << (ipacked & 0x07))
+                ct = payload[i : i + n]
+                if len(ct) < n:
+                    return None
+                i += n
+            if w <= 0 or h <= 0 or ct is None or i >= len(payload):
+                return None
+            min_code = payload[i]
+            if not 2 <= min_code <= 11:
+                return None  # widths would exceed the 12-bit cap
+            sb = _gif_subblocks(payload, i + 1)
+            if sb is None:
+                return None
+            idx = _lzw_decode(sb[0], min_code, w * h)
+            if idx is None or max(idx) * 3 >= len(ct):
+                return None
+            arr = np.asarray(idx, dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: reorder the 4 passes
+                order = [
+                    r
+                    for start, step in _GIF_INTERLACE
+                    for r in range(start, h, step)
+                ]
+                fixed = np.empty_like(arr)
+                fixed[order] = arr
+                arr = fixed
+            return w, h, ct, arr
+        elif b == 0x3B:
+            return None  # trailer before any image frame
+        else:
+            return None  # unknown block type → corrupt
+    return None
+
+
+def _parse_gif(payload: bytes):
+    """GIF → the shared (width, height, 255, H×W×3 RGB uint8) image
+    tuple: first frame's indices looked up through its color table."""
+    import numpy as np
+
+    g = _parse_gif_indexed(payload)
+    if g is None:
+        return None
+    w, h, ct, idx = g
+    pal = np.frombuffer(ct, dtype=np.uint8)
+    pal = pal[: 3 * (len(pal) // 3)].reshape(-1, 3)
+    return w, h, 255, pal[idx]
+
+
+def _encode_gif(palette: bytes, idx) -> bytes:
+    """Encode an indexed image as a single-frame GIF87a with a global
+    color table and REAL LZW compression — the inverse of
+    `_parse_gif_indexed` (parse∘encode is identity on palette-padded
+    indices).  Pure python."""
+    import numpy as np
+
+    h, w = idx.shape
+    # GCT size must be a power of two ≥ palette entries (min 2 bits
+    # so min_code ≥ 2, the LZW floor)
+    n_entries = max(4, len(palette) // 3)
+    bits = max(2, (n_entries - 1).bit_length())
+    ct = palette.ljust(3 * (1 << bits), b"\x00")[: 3 * (1 << bits)]
+    min_code = bits
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    # LZW encode (dict on byte strings, 12-bit cap, CLEAR on overflow)
+    codes = [clear]
+    table = {bytes([c]): c for c in range(clear)}
+    next_code = eoi + 1
+    run = b""
+    for px in np.asarray(idx, dtype=np.uint8).ravel().tobytes():
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        codes.append(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = {bytes([c]): c for c in range(clear)}
+            next_code = eoi + 1
+        run = bytes([px])
+    if run:
+        codes.append(table[run])
+    codes.append(eoi)
+    # pack codes LSB-first, widening exactly when the DECODER widens:
+    # after it has added entry (1 << width) - 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+    decoder_table = clear + 2
+    first_after_clear = True  # decoder adds NO entry for that code
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width = min_code + 1
+            decoder_table = clear + 2
+            first_after_clear = True
+        elif code != eoi:
+            if first_after_clear:
+                first_after_clear = False
+            elif decoder_table < 4096:
+                decoder_table += 1
+                if decoder_table == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    blocks = bytearray()
+    for j in range(0, len(out), 255):
+        chunk = out[j : j + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    header = (
+        b"GIF87a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), 0, 0])
+        + ct
+        + b"\x2c"
+        + (0).to_bytes(2, "little") * 2
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([min_code])
+    )
+    return bytes(header) + bytes(blocks) + b"\x3b"
+
+
 def _parse_image(payload: bytes):
     """Dispatch across the built-in image codecs: (parsed, format) or
     (None, None). New image codecs plug in here and in resize_media's
@@ -248,6 +482,9 @@ def _parse_image(payload: bytes):
     img = _parse_bmp(payload)
     if img is not None:
         return img, "bmp"
+    img = _parse_gif(payload)
+    if img is not None:
+        return img, "gif"
     return None, None
 
 
@@ -324,10 +561,11 @@ def _wav_features(aud) -> list[float]:
 def decode_media(payload: bytes, kind: str) -> list[float]:
     """Decode one payload into a fixed-width feature vector.
 
-    Image payloads in binary PPM (P6), binary PGM (P5) or
-    uncompressed 24-bit BMP and audio payloads in uncompressed
-    RIFF/WAVE PCM decode for REAL — header parse, pixel or sample
-    statistics — through the pure-numpy codecs above.
+    Image payloads in binary PPM (P6), binary PGM (P5), uncompressed
+    24-bit BMP or GIF and audio payloads in uncompressed RIFF/WAVE
+    PCM decode for REAL — header parse (LZW decompression for GIF),
+    pixel or sample statistics — through the pure-python codecs
+    above.
     Other formats would dispatch on `kind` to PIL (image), soundfile
     (audio), or av (video frame sampling); those libraries are
     unavailable here, so the deterministic fake derives features from
@@ -414,6 +652,18 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
                 img, fmt = _parse_image(p) if k == "image" else (None, None)
                 if img is not None:
+                    if fmt == "gif":
+                        # resize the INDEX matrix and keep the color
+                        # table — nearest-neighbor on an indexed image
+                        # never invents colors, so no quantization
+                        import numpy as np
+
+                        gw, gh, ct, gidx = _parse_gif_indexed(p)
+                        rows = (np.arange(target_h) * gh) // target_h
+                        cols = (np.arange(target_w) * gw) // target_w
+                        payloads.append(_encode_gif(ct, gidx[rows][:, cols]))
+                        formats.append(fmt)
+                        continue
                     small = _resize_px(img, target_w, target_h)
                     encode = {"bmp": _encode_bmp, "pgm": _encode_pgm}.get(
                         fmt, _encode_ppm

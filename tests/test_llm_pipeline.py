@@ -882,3 +882,106 @@ def test_pgm_decode_resize_and_gray_equivalence(spark):
 
     assert mm._parse_pgm(b"P5\n0 0\n255\n") is None
     assert len(mm.decode_media(b"P5\n4 4\n255\nxx", "image")) == mm.FEATURE_DIM
+
+
+def _gif_payload(n_colors, w, h, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    palette = bytes(rng.randint(0, 256, size=3 * n_colors, dtype=np.uint8))
+    idx = rng.randint(0, n_colors, size=(h, w), dtype=np.uint8)
+    return mm._encode_gif(palette, idx), palette, idx
+
+
+def test_gif_lzw_roundtrip_and_feature_parity():
+    """The GIF codec end to end: encode∘parse is the identity on
+    indices through LZW width growth (6 colors → 3-bit codes growing
+    to 4, 5, 6... over 1200 pixels) AND through the 4096-entry table
+    overflow (4800 random pixels force a mid-stream CLEAR); features
+    equal the identical pixels encoded as P6; truncated and corrupt
+    payloads fall back to the stand-in."""
+    import numpy as np
+
+    payload, palette, idx = _gif_payload(6, 40, 30, seed=21)
+    parsed = mm._parse_gif_indexed(payload)
+    assert parsed is not None
+    pw, ph, ct, got = parsed
+    assert (pw, ph) == (40, 30)
+    assert ct[: len(palette)] == palette  # padded to 8 entries
+    assert (got == idx).all()
+
+    pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+    rgb = pal[idx]
+    ppm = b"P6\n40 30\n255\n" + rgb.astype(np.uint8).tobytes()
+    assert mm.decode_media(payload, "image") == mm.decode_media(ppm, "image")
+
+    big, _, bidx = _gif_payload(16, 80, 60, seed=22)   # > 4096 dict entries
+    bp = mm._parse_gif_indexed(big)
+    assert bp is not None and (bp[3] == bidx).all()
+
+    assert mm._parse_gif(payload[:20]) is None           # truncated
+    assert mm._parse_gif(b"GIF89a" + b"\x00" * 20) is None
+    assert len(mm.decode_media(payload[:-10], "image")) == mm.FEATURE_DIM
+
+
+def test_gif_interlace_extensions_and_local_table():
+    """Format quirks: an interlaced frame de-interlaces to the same
+    indices, extension blocks before the image descriptor are walked
+    over, and a local color table overrides the global one."""
+    import numpy as np
+
+    payload, palette, idx = _gif_payload(4, 7, 13, seed=23)
+    h = 13
+    bits = 2  # 4 colors
+    ct_len = 3 * (1 << bits)
+    desc_at = 13 + ct_len
+    assert payload[desc_at] == 0x2C
+
+    # interlaced: store rows in pass order, set the interlace bit
+    order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(start, h, step)]
+    inter_body, _, _ = _gif_payload(4, 7, 13, seed=23)  # same rng → same idx
+    inter = bytearray(mm._encode_gif(palette, idx[order]))
+    inter[desc_at + 9] |= 0x40
+    got = mm._parse_gif_indexed(bytes(inter))
+    assert got is not None and (got[3] == idx).all()
+
+    # graphic-control extension spliced before the descriptor
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = payload[:desc_at] + ext + payload[desc_at:]
+    got = mm._parse_gif_indexed(with_ext)
+    assert got is not None and (got[3] == idx).all()
+
+    # local color table: strip GCT flag, move the table into the frame
+    lct = bytearray(payload)
+    lct[10] &= 0x7F                       # no global table
+    frame = payload[desc_at:]
+    no_gct = bytes(lct[:13]) + frame[:10] + payload[13:desc_at] + frame[10:]
+    no_gct = bytearray(no_gct)
+    no_gct[13 + 9] |= 0x80 | (bits - 1)   # LCT flag + size in the frame
+    got = mm._parse_gif_indexed(bytes(no_gct))
+    assert got is not None and (got[3] == idx).all()
+
+
+def test_gif_resize_keeps_palette_through_pipeline(spark):
+    """Through the Arrow resize stage a GIF resizes by index-matrix
+    nearest-neighbor under its OWN color table (no quantization, no
+    invented colors) and re-encodes as GIF; a P6 row in the same
+    batch stays P6."""
+    import numpy as np
+
+    payload, palette, idx = _gif_payload(8, 10, 6, seed=24)
+    p2, _ = _ppm_bytes(5, 5, seed=25)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), (10, 6, "gif")),
+         (2, "image", bytearray(p2), (5, 5, "ppm"))],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_media(media, 5, 3).collect()}
+    small = mm._parse_gif_indexed(bytes(out[1].payload))
+    assert small is not None and out[1].meta.format == "gif"
+    rows = (np.arange(3) * 6) // 3
+    cols = (np.arange(5) * 10) // 5
+    assert (small[3] == idx[rows][:, cols]).all()
+    assert small[2][: len(palette)] == palette
+    assert mm._parse_ppm(bytes(out[2].payload)) is not None

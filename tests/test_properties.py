@@ -378,3 +378,29 @@ def test_bmp_parse_encode_roundtrip(w, h, top_down, seed):
     )
     reparsed = mm._parse_bmp(payload)
     assert reparsed is not None and (reparsed[3] == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_colors=st.integers(min_value=2, max_value=32),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_lzw_roundtrip_property(n_colors, w, h, seed):
+    """encode∘parse identity on GIF indices across palette sizes
+    (2..32 colors → min code sizes 2..5), dims, and random index
+    content — every LZW width-transition boundary in range."""
+    import numpy as np
+
+    from chain_sync_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    palette = bytes(rng.randint(0, 256, size=3 * n_colors, dtype=np.uint8))
+    idx = rng.randint(0, n_colors, size=(h, w), dtype=np.uint8)
+    parsed = mm._parse_gif_indexed(mm._encode_gif(palette, idx))
+    assert parsed is not None
+    pw, ph, ct, got = parsed
+    assert (pw, ph) == (w, h)
+    assert ct[: len(palette)] == palette
+    assert (got == idx).all()
