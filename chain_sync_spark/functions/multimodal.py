@@ -4,18 +4,21 @@ Images/audio/video ride through the pipeline as `binary` columns with
 a typed metadata struct — the lakehouse-standard layout (content
 column + sidecar metadata), so Spark never interprets the bytes until
 an explicit decode step. The decode itself is a `mapInPandas` stage:
-Arrow-batched, schema-stable, partition-parallel. FIVE real codecs
-are built in with no external dependencies: binary PPM (P6), binary
-PGM (P5 grayscale, replicated to the shared RGB tuple), uncompressed
-24-bit BMP (BI_RGB), and GIF87a/89a (full LZW decode — variable code
-widths, CLEAR/EOI, 12-bit cap — plus extensions, local color tables
-and interlacing; re-encode through a real LZW compressor) images
-parse, feature-extract, and nearest-neighbor resize through pure
-python/numpy (`_parse_image` dispatch / `_resize_px`; each format
-re-encodes as itself, GIF by resizing the INDEX matrix under its own
-color table), and RIFF/WAVE PCM audio parses and feature-extracts
-(`_parse_wav`) — the reference implementations proving the seam end
-to end on genuine pixels and samples. Richer codec libraries
+Arrow-batched, schema-stable, partition-parallel. SIX real codecs
+are built in with no external dependencies beyond the stdlib: binary
+PPM (P6), binary PGM (P5 grayscale, replicated to the shared RGB
+tuple), uncompressed 24-bit BMP (BI_RGB), GIF87a/89a (full LZW
+decode — variable code widths, CLEAR/EOI, 12-bit cap — plus
+extensions, local color tables and interlacing; re-encode through a
+real LZW compressor), and 8-bit PNG (chunk walk with CRC checks,
+stdlib-zlib inflate, all five scanline filters, gray/RGB/palette/
+alpha color types) images parse, feature-extract, and
+nearest-neighbor resize through pure python/numpy (`_parse_image`
+dispatch / `_resize_px`; each format re-encodes as itself, GIF by
+resizing the INDEX matrix under its own color table), and RIFF/WAVE
+PCM audio parses and feature-extracts (`_parse_wav`) — the reference
+implementations proving the seam end to end on genuine pixels and
+samples. Richer codec libraries
 (PIL / torchaudio / av) are NOT present in this environment, so for
 every other format the codec call is isolated behind `decode_media`:
 real decoding raises NotImplementedError with a clear message, and a
@@ -469,6 +472,168 @@ def _encode_gif(palette: bytes, idx) -> bytes:
     return bytes(header) + bytes(blocks) + b"\x3b"
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit depths only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Undo the five PNG scanline filters (None/Sub/Up/Average/Paeth)
+    — inherently sequential per row, done in pure python over
+    bytearrays.  Returns an H×W×ch uint8 ndarray or None."""
+    import numpy as np
+
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (row[x] + pr) & 0xFF
+        elif ft != 0:
+            return None  # unknown filter type
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
+
+
+def _parse_png(payload: bytes):
+    """Parse an 8-bit non-interlaced PNG (gray / RGB / palette /
+    gray+alpha / RGBA) through stdlib zlib: chunk walk with CRC
+    verification, inflate, scanline unfilter, then normalize to the
+    shared (width, height, 255, H×W×3 RGB uint8) tuple (gray
+    replicates, alpha drops — features describe the color planes).
+    Returns None for anything else (16-bit, Adam7) — the md5
+    stand-in, not a wrong decode.  Pure python + stdlib zlib."""
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    i = len(_PNG_SIG)
+    w = h = None
+    ctype = None
+    plte = b""
+    idat = []
+    try:
+        while i + 8 <= len(payload):
+            n = int.from_bytes(payload[i : i + 4], "big")
+            typ = payload[i + 4 : i + 8]
+            data = payload[i + 8 : i + 8 + n]
+            if len(data) < n or i + 12 + n > len(payload):
+                return None  # truncated chunk
+            crc = int.from_bytes(payload[i + 8 + n : i + 12 + n], "big")
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                return None  # corrupt chunk
+            i += 12 + n
+            if typ == b"IHDR":
+                if n != 13:
+                    return None
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                depth, ctype, comp, filt, interlace = data[8:13]
+                if (
+                    depth != 8
+                    or ctype not in _PNG_CHANNELS
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0  # Adam7 → stand-in, not wrong pixels
+                    or w <= 0
+                    or h <= 0
+                ):
+                    return None
+            elif typ == b"PLTE":
+                plte = data
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+    except (zlib.error, ValueError):
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    px = _png_unfilter(raw, w, h, ch)
+    if px is None:
+        return None
+    if ctype == 2:
+        rgb = px
+    elif ctype == 6:
+        rgb = px[..., :3]  # drop alpha
+    elif ctype == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    else:  # palette
+        if not plte or int(px.max()) * 3 >= len(plte):
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: 3 * (len(pal) // 3)].reshape(-1, 3)
+        rgb = pal[px[..., 0]]
+    return w, h, 255, rgb
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _encode_png(img) -> bytes:
+    """Re-encode a parsed image tuple as an 8-bit RGB PNG (filter 0
+    scanlines, one zlib-deflated IDAT) — the inverse of `_parse_png`
+    on the pixel array.  Pure python + stdlib zlib."""
+    import zlib
+
+    import numpy as np
+
+    w, h, _maxval, px = img
+    body = np.asarray(px, dtype=np.uint8)
+    raw = b"".join(
+        b"\x00" + body[y].tobytes() for y in range(h)
+    )
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _parse_image(payload: bytes):
     """Dispatch across the built-in image codecs: (parsed, format) or
     (None, None). New image codecs plug in here and in resize_media's
@@ -485,6 +650,9 @@ def _parse_image(payload: bytes):
     img = _parse_gif(payload)
     if img is not None:
         return img, "gif"
+    img = _parse_png(payload)
+    if img is not None:
+        return img, "png"
     return None, None
 
 
@@ -562,10 +730,10 @@ def decode_media(payload: bytes, kind: str) -> list[float]:
     """Decode one payload into a fixed-width feature vector.
 
     Image payloads in binary PPM (P6), binary PGM (P5), uncompressed
-    24-bit BMP or GIF and audio payloads in uncompressed RIFF/WAVE
-    PCM decode for REAL — header parse (LZW decompression for GIF),
-    pixel or sample statistics — through the pure-python codecs
-    above.
+    24-bit BMP, GIF or 8-bit PNG and audio payloads in uncompressed
+    RIFF/WAVE PCM decode for REAL — header parse (LZW decompression
+    for GIF, zlib inflate + scanline unfiltering for PNG), pixel or
+    sample statistics — through the pure-python codecs above.
     Other formats would dispatch on `kind` to PIL (image), soundfile
     (audio), or av (video frame sampling); those libraries are
     unavailable here, so the deterministic fake derives features from
@@ -665,9 +833,11 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         formats.append(fmt)
                         continue
                     small = _resize_px(img, target_w, target_h)
-                    encode = {"bmp": _encode_bmp, "pgm": _encode_pgm}.get(
-                        fmt, _encode_ppm
-                    )
+                    encode = {
+                        "bmp": _encode_bmp,
+                        "pgm": _encode_pgm,
+                        "png": _encode_png,
+                    }.get(fmt, _encode_ppm)
                     payloads.append(encode(small))
                     formats.append(fmt)
                     continue

@@ -985,3 +985,116 @@ def test_gif_resize_keeps_palette_through_pipeline(spark):
     assert (small[3] == idx[rows][:, cols]).all()
     assert small[2][: len(palette)] == palette
     assert mm._parse_ppm(bytes(out[2].payload)) is not None
+
+
+def _png_manual(px, ctype, filters, plte=b""):
+    """Hand-built PNG: per-row filter types applied FORWARD (the
+    inverse of what the decoder undoes), arbitrary color type."""
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ch = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w * ch).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        row = flat[y].copy()
+        ft = filters[y]
+        enc = row.copy()
+        for x in range(w * ch):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 1:
+                enc[x] = (row[x] - a) % 256
+            elif ft == 2:
+                enc[x] = (row[x] - b) % 256
+            elif ft == 3:
+                enc[x] = (row[x] - ((a + b) >> 1)) % 256
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (row[x] - pr) % 256
+        raw.append(ft)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    )
+    out = mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += mm._png_chunk(b"PLTE", plte)
+    return out + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw))) + mm._png_chunk(
+        b"IEND", b""
+    )
+
+
+def test_png_filters_color_types_and_fallbacks():
+    """The PNG codec: every scanline filter (None/Sub/Up/Average/
+    Paeth) decodes back to the source pixels; gray replicates,
+    palette looks up, RGBA drops alpha; features equal the same
+    pixels as P6; corrupt CRC / truncation / 16-bit / Adam7 all fall
+    back to the stand-in instead of decoding wrong pixels."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    px = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    payload = _png_manual(px, 2, [0, 1, 2, 3, 4])
+    parsed = mm._parse_png(payload)
+    assert parsed is not None and (parsed[3] == px).all()
+    ppm = b"P6\n7 5\n255\n" + px.tobytes()
+    assert mm.decode_media(payload, "image") == mm.decode_media(ppm, "image")
+
+    assert (mm._parse_png(mm._encode_png((7, 5, 255, px)))[3] == px).all()
+
+    gray = rng.randint(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    g = mm._parse_png(_png_manual(gray, 0, [0, 1, 2, 4]))
+    assert (g[3] == np.repeat(gray, 3, axis=2)).all()
+
+    idx = rng.randint(0, 5, size=(4, 6, 1), dtype=np.uint8)
+    plte = bytes(rng.randint(0, 256, size=15, dtype=np.uint8))
+    p = mm._parse_png(_png_manual(idx, 3, [0, 0, 3, 4], plte=plte))
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert (p[3] == pal[idx[..., 0]]).all()
+
+    rgba = rng.randint(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    a = mm._parse_png(_png_manual(rgba, 6, [0, 2, 1]))
+    assert (a[3] == rgba[..., :3]).all()
+
+    bad = bytearray(payload)
+    bad[-5] ^= 0xFF  # corrupt IEND crc
+    assert mm._parse_png(bytes(bad)) is None
+    # cut INTO the IDAT chunk (drop IEND's 12 bytes + 9 more)
+    assert mm._parse_png(payload[:-21]) is None
+    deep = bytearray(payload)
+    deep[24] = 16  # bit depth 16 → unsupported, stand-in
+    assert mm._parse_png(bytes(deep)) is None  # (crc now wrong too)
+    assert len(mm.decode_media(payload[:-21], "image")) == mm.FEATURE_DIM
+
+
+def test_png_resize_through_pipeline(spark):
+    """A PNG row resizes for real through the Arrow stage (exact
+    nearest-neighbor) and re-encodes as PNG; a GIF row in the same
+    batch stays GIF."""
+    import numpy as np
+
+    rng = np.random.RandomState(32)
+    px = rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    png = mm._encode_png((8, 6, 255, px))
+    gif, _, _ = _gif_payload(4, 5, 5, seed=33)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), (8, 6, "png")),
+         (2, "image", bytearray(gif), (5, 5, "gif"))],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_media(media, 4, 3).collect()}
+    small = mm._parse_png(bytes(out[1].payload))
+    assert small is not None and out[1].meta.format == "png"
+    rows = (np.arange(3) * 6) // 3
+    cols = (np.arange(4) * 8) // 4
+    assert (small[3] == px[rows][:, cols]).all()
+    assert out[2].meta.format == "gif"
+    assert mm._parse_gif_indexed(bytes(out[2].payload)) is not None

@@ -404,3 +404,24 @@ def test_gif_lzw_roundtrip_property(n_colors, w, h, seed):
     assert (pw, ph) == (w, h)
     assert ct[: len(palette)] == palette
     assert (got == idx).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_encode_parse_roundtrip_property(w, h, seed):
+    """encode∘parse identity on 8-bit RGB PNGs across dims and random
+    pixel content (stdlib-zlib deflate/inflate + filter-0 scanlines)."""
+    import numpy as np
+
+    from chain_sync_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    parsed = mm._parse_png(mm._encode_png((w, h, 255, px)))
+    assert parsed is not None
+    assert (parsed[0], parsed[1], parsed[2]) == (w, h, 255)
+    assert (parsed[3] == px).all()
