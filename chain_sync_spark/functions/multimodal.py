@@ -15,10 +15,11 @@ stdlib-zlib inflate, all five scanline filters, gray/RGB/palette/
 alpha color types) images parse, feature-extract, and
 nearest-neighbor resize through pure python/numpy (`_parse_image`
 dispatch / `_resize_px`; each format re-encodes as itself, GIF by
-resizing the INDEX matrix under its own color table), and RIFF/WAVE
-PCM audio parses and feature-extracts (`_parse_wav`) — the reference
-implementations proving the seam end to end on genuine pixels and
-samples. Richer codec libraries
+resizing the INDEX matrix under its own color table), and RIFF/WAVE + AIFF
+PCM audio parse and feature-extract (`_parse_wav` / `_parse_aiff`,
+both endiannesses incl. the 80-bit extended-float AIFF sample rate) —
+the reference implementations proving the seam end to end on genuine
+pixels and samples. Richer codec libraries
 (PIL / torchaudio / av) are NOT present in this environment, so for
 every other format the codec call is isolated behind `decode_media`:
 real decoding raises NotImplementedError with a clear message, and a
@@ -706,6 +707,62 @@ def _parse_wav(payload: bytes):
     return rate, n_ch, s
 
 
+def _parse_aiff(payload: bytes):
+    """Minimal AIFF parser — the big-endian IFF sibling of RIFF/WAVE:
+    FORM/AIFF container, COMM (channels, frames, bits, 80-bit
+    extended-float sample rate) + SSND chunks, 8- or 16-bit PCM, any
+    channel count (downmixed to mono by mean).  Returns the same
+    (sample_rate, n_channels, float64 mono samples) tuple as
+    `_parse_wav` so the feature path is shared.  Pure numpy."""
+    import numpy as np
+
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"FORM"
+        or payload[8:12] != b"AIFF"
+    ):
+        return None
+    i, comm, ssnd = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "big")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        return None
+    n_ch = int.from_bytes(comm[0:2], "big", signed=True)
+    bits = int.from_bytes(comm[6:8], "big", signed=True)
+    # 80-bit extended float: 1 sign + 15 exponent bits, 64-bit mantissa
+    exp = int.from_bytes(comm[8:10], "big") & 0x7FFF
+    mant = int.from_bytes(comm[10:18], "big")
+    if exp == 0 or mant == 0:
+        return None
+    rate = int(round(mant * 2.0 ** (exp - 16383 - 63)))
+    if n_ch < 1 or rate <= 0 or bits not in (8, 16):
+        return None
+    offset = int.from_bytes(ssnd[0:4], "big")
+    data = ssnd[8 + offset :]
+    if bits == 16:
+        s = (
+            np.frombuffer(data, dtype=">i2", count=len(data) // 2).astype(
+                "float64"
+            )
+            / 32768.0
+        )
+    else:  # AIFF 8-bit is SIGNED (unlike WAV's unsigned)
+        s = np.frombuffer(data, dtype=np.int8).astype("float64") / 128.0
+    if n_ch > 1:
+        s = s[: (len(s) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    if len(s) == 0:
+        return None
+    return rate, n_ch, s
+
+
 def _wav_features(aud) -> list[float]:
     """FEATURE_DIM floats from real samples: duration, RMS, mean,
     peak, zero-crossing rate, normalized sample rate, channel count,
@@ -745,6 +802,8 @@ def decode_media(payload: bytes, kind: str) -> list[float]:
             return _ppm_features(img)
     if kind == "audio":
         aud = _parse_wav(payload)
+        if aud is None:
+            aud = _parse_aiff(payload)
         if aud is not None:
             return _wav_features(aud)
     if not _FAKE_DECODE:  # pragma: no cover — flipped on real deployments

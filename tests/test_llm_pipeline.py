@@ -1098,3 +1098,51 @@ def test_png_resize_through_pipeline(spark):
     assert (small[3] == px[rows][:, cols]).all()
     assert out[2].meta.format == "gif"
     assert mm._parse_gif_indexed(bytes(out[2].payload)) is not None
+
+
+def _aiff_bytes(samples16, rate=8000, n_ch=1):
+    """Hand-built AIFF: big-endian chunks, 80-bit extended-float
+    sample rate, signed 16-bit samples."""
+    import numpy as np
+
+    data = np.asarray(samples16, dtype=">i2").tobytes()
+    n_frames = len(samples16) // n_ch
+    # 80-bit extended float for an integer rate
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    comm = (
+        n_ch.to_bytes(2, "big") + n_frames.to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+    )
+    ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + data
+    chunks = (
+        b"COMM" + len(comm).to_bytes(4, "big") + comm
+        + b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+    )
+    return b"FORM" + (4 + len(chunks)).to_bytes(4, "big") + b"AIFF" + chunks
+
+
+def test_aiff_decode_matches_wav_features():
+    """The AIFF codec: identical samples through AIFF (big-endian,
+    80-bit-float rate) and WAV (little-endian) produce IDENTICAL
+    features; stereo downmixes; malformed payloads fall back."""
+    import numpy as np
+
+    t = np.arange(64)
+    sine = (np.sin(2 * np.pi * t / 16) * 16384).astype(np.int64)
+    aiff = _aiff_bytes(sine.tolist(), rate=8000)
+    wav = _wav_bytes(sine.astype("<i2"), rate=8000)
+    got = mm.decode_media(aiff, "audio")
+    assert got == mm.decode_media(wav, "audio")
+    assert got[5] == 8000 / 48000.0  # the 80-bit rate decoded exactly
+
+    inter = np.empty(128, dtype=np.int64)
+    inter[0::2], inter[1::2] = sine, -sine
+    st = mm.decode_media(_aiff_bytes(inter.tolist(), rate=8000, n_ch=2), "audio")
+    assert st[1] == 0.0 and st[6] == 2.0  # rms 0 after downmix, 2 ch
+
+    assert mm._parse_aiff(b"FORMxxxxAIFF") is None
+    assert len(mm.decode_media(b"FORMxxxxAIFF", "audio")) == mm.FEATURE_DIM
+    # an AIFF presented as kind=image takes the stand-in
+    assert mm.decode_media(aiff, "image") != got
