@@ -1146,3 +1146,67 @@ def test_aiff_decode_matches_wav_features():
     assert len(mm.decode_media(b"FORMxxxxAIFF", "audio")) == mm.FEATURE_DIM
     # an AIFF presented as kind=image takes the stand-in
     assert mm.decode_media(aiff, "image") != got
+
+
+def _y4m_bytes(frames_y, w, h, num=30, den=1, csp=b"C420jpeg"):
+    """Hand-built YUV4MPEG2: header + FRAME-delimited raw 4:2:0
+    planes (luma = the given arrays, chroma = constant 128)."""
+    import numpy as np
+
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, num, den, csp)
+    body = b""
+    chroma = bytes([128]) * (w * h // 2)
+    for y in frames_y:
+        body += b"FRAME\n" + np.asarray(y, dtype=np.uint8).tobytes() + chroma
+    return head + body
+
+
+def test_y4m_frame_features_real_luma_stats(spark):
+    """The Y4M video path: three 4×2 frames with known luma decode to
+    genuine per-frame statistics (mean/std/min/max, timestamps from
+    the F rate tag), every_n samples frames, a non-Y4M video row in
+    the same batch takes the md5 stand-in fan-out, and truncated
+    payloads fall back."""
+    import numpy as np
+
+    f0 = np.full((2, 4), 0, dtype=np.uint8)
+    f1 = np.full((2, 4), 255, dtype=np.uint8)
+    f2 = np.tile(np.array([[0, 255, 0, 255]], dtype=np.uint8), (2, 1))
+    payload = _y4m_bytes([f0, f1, f2], 4, 2, num=30, den=1)
+
+    parsed = mm._parse_y4m(payload)
+    assert parsed is not None
+    w, h, num, den, frames = parsed
+    assert (w, h, num, den, len(frames)) == (4, 2, 30, 1, 3)
+    assert (frames[2] == f2).all()
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), (4, 2, "y4m")),
+         (2, "video", bytearray(b"not a video, 70 bytes of opaque stuff..." * 2),
+          (0, 0, "bin")),
+         (3, "image", bytearray(b"P6\n1 1\n255\nabc"), (1, 1, "ppm"))],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.extract_frame_features(media).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.media_id, {})[r.frame_idx] = r
+    assert 3 not in by                       # image rows don't fan out
+    assert set(by[1]) == {0, 1, 2}
+    assert by[1][0].features[0] == 0.0       # all-black mean
+    assert by[1][1].features[0] == 1.0       # all-white mean
+    assert abs(by[1][2].features[0] - 0.5) < 1e-6
+    assert abs(by[1][2].features[1] - 0.5) < 1e-6   # ±0.5 std
+    assert abs(by[1][1].features[4] - 1 / 30) < 1e-6  # t = idx*den/num
+    assert by[1][0].n_frames == 3
+    # stand-in: one pseudo-frame per 64-byte window (82 bytes → 2)
+    assert set(by[2]) == {0, 1}
+
+    # every_n sampling keeps frames 0 and 2 only
+    sampled = {r.frame_idx for r in
+               mm.extract_frame_features(media, every_n=2).collect()
+               if r.media_id == 1}
+    assert sampled == {0, 2}
+
+    assert mm._parse_y4m(payload[:-3]) is None   # truncated frame
+    assert mm._parse_y4m(b"YUV4MPEG2 W4 H2\nFRAME\nxx") is None
