@@ -192,6 +192,28 @@ def pending_queries() -> tuple[
     return q, o
 
 
+# Registration priority for the staged entrants at the next window
+# recomposition — the ledger's displacement rule made executable
+# (tools/next_window.py consumes it): names register in THIS order
+# after the rotation-debt fill; whatever doesn't fit stays PENDING
+# for the round after.  A test pins this list as a permutation of
+# pending_queries(), so staging a new entrant forces an explicit
+# priority decision here.
+STAGED_PRIORITY = [
+    "cms_probe_terms",
+    "kmeans_centroids_fixedpoint",
+    "dedup_token_spans",
+    "dedup_span_cut",
+    "dedup_incremental_spans",
+    "bloom_probe_fingerprints",
+    "neardup_winnow_pairs",
+    "winnow_dup_clusters",
+    "bpe_fertility_frozen",
+    "ann_recall_audit",
+    "source_overlap_matrix",
+]
+
+
 def rotation_debt() -> list[str]:
     """Names whose most recent driver-green row is oldest — the round-9
     rotation candidates (everything not in this round's WINDOW whose

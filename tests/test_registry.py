@@ -129,3 +129,34 @@ def test_bench_line_stays_inside_driver_capture():
     parsed = __import__("json").loads(line)
     assert "queries" in parsed, "soft trim must not drop the whole dict"
     assert slow <= set(parsed["queries"]), "slow queries must stay visible"
+
+
+def test_staged_priority_is_a_permutation_of_pending():
+    """STAGED_PRIORITY is the executable displacement rule: every
+    pending name has an explicit priority and nothing stale lingers
+    after a registration — staging or registering an entrant forces
+    this list to be updated in the same change."""
+    from chain_sync_spark.registry import STAGED_PRIORITY, pending_queries
+
+    assert sorted(STAGED_PRIORITY) == sorted(pending_queries()[0])
+
+
+def test_next_window_plan_fills_driver_window():
+    """The planned next-round window fills to exactly DRIVER_WINDOW
+    (debt first, then staged by priority) with no duplicates, and
+    only priority-tail entrants spill to the round after."""
+    from chain_sync_spark.registry import (
+        DRIVER_WINDOW,
+        STAGED_PRIORITY,
+        all_queries,
+        rotation_debt,
+    )
+    from tools.next_window import planned_window
+
+    window, leftover = planned_window()
+    assert len(window) == len(set(window)) == DRIVER_WINDOW
+    assert window[: len(rotation_debt())] == rotation_debt()
+    q = all_queries()
+    assert all(n in q for n in rotation_debt())
+    spill = len(rotation_debt()) + len(STAGED_PRIORITY) - DRIVER_WINDOW
+    assert leftover == STAGED_PRIORITY[-spill:] if spill > 0 else not leftover
