@@ -689,17 +689,31 @@ def _parse_wav(payload: bytes):
     n_ch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+    if n_ch < 1 or rate <= 0:
         return None
-    if bits == 16:
+    if audio_format == 1 and bits == 16:
         s = (
             np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(
                 "float64"
             )
             / 32768.0
         )
-    else:
+    elif audio_format == 1 and bits == 8:
         s = (np.frombuffer(data, dtype=np.uint8).astype("float64") - 128.0) / 128.0
+    elif audio_format == 1 and bits == 24:
+        # 3-byte little-endian signed: widen to int32 via zero-padded
+        # low byte, then shift out — vectorized, no per-sample loop
+        n = len(data) // 3
+        b = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(n, 3)
+        wide = np.zeros((n, 4), dtype=np.uint8)
+        wide[:, 1:] = b
+        s = (wide.view("<i4").ravel() >> 8).astype("float64") / 8388608.0
+    elif audio_format == 3 and bits == 32:  # IEEE float PCM
+        s = np.frombuffer(data, dtype="<f4", count=len(data) // 4).astype(
+            "float64"
+        )
+    else:
+        return None
     if n_ch > 1:
         s = s[: (len(s) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
     if len(s) == 0:

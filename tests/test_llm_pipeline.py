@@ -1210,3 +1210,45 @@ def test_y4m_frame_features_real_luma_stats(spark):
 
     assert mm._parse_y4m(payload[:-3]) is None   # truncated frame
     assert mm._parse_y4m(b"YUV4MPEG2 W4 H2\nFRAME\nxx") is None
+
+
+def test_wav_24bit_and_float_variants():
+    """The 24-bit PCM and IEEE-float (format 3) WAV variants decode
+    to the same samples as their 16-bit integer rendering of the
+    same sine; unsupported depths still fall back."""
+    import numpy as np
+
+    t = np.arange(64)
+    f64 = np.sin(2 * np.pi * t / 16)
+
+    def wav(fmt_tag, bits, data, rate=8000, n_ch=1):
+        fmt = (
+            fmt_tag.to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * n_ch * bits // 8).to_bytes(4, "little")
+            + (n_ch * bits // 8).to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+        )
+        chunks = (
+            b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+    i24 = np.round(f64 * 8388607).astype("<i4")
+    b24 = (i24.view(np.uint32) & 0xFFFFFF).astype("<u4").tobytes()
+    data24 = b"".join(b24[i * 4 : i * 4 + 3] for i in range(64))
+    got24 = mm._parse_wav(wav(1, 24, data24))
+    assert got24 is not None
+    assert np.allclose(got24[2], f64, atol=2e-7)   # 24-bit quantization
+
+    gotf = mm._parse_wav(wav(3, 32, f64.astype("<f4").tobytes()))
+    assert gotf is not None
+    assert np.allclose(gotf[2], f64, atol=1e-7)    # float32 rounding only
+
+    feats24 = mm.decode_media(wav(1, 24, data24), "audio")
+    featsf = mm.decode_media(wav(3, 32, f64.astype("<f4").tobytes()), "audio")
+    assert np.allclose(feats24, featsf, atol=1e-6)
+
+    assert mm._parse_wav(wav(1, 12, b"\x00" * 48)) is None   # odd depth
+    assert mm._parse_wav(wav(3, 64, b"\x00" * 64)) is None   # f64 unsupported
