@@ -98,6 +98,7 @@ EXTENDED_SET = [
     "bpe_fertility_frozen",        # staged r9 (resolved via pending_queries)
     "ann_recall_audit",            # staged r9 (resolved via pending_queries)
     "source_overlap_matrix",       # staged r10 (resolved via pending_queries)
+    "quality_by_source",           # staged r10 (resolved via pending_queries)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

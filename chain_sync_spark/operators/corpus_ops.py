@@ -1961,14 +1961,77 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source quality report (staged entrant)
+# ---------------------------------------------------------------------------
+
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation table a mixture designer reads next to
+    domain_mixture_weights: per SOURCE, how much of the corpus the
+    LM-backed quality gate (lm_known_bigram_score) would keep and how
+    "known" the source's text is to the corpus LM overall.  Output
+    (source, n_docs, keep_docs, keep_rate_micros, mean_known_micros)
+    — pure integers (rates via the fixed-point contract; the mean is
+    the integer ratio of summed per-doc micros over docs).  A source
+    with a low keep rate is noise/garble-heavy; a very high
+    mean_known score flags boilerplate.  Documents with zero bigrams
+    are outside the gate's domain and excluded (exactly the rows
+    lm_known_bigram_score does not emit).
+
+    Scale: rides the scorer's plan (one pair shuffle + per-doc
+    aggregate), then ONE source-keyed map-side-combined aggregate
+    over the doc-level rows — the report adds no corpus-sized work."""
+    scored = lm_known_bigram_score(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = (
+        scored.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("keep_docs"),
+            F.sum("known_micros").alias("sum_known"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "keep_docs",
+        sk.ratio_micros("keep_docs", "n_docs").alias("keep_rate_micros"),
+        (F.expr("(sum_known * 2 + n_docs) div (n_docs * 2)")).alias(
+            "mean_known_micros"
+        ),
+    )
+
+
+_QUALITY_BY_SOURCE_ORACLE = f"""
+WITH scored AS (SELECT * FROM ({_LM_SCORE_ORACLE}) s),
+agg AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN scored.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS keep_docs,
+         CAST(SUM(scored.known_micros) AS BIGINT) AS sum_known
+  FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, keep_docs,
+       {sk.ratio_micros_sql('keep_docs', 'n_docs')} AS keep_rate_micros,
+       CAST((sum_known * 2 + n_docs) // (n_docs * 2) AS BIGINT)
+         AS mean_known_micros
+FROM agg
+"""
+
+
 PENDING_QUERIES = {
     "cms_probe_terms": cms_probe_terms,
     "bloom_probe_fingerprints": bloom_probe_fingerprints,
     "bpe_fertility_frozen": bpe_fertility_frozen,
+    "quality_by_source": quality_by_source,
 }
 
 PENDING_ORACLE = {
     "cms_probe_terms": _CMS_PROBE_ORACLE,
     "bloom_probe_fingerprints": _bloom_probe_oracle(),
     "bpe_fertility_frozen": _bpe_fertility_oracle(),
+    "quality_by_source": _QUALITY_BY_SOURCE_ORACLE,
 }

@@ -46,10 +46,12 @@ ann_recall_audit — all dual-transport-certified at sf0.001 AND
 sf0.01 this round), filling the window to exactly 50.  If a round-9
 impl change forces a re-cert, it displaces staged entrants from the
 END of that list (recall audit first) to round 10 — rotation debt
-and changed impls always outrank first registrations.  An 11th
-staged entrant, source_overlap_matrix (same full battery), is
-explicitly ROUND-10-queued: it stays in PENDING through the round-9
-recomposition and registers at round 10 with that round's debt.
+and changed impls always outrank first registrations.  The 11th and
+12th staged entrants, source_overlap_matrix and quality_by_source
+(same full battery), are explicitly ROUND-10-queued: they stay in
+PENDING through the round-9 recomposition and register at round 10
+with that round's debt (STAGED_PRIORITY below is the executable
+form; tools/next_window.py prints the resulting window).
 
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level
@@ -211,6 +213,7 @@ STAGED_PRIORITY = [
     "bpe_fertility_frozen",
     "ann_recall_audit",
     "source_overlap_matrix",
+    "quality_by_source",
 ]
 
 

@@ -614,3 +614,38 @@ def test_ann_recall_monotone_in_probe_radius(spark):
         ).collect()
     }
     assert all(v == 1_000_000 for v in full.values())
+
+
+# ---------------------------------------------------------------------------
+# quality_by_source (staged, round-10-queued)
+# ---------------------------------------------------------------------------
+
+def test_quality_by_source_hand_computed(spark, tmp_path):
+    """Known answer against the LM gate's exact thresholds: doc1's
+    'alpha beta'×30 makes alpha→beta corpus-known (count 31 with
+    doc3), beta→alpha stays at 29 < LM_MIN_COUNT; doc1 scores
+    30/59 known (508475 micros, keep), the garble doc scores 0,
+    doc3 scores 1/1; a bigram-less single-token source is outside
+    the gate's domain and absent."""
+    from chain_sync_spark.operators import corpus_ops as co
+
+    assert co.LM_MIN_COUNT == 30 and co.LM_KEEP_MICROS == 500_000
+    d1 = " ".join(["alpha beta"] * 30)
+    rows = [
+        (1, d1, "en", "s1", len(d1)),
+        (2, "zz qq zz", "en", "s1", 8),
+        (3, "alpha beta", "en", "s2", 10),
+        (4, "solo", "en", "s3", 4),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: (r.n_docs, r.keep_docs, r.keep_rate_micros, r.mean_known_micros)
+        for r in co.quality_by_source(spark, str(tmp_path)).collect()
+    }
+    d1_micros = (30 * 1_000_000 * 2 + 59) // (2 * 59)   # 508475
+    assert got == {
+        "s1": (2, 1, 500_000, (d1_micros * 2 + 2) // 4),
+        "s2": (1, 1, 1_000_000, 1_000_000),
+    }
