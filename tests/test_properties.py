@@ -425,3 +425,36 @@ def test_png_encode_parse_roundtrip_property(w, h, seed):
     assert parsed is not None
     assert (parsed[0], parsed[1], parsed[2]) == (w, h, 255)
     assert (parsed[3] == px).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12).map(lambda x: x * 2),
+    h=st.integers(min_value=1, max_value=8).map(lambda x: x * 2),
+    n_frames=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_y4m_build_parse_roundtrip_property(w, h, n_frames, seed):
+    """build∘parse identity on Y4M luma planes across (even) dims and
+    frame counts — header tags, frame stride, and 4:2:0 chroma skip
+    all exact."""
+    import numpy as np
+
+    from chain_sync_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    frames = [
+        rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    head = b"YUV4MPEG2 W%d H%d F24:1 Ip A1:1 C420\n" % (w, h)
+    chroma = bytes([128]) * (w * h // 2)
+    payload = head + b"".join(
+        b"FRAME\n" + f.tobytes() + chroma for f in frames
+    )
+    parsed = mm._parse_y4m(payload)
+    assert parsed is not None
+    pw, ph, num, den, got = parsed
+    assert (pw, ph, num, den, len(got)) == (w, h, 24, 1, n_frames)
+    for a, b in zip(got, frames):
+        assert (a == b).all()
