@@ -1141,7 +1141,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses per-document multiplicity FIRST, so the self-join's
     per-hash fanout is bounded by the number of SOURCES, not
     documents, and the result is at most sources² rows — corpus size
-    only enters through the one distinct pass."""
+    only enters through the one distinct pass.  The source-grain
+    relation feeds three plan branches (both self-join sides + the
+    totals) as IDENTICAL subplans, which Spark dedupes via
+    ReusedExchange — measured at sf0.1, an explicit persist adds
+    materialization cost and saves nothing, so the plan stays
+    unpinned on purpose."""
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     sfp = (
         winnow_fingerprints(d.select("doc_id", "text"))
