@@ -458,3 +458,52 @@ def test_y4m_build_parse_roundtrip_property(w, h, n_frames, seed):
     assert (pw, ph, num, den, len(got)) == (w, h, 24, 1, n_frames)
     for a, b in zip(got, frames):
         assert (a == b).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    bits=st.sampled_from([8, 16, 24, 32]),
+    n=st.integers(min_value=1, max_value=200),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_parse_roundtrip_property(bits, n, rate, seed):
+    """build∘parse identity on WAV samples across every supported
+    encoding (8-bit unsigned, 16/24-bit signed PCM, 32-bit IEEE
+    float), lengths, and rates — quantization-exact per depth."""
+    import numpy as np
+
+    from chain_sync_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    f64 = rng.uniform(-1, 1, size=n)
+    if bits == 8:
+        raw = np.round(f64 * 127 + 128).astype(np.uint8)
+        data, want, fmt_tag = raw.tobytes(), (raw.astype("float64") - 128) / 128.0, 1
+    elif bits == 16:
+        raw = np.round(f64 * 32767).astype("<i2")
+        data, want, fmt_tag = raw.tobytes(), raw.astype("float64") / 32768.0, 1
+    elif bits == 24:
+        i32 = np.round(f64 * 8388607).astype("<i4")
+        b = i32.view(np.uint32).astype("<u4").tobytes()
+        data = b"".join(b[i * 4 : i * 4 + 3] for i in range(n))
+        want, fmt_tag = i32.astype("float64") / 8388608.0, 1
+    else:
+        raw = f64.astype("<f4")
+        data, want, fmt_tag = raw.tobytes(), raw.astype("float64"), 3
+    fmt = (
+        fmt_tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * bits // 8).to_bytes(4, "little")
+        + (bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    payload = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    parsed = mm._parse_wav(payload)
+    assert parsed is not None
+    prate, pch, s = parsed
+    assert (prate, pch, len(s)) == (rate, 1, n)
+    assert np.array_equal(s, want)
