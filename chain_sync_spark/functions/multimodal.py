@@ -639,6 +639,11 @@ def _parse_image(payload: bytes):
     """Dispatch across the built-in image codecs: (parsed, format) or
     (None, None). New image codecs plug in here and in resize_media's
     re-encode arm only."""
+    if not payload:
+        # null/empty payloads are in-contract (extract_features counts
+        # them as 0 bytes); the GIF/PNG probes below assume len()/
+        # startswith work, so short-circuit before dispatch
+        return None, None
     img = _parse_ppm(payload)
     if img is not None:
         return img, "ppm"
@@ -885,6 +890,12 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     schema-stable, partition-preserving — payload bytes never
     shuffle. Aspect-ratio metadata math runs here (not in the codec)
     so the plan carries it even where the stand-in runs."""
+    for label, dim in (("target_w", target_w), ("target_h", target_h)):
+        # fail fast on the driver: GIF's 2-byte logical-screen fields
+        # overflow past 65535 (struct raises mid-task), and the other
+        # encoders would allocate absurd buffers
+        if not 1 <= dim <= 65535:
+            raise ValueError(f"{label} must be in 1..65535, got {dim}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         budget = target_w * target_h  # 1 byte/px stand-in for the codec
@@ -1008,6 +1019,11 @@ def extract_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
     Scale: mapInPandas, payload bytes never shuffle, and the fan-out
     is rows×frames — bound it with ``every_n`` (the sampling dial a
     real pipeline sets to ~1 frame/sec) before any downstream join."""
+    if every_n < 1:
+        # fail fast on the driver: range(0, n, 0) would raise
+        # ValueError inside the task and negatives silently emit
+        # nothing
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

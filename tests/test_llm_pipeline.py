@@ -297,6 +297,43 @@ def test_decode_media_stub_contract():
     assert f1 == f2 and len(f1) == mm.FEATURE_DIM
 
 
+def test_null_and_empty_payloads_are_in_contract(spark):
+    """Null/empty payloads flow through every media stage without a
+    task-side crash: decode_media falls back to the md5 stand-in,
+    _parse_image short-circuits before the GIF/PNG probes (which
+    assume len()/startswith), and the full pipeline (features +
+    resize) processes a null-payload row."""
+    assert len(mm.decode_media(None, "image")) == mm.FEATURE_DIM
+    assert len(mm.decode_media(b"", "image")) == mm.FEATURE_DIM
+    assert mm._parse_image(None) == (None, None)
+    assert mm._parse_image(b"") == (None, None)
+    media = spark.createDataFrame(
+        [(1, "image", None, {"format": "png"}),
+         (2, "image", b"", {"format": "gif"})],
+        "media_id long, kind string, payload binary, "
+        "meta map<string,string>",
+    )
+    feats = {r.media_id: r for r in mm.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 0 and len(feats[1]["features"]) == mm.FEATURE_DIM
+    resized = {r.media_id: r for r in mm.resize_media(media, 4, 2).collect()}
+    assert len(resized[1]["payload"]) == 8  # byte-budget stand-in
+
+
+def test_frame_and_resize_dials_fail_fast():
+    """Bad dials raise on the driver, not inside a task: every_n < 1
+    (range step 0 / silent empty) and resize targets outside the GIF
+    2-byte field range."""
+    import pytest
+
+    dummy = object()  # validation fires before the DataFrame is touched
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="every_n"):
+            mm.extract_frame_features(dummy, every_n=bad)
+    for w, h in ((0, 4), (4, 0), (70_000, 4), (4, 70_000), (-1, 4)):
+        with pytest.raises(ValueError, match="1..65535"):
+            mm.resize_media(dummy, w, h)
+
+
 def test_portable_hash_matches_duckdb(spark):
     """The cross-engine contract every sketch relies on."""
     import duckdb
