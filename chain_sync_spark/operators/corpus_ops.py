@@ -547,10 +547,15 @@ def segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer.
 
     Plan: per-row segment generation (transform over the token
-    array, zero joins) → explode → corpus occurrence counts via a
-    count-over-segment-window [one shuffle, keyed on the segment
-    hash] → per-doc aggregate [map-side combinable].  Only the
-    16-byte segment md5 shuffles, never the text; nothing is
+    array, zero joins) → explode → corpus occurrence counts via
+    groupBy(seg_md5) + join-back [map-side combined to one row per
+    distinct segment; a hot boilerplate segment's occurrence skew
+    lands in a join AQE can split, where a count-over-window would
+    pin the whole occurrence list in one task — hardened from the
+    window form in round 9, value-identity re-verified] → per-doc
+    aggregate [map-side combinable].  Only the 16-byte segment md5
+    shuffles, never the text; ReusedExchange dedupes the md5-keyed
+    shuffle across the aggregate and probe sides; nothing is
     quadratic — this is the same inverted-index shape as TF-IDF's
     df stage."""
     d = _docs_words(spark, sf_dir)
@@ -563,10 +568,12 @@ def segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(segs).alias("seg"))
         .select("doc_id", F.md5("seg").alias("seg_md5"))
     )
-    wseg = Window.partitionBy("seg_md5")
+    counts = exploded.groupBy("seg_md5").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     micros = sk.ratio_micros("dup_segs", "n_segs")
     return (
-        exploded.withColumn("cnt", F.count(F.lit(1)).over(wseg))
+        exploded.join(counts, "seg_md5")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segs"),

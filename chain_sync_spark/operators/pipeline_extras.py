@@ -672,19 +672,22 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the shuffle-friendly shingle-hash form."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     pos = _shingle_pos(d)
-    # Duplicate marking as ONE count-over-h window instead of a
-    # (groupBy h → join back) pair: the corpus is scanned and hashed
-    # once, and the only thing shuffled is the narrow (doc_id, pos, h)
-    # relation keyed by shingle hash — at scale that beats
-    # re-tokenizing and re-hashing the corpus for the join's second
-    # scan. Per-h partition state is one shingle's occurrence list,
-    # the same magnitude the groupBy form would see as skew.
-    wh = Window.partitionBy("h")
-    hits = (
-        pos.withColumn("c", F.count(F.lit(1)).over(wh))
+    # Duplicate marking is groupBy(h) + semi-join-back, NOT a
+    # count-over-h window: a window puts a hot shingle's ENTIRE
+    # occurrence list (a 100 TB boilerplate header occurs millions of
+    # times) in one task with no skew mitigation, while the aggregate
+    # is map-side combined to one row per distinct h and the join gets
+    # AQE skew-split. Spark reuses the h-keyed exchange of `pos` for
+    # both sides (ReusedExchange), so the corpus is still tokenized
+    # and hashed once. (Hardened from the window form in round 9 —
+    # value-identity re-verified against the unchanged oracle.)
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > 1)
-        .select("doc_id", "pos")
+        .select("h")
     )
+    hits = pos.join(dup_h, "h", "left_semi").select("doc_id", "pos")
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     flagged = hits.withColumn(
         "new_span",
@@ -783,11 +786,12 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     content cross-engine.
 
     Scale: the shingle pass and h-keyed shuffle are shared shape with
-    dedup_token_spans; the keep-first rule is the SAME count window
-    plus a min window over an integer (doc_id, pos) code — no extra
-    shuffle; covered positions explode each cut shingle into {SD_N}
-    rows (bounded 8x the hit count, duplicated text only); the final
-    rebuild is one per-document anti-join + ordered aggregate."""
+    dedup_token_spans; the keep-first rule is ONE map-side-combinable
+    aggregate (count + min over an integer (doc_id, pos) code) joined
+    back on the same exchange; covered positions explode each cut
+    shingle into {SD_N} rows (bounded 8x the hit count, duplicated
+    text only); the final rebuild is one per-document anti-join +
+    ordered aggregate."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # occurrence code: doc_id * 2^20 + pos — an integer total order on
     # (doc_id, pos) both engines can MIN over a window (pos < 2^20 by
@@ -795,11 +799,25 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = _shingle_pos(d).withColumn(
         "code", F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
     )
-    wh = Window.partitionBy("h")
+    # Keep-first marking via groupBy(h) + join-back, not windows over
+    # the raw hash: count and min(code) are both map-side combinable
+    # (one row per distinct shingle shuffled), and the occurrence-list
+    # skew of a hot boilerplate shingle lands in a join AQE can split
+    # instead of a window task it can't. ReusedExchange dedupes the
+    # h-keyed shuffle of `coded` across the two sides. (Hardened from
+    # the window form in round 9 — value-identity re-verified.)
+    firsts = (
+        coded.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("code").alias("first_code"),
+        )
+        .filter(F.col("c") > 1)
+        .select("h", "first_code")
+    )
     cut_hits = (
-        coded.withColumn("c", F.count(F.lit(1)).over(wh))
-        .withColumn("first_code", F.min("code").over(wh))
-        .filter((F.col("c") > 1) & (F.col("code") != F.col("first_code")))
+        coded.join(firsts, "h")
+        .filter(F.col("code") != F.col("first_code"))
         .select("doc_id", "pos")
     )
     return _rebuild_after_cut(d, cut_hits)
