@@ -2029,16 +2029,29 @@ FROM agg
 """
 
 
+# quality_by_source registers at round 10 (registry.py ledger)
 PENDING_QUERIES = {
-    "cms_probe_terms": cms_probe_terms,
-    "bloom_probe_fingerprints": bloom_probe_fingerprints,
-    "bpe_fertility_frozen": bpe_fertility_frozen,
     "quality_by_source": quality_by_source,
 }
 
 PENDING_ORACLE = {
-    "cms_probe_terms": _CMS_PROBE_ORACLE,
-    "bloom_probe_fingerprints": _bloom_probe_oracle(),
-    "bpe_fertility_frozen": _bpe_fertility_oracle(),
     "quality_by_source": _QUALITY_BY_SOURCE_ORACLE,
 }
+
+# staged r8 → registered + windowed round 9: sketch/membership
+# serving probes and the frozen-tokenizer fertility report
+QUERIES.update(
+    {
+        "cms_probe_terms": cms_probe_terms,
+        "bloom_probe_fingerprints": bloom_probe_fingerprints,
+        "bpe_fertility_frozen": bpe_fertility_frozen,
+    }
+)
+
+ORACLE.update(
+    {
+        "cms_probe_terms": _CMS_PROBE_ORACLE,
+        "bloom_probe_fingerprints": _bloom_probe_oracle(),
+        "bpe_fertility_frozen": _bpe_fertility_oracle(),
+    }
+)

@@ -2809,15 +2809,25 @@ FROM agg
 """
 
 
-# Staged entrants (registry.pending_queries): the round-8 window is
-# full — full implementation + DuckDB oracle + dual-transport parity
-# pytest now, a WINDOW slot at the next recomposition.
-PENDING_QUERIES = {
-    "kmeans_centroids_fixedpoint": kmeans_centroids_fixedpoint,
-    "ann_recall_audit": ann_recall_audit,
-}
+# No staged entrants at the moment — new queries ship behind these
+# dicts (full implementation + DuckDB oracle + dual-transport parity
+# pytest) until the next WINDOW recomposition.
+PENDING_QUERIES: dict = {}
 
-PENDING_ORACLE = {
-    "kmeans_centroids_fixedpoint": _km_centroids_oracle(),
-    "ann_recall_audit": _ann_recall_oracle(),
-}
+PENDING_ORACLE: dict = {}
+
+# staged r8 → registered + windowed round 9: the serialized centroid
+# artifact and the ANN recall/cost audit
+QUERIES.update(
+    {
+        "kmeans_centroids_fixedpoint": kmeans_centroids_fixedpoint,
+        "ann_recall_audit": ann_recall_audit,
+    }
+)
+
+ORACLE.update(
+    {
+        "kmeans_centroids_fixedpoint": _km_centroids_oracle(),
+        "ann_recall_audit": _ann_recall_oracle(),
+    }
+)

@@ -1219,21 +1219,12 @@ FROM shared s JOIN tot t ON s.src_a = t.source
 """
 
 
+# source_overlap_matrix registers at round 10 (registry.py ledger)
 PENDING_QUERIES = {
-    "dedup_token_spans": dedup_token_spans,
-    "dedup_span_cut": dedup_span_cut,
-    "dedup_incremental_spans": dedup_incremental_spans,
-    "neardup_winnow_pairs": neardup_winnow_pairs,
-    "winnow_dup_clusters": winnow_dup_clusters,
     "source_overlap_matrix": source_overlap_matrix,
 }
 
 PENDING_ORACLE = {
-    "dedup_token_spans": _SPAN_ORACLE,
-    "dedup_span_cut": _CUT_ORACLE,
-    "dedup_incremental_spans": _INCR_SPAN_ORACLE,
-    "neardup_winnow_pairs": _WINNOW_ORACLE,
-    "winnow_dup_clusters": _WINNOW_CLUSTERS_ORACLE,
     "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
 }
 
@@ -1247,6 +1238,13 @@ QUERIES = {
     "pack_training_sequences": pack_training_sequences,
     "dedup_embedding_semantic": dedup_embedding_semantic,
     "neardup_cluster_canonical": neardup_cluster_canonical,
+    # staged r8 → registered + windowed round 9: the exact
+    # substring-span dedup family and the MOSS winnowing family
+    "dedup_token_spans": dedup_token_spans,
+    "dedup_span_cut": dedup_span_cut,
+    "dedup_incremental_spans": dedup_incremental_spans,
+    "neardup_winnow_pairs": neardup_winnow_pairs,
+    "winnow_dup_clusters": winnow_dup_clusters,
 }
 
 ORACLE = {
@@ -1258,4 +1256,9 @@ ORACLE = {
     "pack_training_sequences": _PACK_ORACLE,
     "dedup_embedding_semantic": _semantic_dedup_oracle(),
     "neardup_cluster_canonical": _canonical_oracle(),
+    "dedup_token_spans": _SPAN_ORACLE,
+    "dedup_span_cut": _CUT_ORACLE,
+    "dedup_incremental_spans": _INCR_SPAN_ORACLE,
+    "neardup_winnow_pairs": _WINNOW_ORACLE,
+    "winnow_dup_clusters": _WINNOW_CLUSTERS_ORACLE,
 }

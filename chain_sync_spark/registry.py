@@ -9,49 +9,42 @@ contract, and the explicit ``WINDOW`` list below IS the round's
 certification window: those names are emitted first (in that order),
 then every remaining query in module order.
 
-Rotation ledger (round 8)
+Rotation ledger (round 9)
 -------------------------
 The ledger of record is "every query holds a green row in a recent
-CORRECTNESS_r* artifact".  End-of-round-7 state (recomputed from the
-raw r01-r07 artifacts): 50 latest-green r7, 50 latest-green r6, 35
-latest-green r4, 1 rows-only by design (sync_markdown_parse).
-Round-8 window composition (exactly 50):
+CORRECTNESS_r* artifact".  End-of-round-8 state (recomputed from the
+raw r01-r08 artifacts): 50 latest-green r8, 50 latest-green r7, 40
+latest-green r6, 1 rows-only by design (sync_markdown_parse).
+Round-9 window composition (exactly 50, machine-checked by
+tools/next_window.py --check before the recomposition):
 
-  - all 35 rotation-debt names (r4-only greens — the oldest rows),
-    keeping the freshness covenant
-  - the 2 round-7 staged entrants, now registered:
-    embed_hashing_fixedpoint and kmeans_balanced_sample
-    (llm_pipeline) — their first driver rows
-  - 3 new round-8 registrations: kmeans_assign_serving
-    (llm_pipeline; the serving tier's first driver row — frozen
-    centroids, reversed-embedding batch), bpe_encode_frozen
-    (corpus_ops; the tokenizer family's serving side under a frozen
-    merge table) and quantile_sketch_orders (corpus_ops; batch
-    certifier of the streaming log-histogram quantile sketch)
-  - 10 slots to r6-latest re-certs: the flagship digest, the
-    markdown builtin slice, the minhash band family (watched bench
-    mover) + its clustering consumer, the as-of join, the exact
-    profile (its sketch twin took the bench slot in r7),
-    heavy_hitters_cms + vocab_coverage_oov (their membership test
-    was generalized this round), one mid-weight TPC-H (q3) and the
-    time-RANGE frame window
+  - all 40 rotation-debt names (r6-latest greens — the oldest rows),
+    keeping the freshness covenant; segment_dedup_ratio is among
+    them and was skew-hardened this round (groupBy+join-back
+    replacing the count-over-hash window, value-identity verified)
+  - the first 10 staged entrants in STAGED_PRIORITY order, now
+    registered: cms_probe_terms, kmeans_centroids_fixedpoint,
+    dedup_token_spans, dedup_span_cut, dedup_incremental_spans
+    (the span family entered pre-hardened — duplicate marking is
+    groupBy(h)+join-back, never a window over the raw hash),
+    bloom_probe_fingerprints, neardup_winnow_pairs,
+    winnow_dup_clusters, bpe_fertility_frozen, ann_recall_audit
 
-After a green round 8 the distribution is 50 r8 / 50 r7 / 40 r6;
-``rotation_debt()`` below lists those 40 r6-latest names — they fill
-the round-9 window first, then the 10 staged entrants register
-(cms_probe_terms, kmeans_centroids_fixedpoint, dedup_token_spans,
-dedup_span_cut, dedup_incremental_spans, bloom_probe_fingerprints,
-neardup_winnow_pairs, winnow_dup_clusters, bpe_fertility_frozen,
-ann_recall_audit — all dual-transport-certified at sf0.001 AND
-sf0.01 this round), filling the window to exactly 50.  If a round-9
-impl change forces a re-cert, it displaces staged entrants from the
-END of that list (recall audit first) to round 10 — rotation debt
-and changed impls always outrank first registrations.  The 11th and
-12th staged entrants, source_overlap_matrix and quality_by_source
-(same full battery), are explicitly ROUND-10-queued: they stay in
-PENDING through the round-9 recomposition and register at round 10
-with that round's debt (STAGED_PRIORITY below is the executable
-form; tools/next_window.py prints the resulting window).
+After a green round 9 the distribution is 50 r9 / 50 r8 / 50 r7 —
+exactly the 150-name capacity of a 50-slot window under the 3-round
+freshness target.  ``rotation_debt()`` is now COMPUTED from the
+CORRECTNESS_r*.json artifacts (the round-7/round-9 failure class —
+a hand-maintained round list going stale — is retired): it returns
+the registered oracled names whose latest green row would fall
+below the 3-round target if left out of the next window.  The two
+remaining staged entrants, source_overlap_matrix and
+quality_by_source, register at round 10: tools/next_window.py
+reserves STAGED_RESERVE slots for staged entrants before the debt
+fill, so at round 10 they take 2 slots and the 2
+alphabetically-last r7-latest names slip one round (the registry
+now exceeds 150 oracled names, so a 2-name slip per round is the
+steady-state cost of new registrations; the pytest covenant is a
+4-round backstop, the planner aims at 3).
 
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level
@@ -88,63 +81,62 @@ _MODULES = [
 # Size of the driver's correctness-artifact window (observed, r01-r06).
 DRIVER_WINDOW = 50
 
-# Round-8 certification window — exactly DRIVER_WINDOW names, emitted
+# Round-9 certification window — exactly DRIVER_WINDOW names, emitted
 # first.  See the rotation ledger in the module docstring.
 WINDOW = [
-    # -- rotation debt: every r4-only green (35) --
-    "array_funcs_documents",
-    "chunk_documents_overlap",
-    "collect_sorted_event_types",
-    "dedup_incremental_batch",
-    "dedup_segment_rewrite",
-    "embedding_ann_multiprobe",
-    "embedding_pq_adc_topk",
-    "embedding_pq_assign",
-    "embedding_quantize_int8",
-    "embedding_quantized_topk",
-    "mixture_resample_documents",
-    "neardup_cluster_canonical",
-    "pack_training_sequences",
-    "pii_scrub_documents",
-    "profile_drift_events",
-    "retention_cohort_weeks",
-    "tfidf_top_terms",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_ship_class_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    "url_extract_normalize",
-    "window_rank_variants",
-    # -- round-7 staged entrants, first driver rows --
-    "embed_hashing_fixedpoint",
-    "kmeans_balanced_sample",
-    # -- new round-8 registrations --
-    "kmeans_assign_serving",
-    "bpe_encode_frozen",
-    "quantile_sketch_orders",
-    # -- r6-latest re-certs --
-    "flagship_sync_digest",
-    "markdown_extract_builtin",
-    "neardup_minhash_bands",
-    "neardup_clusters",
-    "join_asof_purchase_prior_view",
-    "profile_column_stats",
-    "heavy_hitters_cms",
-    "vocab_coverage_oov",
-    "tpch_q3_shipping_priority",
-    "window_trailing_7d_revenue",
+    # -- rotation debt: every r6-latest green (40) --
+    "agg_argmax_conditional",
+    "case_when_sign_branch",
+    "contamination_ngram_overlap",
+    "cube_status_priority",
+    "date_partition_buckets",
+    "distinct_users_per_type",
+    "doc_fingerprint_bottomk",
+    "domain_mixture_weights",
+    "filter_project_events",
+    "grouping_sets_status_priority",
+    "higher_order_token_filter",
+    "isin_allowlist_filter",
+    "join_anti_customers_without_orders",
+    "join_broadcast_dims",
+    "join_null_safe_segments",
+    "join_range_value_bands",
+    "join_salted_status_dim",
+    "join_semi_customers_with_orders",
+    "json_extract_events_props",
+    "lm_known_bigram_score",
+    "neardup_incremental_minhash",
+    "neardup_ngram_jaccard",
+    "ngram_lm_topk",
+    "pivot_events_by_type",
+    "quality_repetition_filter",
+    "rollup_nation_segment",
+    "scalar_subquery_above_avg",
+    "segment_dedup_ratio",
+    "set_ops_all_multiset",
+    "set_ops_segments",
+    "sort_limit_top_orders",
+    "stats_corr_lineitem",
+    "string_funcs_projection",
+    "surrogate_key_md5",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q5_local_supplier_volume",
+    "unpivot_customer_metrics",
+    "window_lag_event_gap",
+    "window_running_revenue",
+    # -- round-9 staged entrants, first driver rows (STAGED_PRIORITY
+    #    order) --
+    "cms_probe_terms",
+    "kmeans_centroids_fixedpoint",
+    "dedup_token_spans",
+    "dedup_span_cut",
+    "dedup_incremental_spans",
+    "bloom_probe_fingerprints",
+    "neardup_winnow_pairs",
+    "winnow_dup_clusters",
+    "bpe_fertility_frozen",
+    "ann_recall_audit",
 ]
 
 
@@ -202,75 +194,56 @@ def pending_queries() -> tuple[
 # pending_queries(), so staging a new entrant forces an explicit
 # priority decision here.
 STAGED_PRIORITY = [
-    "cms_probe_terms",
-    "kmeans_centroids_fixedpoint",
-    "dedup_token_spans",
-    "dedup_span_cut",
-    "dedup_incremental_spans",
-    "bloom_probe_fingerprints",
-    "neardup_winnow_pairs",
-    "winnow_dup_clusters",
-    "bpe_fertility_frozen",
-    "ann_recall_audit",
     "source_overlap_matrix",
     "quality_by_source",
 ]
 
 
+def _latest_green() -> dict[str, int]:
+    """Latest driver-green round per query, recomputed from the raw
+    CORRECTNESS_r*.json artifacts in the repo root (green = rows +
+    schema + value-hash match, the driver's criterion).  Rounds with
+    no artifact on disk simply contribute nothing."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name, rec in json.load(p.open()).items():
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def rotation_debt() -> list[str]:
-    """Names whose most recent driver-green row is oldest — the round-9
-    rotation candidates (everything not in this round's WINDOW whose
-    last green was r6)."""
-    r6_only = {
-        "agg_argmax_conditional",
-        "case_when_sign_branch",
-        "contamination_ngram_overlap",
-        "cube_status_priority",
-        "date_partition_buckets",
-        "distinct_users_per_type",
-        "doc_fingerprint_bottomk",
-        "domain_mixture_weights",
-        "filter_project_events",
-        "flagship_sync_digest",
-        "grouping_sets_status_priority",
-        "heavy_hitters_cms",
-        "higher_order_token_filter",
-        "isin_allowlist_filter",
-        "join_anti_customers_without_orders",
-        "join_asof_purchase_prior_view",
-        "join_broadcast_dims",
-        "join_null_safe_segments",
-        "join_range_value_bands",
-        "join_salted_status_dim",
-        "join_semi_customers_with_orders",
-        "json_extract_events_props",
-        "lm_known_bigram_score",
-        "markdown_extract_builtin",
-        "neardup_clusters",
-        "neardup_incremental_minhash",
-        "neardup_minhash_bands",
-        "neardup_ngram_jaccard",
-        "ngram_lm_topk",
-        "pivot_events_by_type",
-        "profile_column_stats",
-        "quality_repetition_filter",
-        "rollup_nation_segment",
-        "scalar_subquery_above_avg",
-        "segment_dedup_ratio",
-        "set_ops_all_multiset",
-        "set_ops_segments",
-        "sort_limit_top_orders",
-        "stats_corr_lineitem",
-        "string_funcs_projection",
-        "surrogate_key_md5",
-        "tpch_q13_order_distribution",
-        "tpch_q14_promo_revenue",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume",
-        "unpivot_customer_metrics",
-        "vocab_coverage_oov",
-        "window_lag_event_gap",
-        "window_running_revenue",
-        "window_trailing_7d_revenue",
-    }
-    return sorted(r6_only - set(WINDOW))
+    """Next-round rotation candidates, COMPUTED from the artifacts:
+    registered oracled names, not already in the current WINDOW,
+    whose latest green row would fall below the 3-round freshness
+    target if they miss the next window.  The round being planned is
+    newest-artifact + 1 (the current WINDOW's names earn their rows
+    when that artifact lands, which is why they are excluded rather
+    than aged); a name with no green row at all (latest 0) sorts
+    first — the registered-but-never-windowed backstop.  Sorted
+    (latest, name) so truncation by the planner drops the freshest
+    names, never the oldest."""
+    latest = _latest_green()
+    if not latest:
+        return []
+    planning_round = max(latest.values()) + 1
+    oracled = set(all_queries()) & set(all_oracles())
+    stale = [
+        n
+        for n in oracled
+        if n not in WINDOW and latest.get(n, 0) <= planning_round - 3
+    ]
+    return sorted(stale, key=lambda n: (latest.get(n, 0), n))

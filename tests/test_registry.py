@@ -38,38 +38,50 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
     )
 
 
-def test_rotation_ledger_complete_after_r8():
-    """Every registry query must hold a driver row in some prior
-    artifact or sit inside THIS round's window (that is the whole
-    point of the rotation). After r8 lands, no query's latest GREEN
-    row may be older than r6: the window carries every r4-or-older
-    green (the 35-name r4 cohort is the oldest and must rotate in
-    full)."""
-    artifacts = [
-        (r, f"CORRECTNESS_r0{r}.json") for r in range(2, 8)
-    ]
+def _artifacts():
+    """(round, path) for every CORRECTNESS_r*.json in the repo root —
+    globbed, never a hand-maintained round list (the round-7 failure
+    class: a literal range goes stale at every recomposition)."""
+    import re
+
+    out = []
+    for p in sorted(_ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            out.append((int(m.group(1)), p))
+    return out
+
+
+def test_rotation_ledger_covenant():
+    """Completeness: every registry query holds a driver row in some
+    prior artifact or sits inside THIS round's window (the whole
+    point of the rotation).  Freshness backstop: no query's latest
+    GREEN row may trail the newest artifact by 3+ rounds unless it is
+    windowed this round.  (The planner in tools/next_window.py aims
+    at a 3-round cycle; this test is the looser 4-round backstop so
+    that the 2-per-round covenant slips the >150-name registry forces
+    never false-fail it.)"""
+    artifacts = _artifacts()
+    assert artifacts, "no CORRECTNESS artifacts found"
     seen = set(WINDOW)
-    for _, artifact in artifacts:
-        p = _ROOT / artifact
-        if p.exists():
-            seen |= set(json.load(p.open()))
+    for _, p in artifacts:
+        seen |= set(json.load(p.open()))
     missing = [n for n in all_queries() if n not in seen]
     assert not missing, f"queries with no driver row and no window slot: {missing}"
 
-    # freshness half of the covenant: r3-or-older latest greens must
-    # be windowed
     last_green = {}
-    for r, artifact in artifacts:
-        p = _ROOT / artifact
-        if not p.exists():
-            continue
+    for r, p in artifacts:
         for name, rec in json.load(p.open()).items():
             if (rec.get("rows_match") and rec.get("schema_match")
                     and rec.get("hash_match", True)):
-                last_green[name] = r
-    stale_pool = {n for n, r in last_green.items() if r <= 4}
-    stale = sorted(stale_pool - set(WINDOW))
-    assert not stale, f"r4-or-older greens left out of the r8 window: {stale}"
+                last_green[name] = max(last_green.get(name, 0), r)
+    newest = max(r for r, _ in artifacts)
+    oracled = set(all_queries()) & set(all_oracles())
+    stale = sorted(
+        n for n in oracled
+        if n not in WINDOW and last_green.get(n, 0) <= newest - 3
+    )
+    assert not stale, f"stale greens left out of the window: {stale}"
 
 
 def test_rotation_debt_names_resolve():
@@ -142,21 +154,30 @@ def test_staged_priority_is_a_permutation_of_pending():
 
 
 def test_next_window_plan_fills_driver_window():
-    """The planned next-round window fills to exactly DRIVER_WINDOW
-    (debt first, then staged by priority) with no duplicates, and
-    only priority-tail entrants spill to the round after."""
+    """The planned next-round window: staged reserve first, then debt
+    oldest-first, then remaining staged by priority — full to exactly
+    DRIVER_WINDOW whenever debt+staged can fill it, no duplicates,
+    and only priority-tail entrants spill to the round after."""
     from chain_sync_spark.registry import (
         DRIVER_WINDOW,
         STAGED_PRIORITY,
         all_queries,
         rotation_debt,
     )
-    from tools.next_window import planned_window
+    from tools.next_window import STAGED_RESERVE, planned_window
 
-    window, leftover = planned_window()
-    assert len(window) == len(set(window)) == DRIVER_WINDOW
-    assert window[: len(rotation_debt())] == rotation_debt()
+    window, leftover, slipped = planned_window()
+    debt = rotation_debt()
+    n_staged = len(STAGED_PRIORITY)
+    expect = min(len(debt) + n_staged, DRIVER_WINDOW)
+    assert len(window) == len(set(window)) == expect
     q = all_queries()
-    assert all(n in q for n in rotation_debt())
-    spill = len(rotation_debt()) + len(STAGED_PRIORITY) - DRIVER_WINDOW
-    assert leftover == STAGED_PRIORITY[-spill:] if spill > 0 else not leftover
+    assert all(n in q for n in debt)
+    # debt fills oldest-first; only the tail past the staged reserve
+    # may slip, and what slips is exactly the freshest debt
+    taken_debt = debt[: DRIVER_WINDOW - min(n_staged, STAGED_RESERVE)]
+    assert window[: len(taken_debt)] == taken_debt
+    assert slipped == debt[len(taken_debt):]
+    # staged entrants spill only from the priority tail
+    room = DRIVER_WINDOW - len(taken_debt)
+    assert leftover == STAGED_PRIORITY[max(room, 0):]

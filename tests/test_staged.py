@@ -230,11 +230,26 @@ R8_REGISTRATIONS = [
     "quantile_sketch_orders",
 ]
 
+R9_REGISTRATIONS = [
+    "cms_probe_terms",
+    "kmeans_centroids_fixedpoint",
+    "dedup_token_spans",
+    "dedup_span_cut",
+    "dedup_incremental_spans",
+    "bloom_probe_fingerprints",
+    "neardup_winnow_pairs",
+    "winnow_dup_clusters",
+    "bpe_fertility_frozen",
+    "ann_recall_audit",
+]
 
-@pytest.mark.parametrize("name", R7_REGISTRATIONS + R8_REGISTRATIONS)
+
+@pytest.mark.parametrize(
+    "name", R7_REGISTRATIONS + R8_REGISTRATIONS + R9_REGISTRATIONS
+)
 def test_registration_oracle_parity_dual_transport(spark, name):
     """Parity pin on the QUERIES/ORACLE entries registered in rounds
-    7 and 8 (staged→registered promotions plus direct registrations)
+    7-9 (staged→registered promotions plus direct registrations)
     — the regression net for queries whose driver row is not in the
     current WINDOW."""
     from chain_sync_spark.registry import all_oracles, all_queries

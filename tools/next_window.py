@@ -2,13 +2,16 @@
 
 Usage: python tools/next_window.py [--check]
 
-Composition rule (registry.py docstring): rotation-debt names first
-(oldest greens — the freshness covenant), then staged entrants in
-their PENDING declaration order, truncated to DRIVER_WINDOW; staged
-entrants that don't fit stay PENDING for the round after (the
-source_overlap_matrix / round-10 case).  Output is a ready-to-paste
-python list for registry.WINDOW plus the oracle_check command that
-pre-flights it.
+Composition rule (registry.py docstring): STAGED_RESERVE slots are
+reserved for staged entrants (never-certified names need first rows
+and must not starve once the registry exceeds the 150-name rotation
+capacity), then rotation-debt names fill (oldest greens first — the
+freshness covenant; rotation_debt() is computed from the
+CORRECTNESS_r*.json artifacts and sorts (latest, name), so a
+truncation drops the freshest debt, never the oldest), then any
+remaining room goes to further staged entrants in STAGED_PRIORITY
+order.  Debt that does not fit slips one round and is reported
+loudly — it re-enters the next plan as the oldest cohort.
 
 --check additionally asserts the invariants the recomposition relies
 on: debt names are all currently registered, staged names are all
@@ -25,21 +28,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from chain_sync_spark import registry  # noqa: E402
 
+# Window slots guaranteed to staged entrants each round even when
+# rotation debt alone could fill the window.
+STAGED_RESERVE = 2
 
-def planned_window() -> tuple[list[str], list[str]]:
-    """(window, still_pending_after): the next-round WINDOW and the
-    staged names that must stay PENDING one more round."""
+
+def planned_window() -> tuple[list[str], list[str], list[str]]:
+    """(window, pending_after, slipped_debt): the next-round WINDOW,
+    the staged names that stay PENDING one more round, and the debt
+    names that slip to the round after (non-empty only when the
+    registry exceeds the window's rotation capacity)."""
     debt = registry.rotation_debt()
     pending = set(registry.pending_queries()[0])
     staged = [n for n in registry.STAGED_PRIORITY if n in pending]
     staged += sorted(pending - set(staged))  # unprioritized: loudly last
-    room = registry.DRIVER_WINDOW - len(debt)
+    reserve = min(len(staged), STAGED_RESERVE)
+    debt_take = debt[: registry.DRIVER_WINDOW - reserve]
+    slipped = debt[len(debt_take) :]
+    room = registry.DRIVER_WINDOW - len(debt_take)
     take = staged[: max(room, 0)]
-    return debt + take, staged[max(room, 0) :]
+    return debt_take + take, staged[max(room, 0) :], slipped
 
 
 def main() -> int:
-    window, leftover = planned_window()
+    window, leftover, slipped = planned_window()
     check = "--check" in sys.argv
     if check:
         q = registry.all_queries()
@@ -50,13 +62,21 @@ def main() -> int:
         assert len(set(window)) == len(window), "duplicate in window"
         if len(debt) + len(pq) >= registry.DRIVER_WINDOW:
             assert len(window) == registry.DRIVER_WINDOW, "window not full"
-        print(f"# invariants ok: {len(debt)} debt + {len(pq)} staged", file=sys.stderr)
+        print(
+            f"# invariants ok: {len(debt)} debt + {len(pq)} staged",
+            file=sys.stderr,
+        )
     print("WINDOW = [")
     for n in window:
         print(f'    "{n}",')
     print("]")
     if leftover:
         print(f"# stays PENDING for the round after: {leftover}")
+    if slipped:
+        print(
+            "# COVENANT SLIP — debt deferred one round by the staged "
+            f"reserve: {slipped}"
+        )
     print(
         "# pre-flight: python tools/oracle_check.py /root/testdata/sf0.01 "
         + " ".join(window[:3])
