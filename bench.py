@@ -137,19 +137,21 @@ def _bench_sync_round(spark) -> float:
 
 def _compact_line(headline: dict) -> str:
     """The ONE stdout line, kept inside the driver's ~2000-char tail
-    capture. Soft trim at 1500: drop the fastest sub-0.3 s per-query
-    entries first — their round-over-round delta is noise-band and
-    stderr keeps the full detail — so the judge's per-query visibility
-    on the expensive queries survives growth of the registry. The
-    1800 hard guard (drop the whole dict) remains the backstop."""
+    capture. Soft trim at 1500: drop the fastest per-query entries
+    first (sub-0.3 s, then sub-1.0 s if the line still overflows) —
+    their round-over-round delta is noise-band and stderr keeps the
+    full detail — so the judge's per-query visibility on the
+    expensive queries survives growth of the registry. The 1800 hard
+    guard (drop the whole dict) remains the backstop."""
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1500 and "queries" in headline:
         q = headline["queries"]
-        for n in sorted(q, key=q.get):
-            if len(line) <= 1500 or q[n] >= 0.3:
-                break
-            q.pop(n)
-            line = json.dumps(headline, separators=(",", ":"))
+        for cutoff in (0.3, 1.0):
+            for n in sorted(q, key=q.get):
+                if len(line) <= 1500 or q[n] >= cutoff:
+                    break
+                q.pop(n)
+                line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1800:  # never outgrow the driver's stdout tail capture
         headline.pop("queries", None)
         line = json.dumps(headline, separators=(",", ":"))
@@ -208,6 +210,34 @@ def main() -> None:
     cold["sync_round"] = round(_bench_sync_round(spark), 3)
     timings["sync_round"] = round(_bench_sync_round(spark), 3)
 
+    # Scale ladder (VERDICT r8 item 6): the baseline set also runs at
+    # a 10x-smaller SF and the artifact carries warm_big/warm_small
+    # per query. The 2x contract is judged at one SF through ±30%
+    # host noise; a superlinear operator — the thing the 100x bar
+    # actually fears — shows in this ratio while staying invisible in
+    # the band. Fixed per-query overhead (job scheduling, codegen)
+    # dominates the small-SF run, so healthy ratios sit WELL below
+    # the 10x data growth; anything > 15 is flagged.
+    ladder_dir = os.environ.get("SPARK_GRAFT_LADDER_DIR", "/root/testdata/sf0.01")
+    sf_ratio: dict[str, float] = {}
+    if os.path.realpath(ladder_dir) != os.path.realpath(sf_dir) and os.path.isdir(
+        ladder_dir
+    ):
+        small: dict[str, float] = {}
+        for _pass in range(2):  # first pass warms the small-SF footers
+            for n in BASELINE_SET:
+                if n not in queries:
+                    continue
+                df = queries[n](spark, ladder_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                small[n] = time.perf_counter() - t0
+        sf_ratio = {
+            n: round(timings[n] / max(small[n], 1e-3), 1)
+            for n in small
+            if n in timings
+        }
+
     total = round(sum(t for n, t in timings.items() if n in BASELINE_SET), 3)
     extended = round(sum(t for n, t in timings.items() if n in EXTENDED_SET), 3)
     cold_total = round(sum(t for n, t in cold.items() if n in BASELINE_SET), 3)
@@ -222,6 +252,7 @@ def main() -> None:
             "detail": "warm+cold per-query seconds (not the driver line)",
             "queries_warm": timings,
             "queries_cold": cold,
+            "sf_ratio_baseline_set": sf_ratio,
             "versions": ver,
         }),
         file=sys.stderr,
@@ -233,6 +264,8 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "baseline_set_total_cold": cold_total,
         "extended_set_total": extended,
+        "sf_ratio": sf_ratio,
+        "sf_flag": sorted(n for n, r in sf_ratio.items() if r > 15),
         "cpu_probe_sec": probe,
         "v": {k: ver[k] for k in ("pyspark", "duckdb", "pandas")},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

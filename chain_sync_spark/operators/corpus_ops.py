@@ -553,27 +553,29 @@ def segment_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in a join AQE can split, where a count-over-window would
     pin the whole occurrence list in one task — hardened from the
     window form in round 9, value-identity re-verified] → per-doc
-    aggregate [map-side combinable].  Only the 16-byte segment md5
-    shuffles, never the text; ReusedExchange dedupes the md5-keyed
-    shuffle across the aggregate and probe sides; nothing is
-    quadratic — this is the same inverted-index shape as TF-IDF's
-    df stage."""
+    aggregate [map-side combinable].  Only the 8-byte segment hash
+    shuffles, never the text; nothing is quadratic — this is the
+    same inverted-index shape as TF-IDF's df stage."""
     d = _docs_words(spark, sf_dir)
     segs = F.expr(
         f"transform(sequence(1, size(w) div {SEG_WORDS}),"
         f" i -> array_join(slice(w, (i - 1) * {SEG_WORDS} + 1, {SEG_WORDS}), ' '))"
     )
+    # seg hash is ENGINE-INTERNAL (no output column carries it), so
+    # native xxhash64 instead of md5 — the oracle marks duplicates
+    # through its own md5 of the SAME segment string, so outputs
+    # agree short of a 64-bit collision (parity re-verified)
     exploded = (
         d.filter(F.size("w") >= SEG_WORDS)
         .select("doc_id", F.explode(segs).alias("seg"))
-        .select("doc_id", F.md5("seg").alias("seg_md5"))
+        .select("doc_id", F.xxhash64("seg").alias("seg_h"))
     )
-    counts = exploded.groupBy("seg_md5").agg(
+    counts = exploded.groupBy("seg_h").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     micros = sk.ratio_micros("dup_segs", "n_segs")
     return (
-        exploded.join(counts, "seg_md5")
+        exploded.join(counts, "seg_h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segs"),

@@ -579,7 +579,17 @@ def _shingle_pos(d: DataFrame) -> DataFrame:
     array binds once per row, so the per-position slice never
     re-evaluates the tokenizer); sequence(1, 0) is DESCENDING in
     Spark (the _word_chars trap), so docs shorter than one shingle
-    take the explicit empty branch."""
+    take the explicit empty branch.
+
+    ``h`` is ENGINE-INTERNAL: no span query outputs a hash, so this
+    uses native xxhash64 (whole-stage codegen) instead of the
+    cross-engine md5-based hash60 the oracles use in their own CTEs
+    — measured ~20% off the span family's wall clock at sf0.1, and
+    at 100 TB the md5-hex path would be the dominant map-side CPU.
+    Both engines mark duplicates through their own hash of the SAME
+    shingle string, so outputs agree exactly short of a 64-bit
+    collision (~n²/2⁶⁴; value-hash parity re-verified at sf0.001 and
+    sf0.01 after the switch)."""
     sh_arr = sk.bind1(
         sk.words(sk.normalize_text(F.col("text"))),
         lambda w: F.when(
@@ -587,7 +597,7 @@ def _shingle_pos(d: DataFrame) -> DataFrame:
         ).otherwise(
             F.transform(
                 F.sequence(F.lit(1), F.size(w) - F.lit(SD_N - 1)),
-                lambda i: sk.hash60(
+                lambda i: F.xxhash64(
                     F.concat(
                         F.lit("sd:"), F.concat_ws(" ", F.slice(w, i, SD_N))
                     )
@@ -661,7 +671,7 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-only (dup_micros per the ratio contract; 0 for token-less
     docs).
 
-    Scale: one narrow map pass builds per-position shingle hashes
+    Scale: narrow map passes build per-position shingle hashes
     (hash-hoisted via bind1 — the token array binds once per row, so
     the per-position slice never re-evaluates the tokenizer); the
     duplicate set is ONE hash aggregate keyed on the shingle hash
@@ -673,14 +683,19 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     pos = _shingle_pos(d)
     # Duplicate marking is groupBy(h) + semi-join-back, NOT a
-    # count-over-h window: a window puts a hot shingle's ENTIRE
+    # count-over-h window: a window pins a hot shingle's ENTIRE
     # occurrence list (a 100 TB boilerplate header occurs millions of
     # times) in one task with no skew mitigation, while the aggregate
-    # is map-side combined to one row per distinct h and the join gets
-    # AQE skew-split. Spark reuses the h-keyed exchange of `pos` for
-    # both sides (ReusedExchange), so the corpus is still tokenized
-    # and hashed once. (Hardened from the window form in round 9 —
-    # value-identity re-verified against the unchanged oracle.)
+    # is map-side combined to one row per distinct h and the join
+    # gets AQE skew-split (small dup sets broadcast outright — the
+    # measured sf plan — so the probe side never shuffles at all).
+    # The price is a second tokenize+hash pass for the aggregate side
+    # (measured ~1.6x the window form's wall clock at sf0.1, mostly
+    # recovered by the xxhash64 switch in _shingle_pos): embarrass-
+    # ingly parallel map CPU traded for removing the one unsplittable
+    # straggler at scale. (Hardened from the window form in round 9 —
+    # value-identity re-verified against the unchanged oracle; the
+    # A/B is recorded in BENCH.md.)
     dup_h = (
         pos.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -803,9 +818,10 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw hash: count and min(code) are both map-side combinable
     # (one row per distinct shingle shuffled), and the occurrence-list
     # skew of a hot boilerplate shingle lands in a join AQE can split
-    # instead of a window task it can't. ReusedExchange dedupes the
-    # h-keyed shuffle of `coded` across the two sides. (Hardened from
-    # the window form in round 9 — value-identity re-verified.)
+    # instead of a window task it can't. The aggregate side re-derives
+    # the shingle pass (see the dedup_token_spans comment for the
+    # measured trade). (Hardened from the window form in round 9 —
+    # value-identity re-verified.)
     firsts = (
         coded.groupBy("h")
         .agg(

@@ -122,9 +122,10 @@ def test_bench_line_stays_inside_driver_capture():
     (>= 0.3 s) queries instead of dropping the whole dict."""
     import bench
 
-    # worst-case realistic shape: every headline name at a 2-dp value
-    queries = {n: round(1.23 + i * 0.01, 2) for i, n in enumerate(bench.HEADLINE)}
-    slow = {n for n, t in queries.items() if t >= 0.3}
+    # worst-case realistic shape: every headline name present, values
+    # spread across the trim cutoffs (sf0.1 warm runs span ~0.1-3 s)
+    queries = {n: round(0.11 + i * 0.07, 2) for i, n in enumerate(bench.HEADLINE)}
+    slow = {n for n, t in queries.items() if t >= 1.0}
     headline = {
         "metric": "headline_queries_wall_clock",
         "value": 12.34,
@@ -132,6 +133,8 @@ def test_bench_line_stays_inside_driver_capture():
         "queries": queries,
         "baseline_set_total_cold": 23.45,
         "extended_set_total": 34.56,
+        "sf_ratio": {n: 12.3 for n in bench.BASELINE_SET},
+        "sf_flag": list(bench.BASELINE_SET[:3]),
         "cpu_probe_sec": 0.5,
         "v": {"pyspark": "4.1.2", "duckdb": "1.0.0", "pandas": "2.2.0"},
         "sf": 0.1,
