@@ -99,6 +99,8 @@ EXTENDED_SET = [
     "ann_recall_audit",            # staged r9 (resolved via pending_queries)
     "source_overlap_matrix",       # staged r10 (resolved via pending_queries)
     "quality_by_source",           # staged r10 (resolved via pending_queries)
+    "lm_probe_newdocs",            # staged r9 (serving certifier)
+    "winnow_probe_newdocs",        # staged r9 (serving certifier)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 
@@ -152,6 +154,14 @@ def _compact_line(headline: dict) -> str:
                     break
                 q.pop(n)
                 line = json.dumps(headline, separators=(",", ":"))
+        # still over the tail capture: keep shedding fastest-first —
+        # the slowest queries (the judge's movers signal) survive to
+        # the last entry rather than the whole dict vanishing
+        for n in sorted(q, key=q.get):
+            if len(line) <= 1800 or len(q) <= 1:
+                break
+            q.pop(n)
+            line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1800:  # never outgrow the driver's stdout tail capture
         headline.pop("queries", None)
         line = json.dumps(headline, separators=(",", ":"))

@@ -1090,6 +1090,76 @@ HAVING COUNT(*) >= {WN_MIN_SHARED}
 """
 
 
+WN_PROBE_MOD = 5  # doc_id % MOD == 0 is the probe batch; rest is stored
+
+
+def winnow_match_pairs(idx: DataFrame, docs: DataFrame) -> DataFrame:
+    """The MOSS SERVING arithmetic, shared verbatim by the streaming
+    probe (streaming/stream_sync.probe_winnow_index) and its batch
+    certifier (winnow_probe_newdocs): fingerprint the probe documents
+    and match them against a stored (already boilerplate-capped)
+    index relation ``idx`` (doc_id, h).  Output (doc_a stored,
+    doc_b probed, shared_fps >= {WN_MIN_SHARED}).
+
+    Scale: hash-keyed join with per-key fanout capped upstream by
+    WN_MAX_DF — the same O(N · capped collisions) class as
+    neardup_winnow_pairs, no all-pairs path."""
+    fp_b = winnow_fingerprints(docs.select("doc_id", "text"))
+    return (
+        idx.alias("a")
+        .join(fp_b.alias("b"), F.col("a.h") == F.col("b.h"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WN_MIN_SHARED)
+    )
+
+
+def winnow_probe_newdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch certifier of the streamed winnow-index SERVING path
+    ("which stored documents does this submission overlap?"): the
+    stored corpus (doc_id % {WN_PROBE_MOD} != 0) builds the
+    boilerplate-capped fingerprint index — df counted over the
+    STORED corpus only, exactly as the streamed store's summed hdf
+    deltas count it — and every new-batch document (doc_id %
+    {WN_PROBE_MOD} == 0) matches against it through
+    winnow_match_pairs, the arithmetic
+    streaming/stream_sync.probe_winnow_index serves over a
+    run_stream_winnow_index store.  A pytest pins this output equal
+    to that probe on the same split, so this query's driver green
+    certifies the read side of the streamed index.
+
+    Scale: index build is the capped winnow shape
+    (neardup_winnow_pairs); the probe side is O(batch)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = F.col("doc_id") % WN_PROBE_MOD == 0
+    stored = winnow_fingerprints(docs.filter(~is_new))
+    cap = (
+        stored.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WN_MAX_DF)
+        .select("h")
+    )
+    idx = stored.join(cap, "h", "left_semi")
+    return winnow_match_pairs(idx, docs.filter(is_new))
+
+
+_WINNOW_PROBE_ORACLE = f"""
+WITH {_WINNOW_FP_CTE},
+stored AS (SELECT doc_id, h FROM fp WHERE doc_id % {WN_PROBE_MOD} <> 0),
+cap AS (SELECT h FROM stored GROUP BY h HAVING COUNT(*) <= {WN_MAX_DF}),
+idx AS (SELECT s.doc_id, s.h FROM stored s JOIN cap USING (h)),
+probe AS (SELECT doc_id, h FROM fp WHERE doc_id % {WN_PROBE_MOD} = 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM idx a JOIN probe b ON a.h = b.h
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WN_MIN_SHARED}
+"""
+
+
 # ---------------------------------------------------------------------------
 # 11. Winnow family cluster step (staged round-9/10 entrant)
 # ---------------------------------------------------------------------------
@@ -1235,13 +1305,17 @@ FROM shared s JOIN tot t ON s.src_a = t.source
 """
 
 
-# source_overlap_matrix registers at round 10 (registry.py ledger)
+# source_overlap_matrix registers at round 10 (registry.py ledger);
+# winnow_probe_newdocs staged round 9 (streamed-index serving
+# certifier, VERDICT r8 item 4)
 PENDING_QUERIES = {
     "source_overlap_matrix": source_overlap_matrix,
+    "winnow_probe_newdocs": winnow_probe_newdocs,
 }
 
 PENDING_ORACLE = {
     "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
+    "winnow_probe_newdocs": _WINNOW_PROBE_ORACLE,
 }
 
 

@@ -196,6 +196,10 @@ def pending_queries() -> tuple[
 STAGED_PRIORITY = [
     "source_overlap_matrix",
     "quality_by_source",
+    # round-9 staged: batch certifiers of the streamed-LM and
+    # streamed-winnow-index serving paths (VERDICT r8 item 4)
+    "lm_probe_newdocs",
+    "winnow_probe_newdocs",
 ]
 
 

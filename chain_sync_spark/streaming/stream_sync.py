@@ -871,24 +871,12 @@ def probe_winnow_index(
     non-boilerplate fingerprints are reported as (doc_a stored,
     doc_b probed, shared_fps) — the MOSS serving path ("which stored
     documents does this submission overlap?") without mutating the
-    index."""
-    from chain_sync_spark.operators.pipeline_extras import (
-        WN_MIN_SHARED,
-        winnow_fingerprints,
-    )
+    index.  The match arithmetic is winnow_match_pairs, shared with
+    the batch certifier winnow_probe_newdocs, whose driver green
+    covers this serving path."""
+    from chain_sync_spark.operators.pipeline_extras import winnow_match_pairs
 
-    idx = _winnow_capped_index(spark, store_dir)
-    fp_b = winnow_fingerprints(docs.select("doc_id", "text"))
-    return (
-        idx.alias("a")
-        .join(fp_b.alias("b"), F.col("a.h") == F.col("b.h"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= WN_MIN_SHARED)
-    )
+    return winnow_match_pairs(_winnow_capped_index(spark, store_dir), docs)
 
 
 def run_stream_winnow_index(
@@ -1429,13 +1417,11 @@ def probe_lm(spark: SparkSession, store_dir: str, docs: DataFrame) -> DataFrame:
     Scale: ONE hash join of the batch's bigram rows against the
     summed store keyed (w1, w2), then a map-side-combinable per-doc
     aggregate; the document text never travels past the first
-    projection."""
+    projection (score_against_lm — the arithmetic shared with the
+    batch certifier lm_probe_newdocs, whose driver green covers this
+    serving path)."""
     from chain_sync_spark.functions import sketches as sk
-    from chain_sync_spark.operators.corpus_ops import (
-        LM_KEEP_MICROS,
-        LM_MIN_COUNT,
-        _bigram_pairs,
-    )
+    from chain_sync_spark.operators.corpus_ops import score_against_lm
 
     counts = (
         read_store_table(spark, store_dir, "bigrams", _LM_STORE_SCHEMA)
@@ -1445,26 +1431,7 @@ def probe_lm(spark: SparkSession, store_dir: str, docs: DataFrame) -> DataFrame:
     d = docs.select(
         "doc_id", sk.words(sk.normalize_text(F.col("text"))).alias("w")
     )
-    pairs = _bigram_pairs(d, "doc_id")
-    micros = sk.ratio_micros("n_known", "n_bigrams")
-    return (
-        pairs.join(counts, ["w1", "w2"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(
-                (F.coalesce("cnt", F.lit(0).cast("long")) >= LM_MIN_COUNT)
-                .cast("long")
-            ).alias("n_known"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "n_known",
-            micros.alias("known_micros"),
-            (micros >= LM_KEEP_MICROS).alias("keep"),
-        )
-    )
+    return score_against_lm(counts, d)
 
 
 def run_stream_profile(

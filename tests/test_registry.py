@@ -125,7 +125,8 @@ def test_bench_line_stays_inside_driver_capture():
     # worst-case realistic shape: every headline name present, values
     # spread across the trim cutoffs (sf0.1 warm runs span ~0.1-3 s)
     queries = {n: round(0.11 + i * 0.07, 2) for i, n in enumerate(bench.HEADLINE)}
-    slow = {n for n, t in queries.items() if t >= 1.0}
+    orig = dict(queries)  # _compact_line trims headline["queries"] in place
+    slow = {n for n, t in orig.items() if t >= 1.0}
     headline = {
         "metric": "headline_queries_wall_clock",
         "value": 12.34,
@@ -143,7 +144,15 @@ def test_bench_line_stays_inside_driver_capture():
     assert len(line) <= 1800
     parsed = __import__("json").loads(line)
     assert "queries" in parsed, "soft trim must not drop the whole dict"
-    assert slow <= set(parsed["queries"]), "slow queries must stay visible"
+    kept = parsed["queries"]
+    # shedding is fastest-first: everything kept is at least as slow
+    # as everything dropped, and the slowest five never vanish
+    top5 = sorted(slow, key=orig.get)[-5:]
+    assert set(top5) <= set(kept), "slowest queries must stay visible"
+    if set(kept) != set(orig):
+        assert min(kept.values()) >= max(
+            v for n, v in orig.items() if n not in kept
+        )
 
 
 def test_staged_priority_is_a_permutation_of_pending():

@@ -1698,3 +1698,102 @@ def test_compact_lm_store_collapses_keys_probe_unchanged(spark, tmp_path):
         r.doc_id: (r.n_bigrams, r.n_known, r.known_micros, r.keep)
         for r in probe_lm(spark, store, docs).collect()
     } == before_probe
+
+
+def test_lm_probe_newdocs_equals_streamed_probe(spark, tmp_path):
+    """The batch certifier lm_probe_newdocs (registry/staged form) is
+    row-identical to probe_lm over a store that run_stream_lm
+    maintained from the SAME stored split (doc_id % LM_PROBE_MOD != 0)
+    in file-sized micro-batches — the driver green earned by the
+    certifier covers the streamed-LM serving path, unknown-bigram
+    branch included."""
+    from chain_sync_spark.operators.corpus_ops import (
+        LM_PROBE_MOD,
+        lm_probe_newdocs,
+    )
+    from chain_sync_spark.streaming.stream_sync import probe_lm, run_stream_lm
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents").select("doc_id", "text")
+    stored = docs.filter(F.col("doc_id") % LM_PROBE_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % LM_PROBE_MOD == 0)
+
+    src = str(tmp_path / "src")
+    stored.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    run_stream_lm(stream, store, ckpt).awaitTermination(120)
+
+    served = {
+        r.doc_id: (r.n_bigrams, r.n_known, r.known_micros, r.keep)
+        for r in probe_lm(spark, store, batch).collect()
+    }
+    certified = {
+        r.doc_id: (r.n_bigrams, r.n_known, r.known_micros, r.keep)
+        for r in lm_probe_newdocs(spark, sf).collect()
+    }
+    assert certified == served
+    # the unknown-bigram path is actually exercised: some probed doc
+    # scores below a self-scored corpus's floor (cnt 0 < LM_MIN_COUNT)
+    assert any(k[1] < k[0] for k in certified.values())
+
+
+def test_winnow_probe_newdocs_equals_streamed_probe(spark, tmp_path):
+    """The batch certifier winnow_probe_newdocs is row-identical to
+    probe_winnow_index over a store that run_stream_winnow_index
+    maintained from the SAME stored split in micro-batches — the
+    certifier's driver green covers the streamed MOSS serving path,
+    boilerplate cap included."""
+    import glob
+    import shutil
+
+    from chain_sync_spark.operators.pipeline_extras import (
+        WN_PROBE_MOD,
+        winnow_probe_newdocs,
+    )
+    from chain_sync_spark.streaming.stream_sync import (
+        probe_winnow_index,
+        run_stream_winnow_index,
+    )
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents").select("doc_id", "text")
+    stored = docs.filter(F.col("doc_id") % WN_PROBE_MOD != 0)
+    probe = docs.filter(F.col("doc_id") % WN_PROBE_MOD == 0)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _add(df, stage, name):
+        df.coalesce(1).write.mode("overwrite").json(str(tmp_path / stage))
+        part = glob.glob(str(tmp_path / stage / "part-*.json"))[0]
+        shutil.copy(part, str(src / name))
+
+    # two micro-batches so the df cap really sums hdf deltas
+    _add(stored.filter("doc_id < 250"), "stage_1", "a.json")
+    _add(stored.filter("doc_id >= 250"), "stage_2", "b.json")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    run_stream_winnow_index(stream, store, ckpt).awaitTermination(180)
+
+    served = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in probe_winnow_index(spark, store, probe).collect()
+    }
+    certified = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in winnow_probe_newdocs(spark, sf).collect()
+    }
+    assert certified == served and certified
