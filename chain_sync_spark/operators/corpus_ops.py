@@ -479,32 +479,25 @@ def lm_known_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-5 boundary contract) and ``keep`` derives from the
     integer.
 
-    Plan: per-row bigram generation (no join) → corpus counts via a
-    count-over-(w1, w2)-window [ONE shuffle of the pairs relation and
-    ONE scan — the same rewrite TF-IDF's df stage uses; a separate
-    count aggregate joined back would re-derive the exploded pairs
-    from a second scan and shuffle them a second time for the join]
-    → per-doc aggregate [map-side combinable].  Nothing here is
-    quadratic and the document text never travels past the first
-    projection."""
-    pairs = _bigram_pairs(_docs_words(spark, sf_dir), "doc_id")
-    wpair = Window.partitionBy("w1", "w2")
-    micros = sk.ratio_micros("n_known", "n_bigrams")
-    return (
-        pairs.withColumn("cnt", F.count(F.lit(1)).over(wpair))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum((F.col("cnt") >= LM_MIN_COUNT).cast("long")).alias("n_known"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "n_known",
-            micros.alias("known_micros"),
-            (micros >= LM_KEEP_MICROS).alias("keep"),
-        )
+    Plan: per-row bigram generation (no join) → corpus counts via
+    groupBy(w1, w2) + join-back through score_against_lm — one
+    arithmetic shared with the streaming probe and lm_probe_newdocs.
+    Hardened from a count-over-(w1, w2) window in round 9 (the same
+    skew class as the span family: "of the" at 100 TB is one
+    unsplittable window task, while the aggregate map-side-combines
+    to one row per distinct bigram and the join gets AQE
+    broadcast/skew-split); self-scoring means every probe pair
+    exists in the model, so the LEFT join is value-identical to the
+    window form (re-verified against the unchanged oracle).  The
+    per-doc aggregate is map-side combinable and the document text
+    never travels past the first projection."""
+    d = _docs_words(spark, sf_dir)
+    counts = (
+        _bigram_pairs(d, "doc_id")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return score_against_lm(counts, d)
 
 
 _LM_SCORE_ORACLE = f"""

@@ -46,6 +46,19 @@ now exceeds 150 oracled names, so a 2-name slip per round is the
 steady-state cost of new registrations; the pytest covenant is a
 4-round backstop, the planner aims at 3).
 
+Round-10 hardening queue (windows over raw content keys — the skew
+class retired from the span/segment/LM families this round — that
+could NOT change in round 9 because their queries hold r7/r8 greens
+outside this window; a changed impl must occupy a slot in the round
+it changes): dedup_segment_rewrite's first-occurrence window on
+seg_md5 (corpus_ops — a groupBy+min-struct aggregate is the fix),
+dedup_incremental_batch's keep-first window on content_md5
+(corpus_ops), tfidf_top_terms' term-df window (corpus_ops), and
+neardup_prefix_filter_pairs' token-df window (llm_pipeline).  Each
+needs value-identity re-verification and a window slot; all sit in
+upcoming debt cohorts (r7/r8-latest), so the rotation pays for the
+re-certs naturally.
+
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level
 ``PENDING_QUERIES``/``PENDING_ORACLE`` dicts — fully implemented,
