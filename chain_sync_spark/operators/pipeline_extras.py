@@ -613,7 +613,16 @@ def _rebuild_after_cut(d: DataFrame, cut_hits: DataFrame) -> DataFrame:
     shingle hit into its {SD_N} covered token positions (bounded 8x
     the hit count — duplicated text only), anti-join the token
     stream, and rebuild (doc_id, n_tokens, cut_tokens, kept_md5) with
-    the kept stream fingerprinted in position order."""
+    the kept stream fingerprinted in position order.
+
+    n_tokens is DERIVED, not re-tokenized: every covered position is
+    a real token position (a cut shingle starts at pos <= n - SD_N,
+    so pos..pos+SD_N-1 stay in range) and covered is distinct, so
+    n_tokens = kept_tokens + |covered per doc| exactly — which
+    removes a whole corpus tokenization pass the old per-doc
+    size(words()) spine cost (value-identity re-verified).  The doc
+    spine joins from the raw (doc_id) projection so token-less and
+    fully-cut documents still emit their zero rows."""
     toks = d.select(
         "doc_id",
         F.posexplode(sk.words(sk.normalize_text(F.col("text")))).alias(
@@ -626,6 +635,9 @@ def _rebuild_after_cut(d: DataFrame, cut_hits: DataFrame) -> DataFrame:
             F.sequence(F.col("pos"), F.col("pos") + F.lit(SD_N - 1))
         ).alias("pos"),
     ).distinct()
+    cut_per_doc = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("cut_tokens")
+    )
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     per_doc = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("kept_tokens"),
@@ -639,21 +651,23 @@ def _rebuild_after_cut(d: DataFrame, cut_hits: DataFrame) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
-    base = d.select(
-        "doc_id",
-        F.size(sk.words(sk.normalize_text(F.col("text")))).alias("n_tokens"),
-    )
-    return base.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        (
-            F.col("n_tokens")
-            - F.coalesce("kept_tokens", F.lit(0).cast("long"))
-        ).alias("cut_tokens"),
-        # a fully-cut (or token-less) doc keeps the empty stream:
-        # md5('') on both engines (DuckDB string_agg over zero rows
-        # is NULL — the oracles COALESCE to '' to match)
-        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    kept_n = F.coalesce("kept_tokens", F.lit(0).cast("long"))
+    cut_n = F.coalesce("cut_tokens", F.lit(0).cast("long"))
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(cut_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            # INT like the old size(words()) spine (the oracles CAST
+            # AS INT); the sum itself is exact in long first
+            (kept_n + cut_n).cast("int").alias("n_tokens"),
+            cut_n.alias("cut_tokens"),
+            # a fully-cut (or token-less) doc keeps the empty stream:
+            # md5('') on both engines (DuckDB string_agg over zero
+            # rows is NULL — the oracles COALESCE to '' to match)
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
     )
 
 
