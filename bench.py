@@ -101,6 +101,7 @@ EXTENDED_SET = [
     "quality_by_source",           # staged r10 (resolved via pending_queries)
     "lm_probe_newdocs",            # staged r9 (serving certifier)
     "winnow_probe_newdocs",        # staged r9 (serving certifier)
+    "minhash_estimate_error_audit",  # staged r9 (LSH calibration)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

@@ -278,6 +278,139 @@ JOIN sh sb ON cand.doc_b = sb.doc_id
 """
 
 
+def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the MinHash estimator — the LSH family's
+    analog of ann_recall_audit ("measure the dial, don't assert it"):
+    for every band-collision candidate pair, the signature-agreement
+    Jaccard estimate (equal positions / {N_MINHASH} — the unbiased
+    MinHash estimator) next to the EXACT shingle-set Jaccard and the
+    absolute error, all in integer micros.  This is the table that
+    justifies N_MINHASH/N_BANDS choices: expected |error| scales as
+    1/sqrt(N_MINHASH), and a drifting error distribution (e.g. after
+    a tokenizer change) flags a mis-tuned sketch before it costs
+    recall in production.
+
+    Scale: rides neardup_minhash_bands' exact plan shape (banded
+    self-join — candidates O(N · collisions), never all-pairs; the
+    signature fold is one pass over the persisted shingle relation);
+    the audit adds only a {N_MINHASH}-element zip_with per candidate
+    pair.  Output (doc_a, doc_b, est_micros, true_micros,
+    err_micros), integer-only per the round-5 boundary contract."""
+    release_caches()  # previous query's scope ends here
+    shingled = _scoped_persist(_docs_shingled(spark, sf_dir))
+    sigs = shingled.select(
+        "doc_id", "sh", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    eq_n = F.size(
+        F.filter(
+            F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    est = sk.ratio_micros("eq_n", str(N_MINHASH))
+    tru = sk.ratio_micros("i_n", "u_n")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            eq_n.alias("eq_n"),
+            inter.alias("i_n"),
+            union.alias("u_n"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_micros"),
+            tru.alias("true_micros"),
+            F.abs(est - tru).alias("err_micros"),
+        )
+    )
+
+
+def _minhash_err_oracle() -> str:
+    coeffs = sk.minhash_coeffs(N_MINHASH)
+    sig_exprs = ",\n         ".join(
+        f"{sk.minhash_sig_sql('sh', a, b)} AS sig_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, md5("
+        + " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + ") AS bkey FROM sigs"
+        for b in range(N_BANDS)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    est = sk.ratio_micros_sql("eq_n", str(N_MINHASH))
+    tru = sk.ratio_micros_sql("i_n", "u_n")
+    return f"""
+WITH {_SHINGLE_CTE.lstrip()},
+sigs AS (
+  SELECT doc_id, sh,
+         {sig_exprs}
+  FROM sh
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT doc_a, doc_b,
+         CAST({eq_sum} AS BIGINT) AS eq_n,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS i_n,
+         CAST(len(sa.sh) + len(sb.sh)
+              - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS u_n
+  FROM cand
+  JOIN sigs sa ON cand.doc_a = sa.doc_id
+  JOIN sigs sb ON cand.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b,
+       {est} AS est_micros,
+       {tru} AS true_micros,
+       CAST(ABS({est} - {tru}) AS BIGINT) AS err_micros
+FROM m
+"""
+
+
 CLUSTER_MIN_JACCARD = 0.5
 CLUSTER_MAX_ITERS = 12
 CLUSTER_CHECKPOINT_EVERY = 4
@@ -2809,12 +2942,16 @@ FROM agg
 """
 
 
-# No staged entrants at the moment — new queries ship behind these
-# dicts (full implementation + DuckDB oracle + dual-transport parity
-# pytest) until the next WINDOW recomposition.
-PENDING_QUERIES: dict = {}
+# Staged entrants (registry.pending_queries): full implementation +
+# DuckDB oracle + dual-transport parity pytest now, a WINDOW slot at
+# a later recomposition.
+PENDING_QUERIES: dict = {
+    "minhash_estimate_error_audit": minhash_estimate_error_audit,
+}
 
-PENDING_ORACLE: dict = {}
+PENDING_ORACLE: dict = {
+    "minhash_estimate_error_audit": _minhash_err_oracle(),
+}
 
 # staged r8 → registered + windowed round 9: the serialized centroid
 # artifact and the ANN recall/cost audit

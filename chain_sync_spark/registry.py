@@ -213,6 +213,8 @@ STAGED_PRIORITY = [
     # streamed-winnow-index serving paths (VERDICT r8 item 4)
     "lm_probe_newdocs",
     "winnow_probe_newdocs",
+    # round-9 staged: the LSH family's estimator-calibration audit
+    "minhash_estimate_error_audit",
 ]
 
 

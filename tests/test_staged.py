@@ -664,3 +664,110 @@ def test_quality_by_source_hand_computed(spark, tmp_path):
         "s1": (2, 1, 500_000, (d1_micros * 2 + 2) // 4),
         "s2": (1, 1, 1_000_000, 1_000_000),
     }
+
+
+# ---------------------------------------------------------------------------
+# minhash_estimate_error_audit (staged round 9)
+# ---------------------------------------------------------------------------
+
+def test_minhash_error_audit_matches_python_replica(spark, tmp_path):
+    """From-scratch replica of the whole audit arithmetic: md5-based
+    60-bit hash -> 31-bit base hash -> affine min-signatures -> band
+    md5 keys -> candidate pairs -> signature-agreement estimate vs
+    exact shingle Jaccard, all in round-half-up integer micros.  The
+    fixture carries an identical pair (est = true = 1e6, err 0), a
+    near-identical pair, and a disjoint doc that must pair with
+    nothing."""
+    import hashlib
+    import re
+
+    from chain_sync_spark.functions import sketches as sk2
+    from chain_sync_spark.operators import llm_pipeline as lp2
+
+    base = "the quick brown fox jumps over the lazy dog again and again " \
+           "until the very end of the story arrives"
+    texts = {
+        1: base,
+        2: base,                                   # exact duplicate of 1
+        3: base.replace("lazy", "sleepy"),         # near duplicate
+        4: " ".join(f"zz{i} yy{i} xx{i}" for i in range(12)),  # disjoint
+    }
+
+    def norm(t):
+        t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+        return re.sub(r" +", " ", t).strip()
+
+    def shingles(t):
+        w = [x for x in norm(t).split(" ") if x]
+        out, seen = [], set()
+        for i in range(len(w) - 2):
+            g = " ".join(w[i : i + 3])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    MOD = 2_147_483_647
+    coeffs = sk2.minhash_coeffs(lp2.N_MINHASH)
+
+    def sig(sh):
+        basehash = [h60(s) & 0x7FFFFFFF for s in sh]
+        return [min((h * a + b) % MOD for h in basehash) for a, b in coeffs]
+
+    def band_keys(s):
+        rp = lp2.ROWS_PER_BAND
+        return {
+            (b, hashlib.md5(
+                "|".join(str(v) for v in s[b * rp : (b + 1) * rp]).encode()
+            ).hexdigest())
+            for b in range(lp2.N_BANDS)
+        }
+
+    rm = lambda n, d: (n * 1_000_000 * 2 + d) // (2 * d)  # noqa: E731
+    sh = {i: shingles(t) for i, t in texts.items()}
+    sg = {i: sig(s) for i, s in sh.items()}
+    bk = {i: band_keys(s) for i, s in sg.items()}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b and bk[a] & bk[b]:
+                eq = sum(1 for x, y in zip(sg[a], sg[b]) if x == y)
+                i_n = len(set(sh[a]) & set(sh[b]))
+                u_n = len(set(sh[a]) | set(sh[b]))
+                est, tru = rm(eq, lp2.N_MINHASH), rm(i_n, u_n)
+                want[(a, b)] = (est, tru, abs(est - tru))
+
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): (r.est_micros, r.true_micros, r.err_micros)
+        for r in lp2.minhash_estimate_error_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert got[(1, 2)] == (1_000_000, 1_000_000, 0)   # identical pair
+    assert (1, 3) in got and got[(1, 3)][1] < 1_000_000  # near-dup pair
+    assert not any(4 in p for p in got)               # disjoint never pairs
+    lp2.release_caches()
+
+
+def test_minhash_error_audit_bounds_at_sf0001(spark):
+    """Structural invariants over the real corpus: micros stay in
+    [0, 1e6], err is exactly |est - true|, and the mean absolute
+    error sits inside a few sigma of the 1/sqrt(N_MINHASH) binomial
+    scale (N=16 -> sigma <= 125000 micros per pair at j=0.5)."""
+    from chain_sync_spark.operators import llm_pipeline as lp2
+
+    rows = lp2.minhash_estimate_error_audit(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.est_micros <= 1_000_000
+        assert 0 <= r.true_micros <= 1_000_000
+        assert r.err_micros == abs(r.est_micros - r.true_micros)
+    mean_err = sum(r.err_micros for r in rows) / len(rows)
+    assert mean_err < 250_000  # 2x the worst-case per-pair sigma
+    lp2.release_caches()
