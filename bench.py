@@ -102,6 +102,7 @@ EXTENDED_SET = [
     "lm_probe_newdocs",            # staged r9 (serving certifier)
     "winnow_probe_newdocs",        # staged r9 (serving certifier)
     "minhash_estimate_error_audit",  # staged r9 (LSH calibration)
+    "sample_exact_k_per_lang",     # staged r9 (two-phase top-k sample)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

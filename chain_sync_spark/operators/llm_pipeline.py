@@ -2057,6 +2057,65 @@ FROM b GROUP BY 1, 2
 """
 
 
+SAMPLE_K = 25  # exact per-class sample size
+
+
+def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample per language — the third sampling
+    verb next to rate-based acceptance (kmeans_balanced_sample) and
+    bucketed splits (split_assign_documents): each language
+    contributes its {SAMPLE_K} documents with the smallest sampling
+    hash (all of them when it has fewer), the class-balanced
+    selection an SFT/eval-set builder runs.  Hash-ranked (not
+    rand()) so the sample is stable across runs, engines and
+    repartitioning.  Output (lang, doc_id, rk).
+
+    Scale — the TWO-PHASE top-k-per-group plan: languages are few
+    and groups are huge, so a single ROW_NUMBER window over lang
+    would pin each language's entire corpus in one unsplittable
+    task.  Phase 1 salts the window with the input partition id
+    (every (lang, pid) group lives in exactly one scan task, so the
+    shuffle spreads a hot language across the cluster) and keeps a
+    local top-{SAMPLE_K}; phase 2 ranks the <= k·partitions
+    survivors per language — a relation bounded by k × tasks,
+    independent of corpus size.  spark_partition_id never affects
+    the RESULT (any disjoint grouping yields the same global top-k);
+    it only shapes the plan."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        sk.hash60(
+            F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+        F.spark_partition_id().alias("pid"),
+    )
+    w_local = Window.partitionBy("lang", "pid").orderBy("skey", "doc_id")
+    survivors = (
+        d.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= SAMPLE_K)
+        .drop("lrn", "pid")
+    )
+    w_global = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+_SAMPLE_K_ORACLE = f"""
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {sk.hash60_sql("'samp:' || doc_id::VARCHAR")}, doc_id
+         ) AS INT) AS rk
+  FROM documents
+)
+WHERE rk <= {SAMPLE_K}
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors — the training
     step of an IVF index (and the reduce shape of any vector
@@ -2947,10 +3006,12 @@ FROM agg
 # a later recomposition.
 PENDING_QUERIES: dict = {
     "minhash_estimate_error_audit": minhash_estimate_error_audit,
+    "sample_exact_k_per_lang": sample_exact_k_per_lang,
 }
 
 PENDING_ORACLE: dict = {
     "minhash_estimate_error_audit": _minhash_err_oracle(),
+    "sample_exact_k_per_lang": _SAMPLE_K_ORACLE,
 }
 
 # staged r8 → registered + windowed round 9: the serialized centroid

@@ -215,6 +215,9 @@ STAGED_PRIORITY = [
     "winnow_probe_newdocs",
     # round-9 staged: the LSH family's estimator-calibration audit
     "minhash_estimate_error_audit",
+    # round-9 staged: exact-k class-balanced sampler (two-phase
+    # salted top-k-per-group plan)
+    "sample_exact_k_per_lang",
 ]
 
 

@@ -141,3 +141,28 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert "PartitionFilters" in plan and "2024-01-03" in plan, plan
     # only the one matching partition's rows are read
     assert df.count() == 100
+
+
+def test_exact_k_sample_plan_is_two_phase_salted(spark):
+    """The top-k-per-group scale pattern: phase 1 must window over
+    (lang, spark_partition_id) — a hot language spreads across the
+    cluster instead of pinning one task — and only the k·partitions
+    survivors reach the per-lang phase-2 window."""
+    from chain_sync_spark.operators.llm_pipeline import (
+        sample_exact_k_per_lang,
+    )
+
+    plan = (
+        sample_exact_k_per_lang(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    windows = [
+        ln for ln in plan.splitlines() if ln.lstrip().startswith("+- Window [")
+        or ln.lstrip().startswith("Window [")
+    ]
+    assert len(windows) == 2
+    # the inner (phase-1) window is salted by the scan partition id
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+    # Spark's rank-limit pushdown kicked in: each window phase prunes
+    # to top-k via WindowGroupLimit before the full per-key sort
+    assert plan.count("WindowGroupLimit") == 2

@@ -771,3 +771,53 @@ def test_minhash_error_audit_bounds_at_sf0001(spark):
     mean_err = sum(r.err_micros for r in rows) / len(rows)
     assert mean_err < 250_000  # 2x the worst-case per-pair sigma
     lp2.release_caches()
+
+
+# ---------------------------------------------------------------------------
+# sample_exact_k_per_lang (staged round 9)
+# ---------------------------------------------------------------------------
+
+def test_sample_exact_k_replica_and_partition_invariance(spark, tmp_path):
+    """Python replica of the deterministic exact-k sample (md5-hash
+    rank, doc_id tie-break) AND proof the result is independent of
+    the physical partitioning the salted phase-1 window keys on: the
+    same corpus written as 1 file and as 7 files yields identical
+    rows."""
+    import hashlib
+
+    from chain_sync_spark.operators import llm_pipeline as lp2
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = [(r.doc_id, r.lang)
+            for r in tbl(spark, sf, "documents").select("doc_id", "lang").collect()]
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    by_lang = {}
+    for doc_id, lang in docs:
+        by_lang.setdefault(lang, []).append((h60(f"samp:{doc_id}"), doc_id))
+    want = {}
+    for lang, rows in by_lang.items():
+        for rk, (_, doc_id) in enumerate(sorted(rows)[: lp2.SAMPLE_K], 1):
+            want[(lang, doc_id)] = rk
+    got = {(r.lang, r.doc_id): r.rk
+           for r in lp2.sample_exact_k_per_lang(spark, sf).collect()}
+    assert got == want
+    # per-lang sizes: min(K, n_lang)
+    sizes = {}
+    for lang, _ in got:
+        sizes[lang] = sizes.get(lang, 0) + 1
+    assert sizes == {
+        lang: min(lp2.SAMPLE_K, len(rows)) for lang, rows in by_lang.items()
+    }
+
+    # partition invariance: 1-file vs 7-file layouts agree
+    full = tbl(spark, sf, "documents")
+    for nparts, sub in ((1, "p1"), (7, "p7")):
+        full.repartition(nparts).write.mode("overwrite").parquet(
+            f"{tmp_path}/{sub}/documents.parquet"
+        )
+    a = {(r.lang, r.doc_id, r.rk) for r in
+         lp2.sample_exact_k_per_lang(spark, f"{tmp_path}/p1").collect()}
+    b = {(r.lang, r.doc_id, r.rk) for r in
+         lp2.sample_exact_k_per_lang(spark, f"{tmp_path}/p7").collect()}
+    assert a == b == {(lg, d, rk) for (lg, d), rk in want.items()}
