@@ -250,53 +250,44 @@ class SyncEngine:
         post_upserts = comments_to_post_upserts(comments, authoritative=auth)
         have_comments = not comments.isEmpty()
         if have_comments:
-            # The posts merge and the index merge touch DISJOINT
-            # stores and both derive only from post_upserts, so they
-            # run concurrently (same justification as the accounts
-            # path: thread-submitted jobs interleave in the scheduler,
-            # the cursor advances only after everything commits, and
-            # both merges are idempotent).  Only the index RE-READ and
-            # the vote set-add below order after both.  Measured at
-            # batch 1000 this folds the round's two longest sequential
-            # merge tails into one — see BENCH.md round 9.
-            from concurrent.futures import ThreadPoolExecutor
-
-            def _merge_posts():
-                merge_parquet(
-                    self.spark,
-                    self.posts_dir,
-                    post_upserts,
-                    key_cols=["post_id"],
-                    merge_exprs={
-                        # votes accumulate across rounds; a re-upserted
-                        # post must not clear them (scripted set-add
-                        # semantics)
-                        "upvotes": keep_target,
-                        "downvotes": keep_target,
-                    },
-                    partition_cols=["year", "month"],
-                    partition_source=slim_idx,
-                )
-
-            def _merge_index():
-                # insert-only: the resolved location of an existing
-                # post never changes
-                merge_parquet(
-                    self.spark,
-                    self.posts_index_dir,
-                    post_upserts.select("post_id", "year", "month").withColumn(
-                        "bucket", _bucket("post_id", N_INDEX_BUCKETS)
-                    ),
-                    key_cols=["post_id"],
-                    merge_exprs={"year": keep_target, "month": keep_target},
-                    partition_cols=["bucket"],
-                    partition_stable=True,
-                )
-
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                idx_future = pool.submit(_merge_index)
-                _merge_posts()
-                idx_future.result()  # re-raises before the index re-read
+            # DELIBERATELY SEQUENTIAL: a round-9 experiment ran this
+            # merge concurrently with the index merge below (the
+            # accounts-path pattern; both derive from post_upserts)
+            # and measured ~11% off a 300-block round, noise-band at
+            # 1000 — but the posts merge's partition RESOLUTION reads
+            # posts_index (slim_idx) while the index merge SWAPS those
+            # bucket directories: a rename-under-reader race Spark's
+            # lazy file listing turns into FileNotFoundException task
+            # failures under load. The stores are not disjoint, unlike
+            # the accounts path, so the fold was reverted (BENCH.md
+            # round 9 records the measurement and the decision).
+            merge_parquet(
+                self.spark,
+                self.posts_dir,
+                post_upserts,
+                key_cols=["post_id"],
+                merge_exprs={
+                    # votes accumulate across rounds; a re-upserted post
+                    # must not clear them (scripted set-add semantics)
+                    "upvotes": keep_target,
+                    "downvotes": keep_target,
+                },
+                partition_cols=["year", "month"],
+                partition_source=slim_idx,
+            )
+            # maintain the index (insert-only: the resolved location of
+            # an existing post never changes)
+            merge_parquet(
+                self.spark,
+                self.posts_index_dir,
+                post_upserts.select("post_id", "year", "month").withColumn(
+                    "bucket", _bucket("post_id", N_INDEX_BUCKETS)
+                ),
+                key_cols=["post_id"],
+                merge_exprs={"year": keep_target, "month": keep_target},
+                partition_cols=["bucket"],
+                partition_stable=True,
+            )
             idx = self.posts_index()  # same-batch comment+vote resolves
             slim_idx = idx.select("post_id", "year", "month")
 
