@@ -103,6 +103,7 @@ EXTENDED_SET = [
     "winnow_probe_newdocs",        # staged r9 (serving certifier)
     "minhash_estimate_error_audit",  # staged r9 (LSH calibration)
     "sample_exact_k_per_lang",     # staged r9 (two-phase top-k sample)
+    "gopher_dup_ngram_profile",    # staged r10 (Gopher repetition screen)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

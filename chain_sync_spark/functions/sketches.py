@@ -119,6 +119,34 @@ def word_shingles_sql(w: str, n: int = 3) -> str:
     )
 
 
+def word_ngrams_all(w: Column, n: int) -> Column:
+    """ALL word n-gram occurrences, position order, duplicates kept —
+    the counting companion to ``word_shingles`` (which is distinct by
+    construction and therefore blind to repetition). Empty array when
+    < n words. Input bound once per row via bind1 — same rationale
+    and guard as word_shingles."""
+    return bind1(w, lambda ww: _word_ngrams_all_bound(ww, n))
+
+
+def _word_ngrams_all_bound(w: Column, n: int) -> Column:
+    gram = lambda j: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, j + i) for i in range(n)]
+    )
+    return F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams_all_sql(w: str, n: int) -> str:
+    gram = " || ' ' || ".join(f"{w}[j + {i}]" for i in range(n))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(1, len({w}) - {n - 2}), j -> {gram}) "
+        f"ELSE [] END"
+    )
+
+
 def char_ngrams(t: Column, n: int = 4) -> Column:
     """Distinct character n-grams of a normalized text column.
     Input bound once per row via bind1 — same rationale and guard as

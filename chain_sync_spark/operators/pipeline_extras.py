@@ -216,6 +216,146 @@ FROM per_doc
 """
 
 # ---------------------------------------------------------------------------
+# 3b. Gopher duplicate-n-gram character-fraction profile
+# ---------------------------------------------------------------------------
+
+# Gopher repetition thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", table
+# A1): top-3-gram character fraction <= 0.18, duplicate-6-gram
+# character fraction <= 0.14.  Fixed-point micro-units per the
+# round-5 integer-boundary contract.
+GOPHER_TOP_N = 3
+GOPHER_DUP_N = 6
+GOPHER_TOP_MAX_MICROS = 180_000
+GOPHER_DUP_MAX_MICROS = 140_000
+
+
+def _gopher_gram_agg(d: DataFrame, n: int, out: str, dup_only: bool) -> DataFrame:
+    """Per-doc character mass of repeated word n-grams: explode ALL
+    n-gram occurrences, count per (doc, gram), then either the MAX of
+    cnt*len(gram) (top-n-gram mass) or the SUM over grams occurring
+    more than once (duplicate-n-gram mass).  Both aggregations are
+    map-side combinable on uniform (doc_id, gram) keys — the skew
+    profile of a per-document grouping, never a corpus-wide window."""
+    grams = d.select(
+        "doc_id", F.explode(sk.word_ngrams_all(F.col("w"), n)).alias("g")
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    mass = F.col("c") * F.length("g")
+    if dup_only:
+        agg = F.sum(F.when(F.col("c") > 1, mass).otherwise(F.lit(0)))
+    else:
+        agg = F.max(mass)
+    return cnt.groupBy("doc_id").agg(agg.cast("long").alias(out))
+
+
+def gopher_dup_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen on n-gram CHARACTER mass — the
+    signal class quality_repetition_filter's single-token ratio cannot
+    see (a document cycling a 6-word boilerplate block has a low
+    top-token share but a huge duplicate-n-gram mass).  Per document:
+    the character fraction of the most frequent {GOPHER_TOP_N}-gram
+    (count x gram length over total token-stream characters) and the
+    character fraction of all duplicated {GOPHER_DUP_N}-grams, both as
+    BIGINT micros capped at 1_000_000 (overlapping occurrences can
+    push raw mass past the total — the cap is part of the documented
+    contract; Gopher's non-double-counted coverage needs per-position
+    interval union, which buys nothing at the filter thresholds), plus
+    the keep flag at the Gopher table-A1 thresholds.
+
+    Scale: two explode+count passes (n={GOPHER_TOP_N}, n={GOPHER_DUP_N})
+    over per-row generated grams, each aggregated per (doc_id, gram)
+    then per doc_id — map-side combinable, no corpus-wide key ever
+    groups more than one document's rows, so a hot boilerplate gram
+    never concentrates (the span family's round-9 skew lesson applied
+    from birth).  Docs shorter than n words contribute no gram rows
+    and re-enter via the left joins with mass 0."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", sk.words(F.col("text")).alias("w")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.greatest(
+            F.length(F.array_join("w", " ")).cast("long"), F.lit(1)
+        ).alias("total_chars"),
+    )
+    top = _gopher_gram_agg(d, GOPHER_TOP_N, "top_mass", dup_only=False)
+    dup = _gopher_gram_agg(d, GOPHER_DUP_N, "dup_mass", dup_only=True)
+    joined = (
+        base.join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .fillna({"top_mass": 0, "dup_mass": 0})
+    )
+    top_micros = F.least(
+        F.lit(1_000_000).cast("long"),
+        sk.ratio_micros("top_mass", "total_chars"),
+    )
+    dup_micros = F.least(
+        F.lit(1_000_000).cast("long"),
+        sk.ratio_micros("dup_mass", "total_chars"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        top_micros.alias("top3_char_micros"),
+        dup_micros.alias("dup6_char_micros"),
+        (
+            (top_micros <= GOPHER_TOP_MAX_MICROS)
+            & (dup_micros <= GOPHER_DUP_MAX_MICROS)
+        ).alias("keep"),
+    )
+
+
+_GOPHER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {sk.WORDS_SQL.format(c='text')} AS w FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         GREATEST(CAST(length(array_to_string(w, ' ')) AS BIGINT), 1)
+           AS total_chars
+  FROM d
+),
+c3 AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({sk.word_ngrams_all_sql('w', GOPHER_TOP_N)}) AS g FROM d)
+  GROUP BY 1, 2
+),
+a3 AS (
+  SELECT doc_id, CAST(MAX(c * length(g)) AS BIGINT) AS top_mass
+  FROM c3 GROUP BY 1
+),
+c6 AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({sk.word_ngrams_all_sql('w', GOPHER_DUP_N)}) AS g FROM d)
+  GROUP BY 1, 2
+),
+a6 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT)
+           AS dup_mass
+  FROM c6 GROUP BY 1
+),
+j AS (
+  SELECT base.doc_id, base.n_tokens, base.total_chars,
+         COALESCE(a3.top_mass, 0) AS top_mass,
+         COALESCE(a6.dup_mass, 0) AS dup_mass
+  FROM base LEFT JOIN a3 USING (doc_id) LEFT JOIN a6 USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       LEAST(1000000, {sk.ratio_micros_sql('top_mass', 'total_chars')})
+         AS top3_char_micros,
+       LEAST(1000000, {sk.ratio_micros_sql('dup_mass', 'total_chars')})
+         AS dup6_char_micros,
+       (LEAST(1000000, {sk.ratio_micros_sql('top_mass', 'total_chars')})
+          <= {GOPHER_TOP_MAX_MICROS}
+        AND LEAST(1000000, {sk.ratio_micros_sql('dup_mass', 'total_chars')})
+          <= {GOPHER_DUP_MAX_MICROS}) AS keep
+FROM j
+"""
+
+# ---------------------------------------------------------------------------
 # 4. Benchmark-contamination screen
 # ---------------------------------------------------------------------------
 
@@ -1325,11 +1465,13 @@ FROM shared s JOIN tot t ON s.src_a = t.source
 PENDING_QUERIES = {
     "source_overlap_matrix": source_overlap_matrix,
     "winnow_probe_newdocs": winnow_probe_newdocs,
+    "gopher_dup_ngram_profile": gopher_dup_ngram_profile,
 }
 
 PENDING_ORACLE = {
     "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
     "winnow_probe_newdocs": _WINNOW_PROBE_ORACLE,
+    "gopher_dup_ngram_profile": _GOPHER_ORACLE,
 }
 
 

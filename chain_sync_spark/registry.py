@@ -218,6 +218,9 @@ STAGED_PRIORITY = [
     # round-9 staged: exact-k class-balanced sampler (two-phase
     # salted top-k-per-group plan)
     "sample_exact_k_per_lang",
+    # late-round-9 staged: Gopher duplicate-n-gram char-fraction
+    # repetition screen (Rae et al. 2021 table A1)
+    "gopher_dup_ngram_profile",
 ]
 
 

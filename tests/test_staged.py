@@ -821,3 +821,84 @@ def test_sample_exact_k_replica_and_partition_invariance(spark, tmp_path):
     b = {(r.lang, r.doc_id, r.rk) for r in
          lp2.sample_exact_k_per_lang(spark, f"{tmp_path}/p7").collect()}
     assert a == b == {(lg, d, rk) for (lg, d), rk in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# gopher_dup_ngram_profile (staged late round 9)
+# ---------------------------------------------------------------------------
+
+def _py_gopher(texts: dict[int, str]):
+    """From-scratch replica of the Gopher n-gram char-mass profile:
+    whitespace tokens, ALL n-gram occurrences, top-3-gram mass = max
+    cnt*len, dup-6-gram mass = sum cnt*len over cnt>1, round-half-up
+    integer micros over the joined token-stream length, capped 1e6."""
+    from collections import Counter
+
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    out = {}
+    for i, t in texts.items():
+        w = [x for x in t.split(" ") if x]
+        total = max(len(" ".join(w)), 1)
+
+        def grams(n):
+            if len(w) < n:
+                return []
+            return [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+
+        c3 = Counter(grams(px.GOPHER_TOP_N))
+        c6 = Counter(grams(px.GOPHER_DUP_N))
+        top = max((c * len(g) for g, c in c3.items()), default=0)
+        dup = sum(c * len(g) for g, c in c6.items() if c > 1)
+        mic = lambda num: min(  # noqa: E731
+            1_000_000, (num * 1_000_000 * 2 + total) // (total * 2)
+        )
+        tm, dm = mic(top), mic(dup)
+        keep = tm <= px.GOPHER_TOP_MAX_MICROS and dm <= px.GOPHER_DUP_MAX_MICROS
+        out[i] = (len(w), tm, dm, keep)
+    return out
+
+
+def test_gopher_profile_matches_python_replica_at_sf0001(spark):
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    want = _py_gopher(texts)
+    got = {
+        r.doc_id: (r.n_tokens, r.top3_char_micros, r.dup6_char_micros, r.keep)
+        for r in px.gopher_dup_ngram_profile(spark, SF).collect()
+    }
+    assert got == want
+    # the screen must actually discriminate on real data: both keeps
+    # and at least one non-trivial repetition mass present
+    assert any(v[3] for v in got.values())
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_gopher_profile_hand_computed_edges(spark, tmp_path):
+    """Pinned edge semantics: a boilerplate cycler is dropped with the
+    dup-6-gram mass capped at 1e6; a no-repetition doc keeps with dup
+    mass 0; a doc shorter than either n emits zeros via the left-join
+    re-entry path and keeps."""
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    distinct = " ".join(f"w{i:02d}" for i in range(60))  # no repeated grams
+    rows = [
+        (1, "a b c a b c a b c a b c", "en", "s", 23),
+        (2, distinct, "en", "s", len(distinct)),
+        (3, "hi", "en", "s", 2),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_tokens, r.top3_char_micros, r.dup6_char_micros, r.keep)
+        for r in px.gopher_dup_ngram_profile(spark, str(tmp_path)).collect()
+    }
+    want = _py_gopher({1: rows[0][1], 2: rows[1][1], 3: rows[2][1]})
+    assert got == want
+    assert got[1][2] == 1_000_000 and got[1][3] is False  # capped, dropped
+    assert got[2][2] == 0 and got[2][3] is True           # no repetition
+    assert got[2][1] == (11 * 2_000_000 + 239) // (2 * 239)  # one 3-gram of 11 chars
+    assert got[3] == (1, 0, 0, True)                      # < n tokens
