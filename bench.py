@@ -104,6 +104,7 @@ EXTENDED_SET = [
     "minhash_estimate_error_audit",  # staged r9 (LSH calibration)
     "sample_exact_k_per_lang",     # staged r9 (two-phase top-k sample)
     "gopher_dup_ngram_profile",    # staged r10 (Gopher repetition screen)
+    "lm_stupid_backoff_newdocs",   # staged r10 (Stupid Backoff scorer)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

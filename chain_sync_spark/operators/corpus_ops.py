@@ -607,6 +607,137 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# 6b. Stupid Backoff LM score (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+SB_ALPHA_NUM = 4   # backoff weight 0.4 as the exact rational 4/10
+SB_ALPHA_DEN = 10
+
+
+def lm_stupid_backoff_newdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff (Brants et al. 2007, "Large Language Models in
+    Machine Translation") document scoring over the LM probe split —
+    the graded upgrade of the binary known/unknown gate: each bigram
+    of a new-batch document (doc_id % {LM_PROBE_MOD} == 0) scores
+    S(w2|w1) = cnt(w1 w2)/cnt(w1) when the stored corpus has seen the
+    bigram, else 0.4 x cnt(w2)/N (unigram backoff), else 0 — all in
+    round-half-up BIGINT micros (0.4 carried as the exact rational
+    {SB_ALPHA_NUM}/{SB_ALPHA_DEN}, so no float ever forms), and the
+    document score is the round-half-up mean of its bigram micros.
+    Output (doc_id, n_bigrams, n_backoff, sb_score_micros) over batch
+    docs with >= 1 bigram; n_backoff counts bigrams absent from the
+    bigram model (unigram and zero paths both).
+
+    Scale: the model is two map-side-combined aggregates (bigram
+    counts, vocabulary-bounded unigram counts) plus a ONE-ROW total
+    broadcast by crossJoin; the probe side is one left hash join per
+    model relation on the batch's bigram rows — AQE broadcasts small
+    models and skew-splits hot keys, the same join shape as
+    score_against_lm.  Overflow bound per ratio_micros: corpus token
+    totals past ~4.6e12 widen the backoff denominator to DECIMAL —
+    documented, not yet needed at test scale."""
+    d = _docs_words(spark, sf_dir)
+    is_new = F.col("doc_id") % LM_PROBE_MOD == 0
+    stored = d.filter(~is_new)
+    cnt2 = (
+        _bigram_pairs(stored, "doc_id")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = (
+        stored.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").cast("long").alias("n_total"))
+    pairs = (
+        _bigram_pairs(d.filter(is_new), "doc_id")
+        .join(cnt2, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1_w1")),
+            "w1",
+            "left",
+        )
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_w2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    s = F.when(
+        F.col("c2").isNotNull(), sk.ratio_micros("c2", "c1_w1")
+    ).otherwise(
+        F.when(
+            F.col("c1_w2").isNotNull(),
+            sk.ratio_micros(
+                f"c1_w2 * {SB_ALPHA_NUM}", f"n_total * {SB_ALPHA_DEN}"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    per_doc = (
+        pairs.select(
+            "doc_id",
+            s.alias("s_micros"),
+            F.col("c2").isNull().cast("long").alias("backed_off"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("backed_off").alias("n_backoff"),
+            F.sum("s_micros").alias("sum_micros"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_backoff",
+        sk.ratio_micros("sum_micros", "n_bigrams", digits=0).alias(
+            "sb_score_micros"
+        ),
+    )
+
+
+_SB_ORACLE = f"""
+WITH {_NORM_CTE},
+{_PAIRS_CTE},
+cnt2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM pairs
+  WHERE doc_id % {LM_PROBE_MOD} <> 0 GROUP BY w1, w2
+),
+uni AS (
+  SELECT tok, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS tok FROM docs_words
+        WHERE doc_id % {LM_PROBE_MOD} <> 0)
+  GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_total FROM uni),
+scored AS (
+  SELECT p.doc_id,
+         CASE
+           WHEN c.c2 IS NOT NULL THEN {sk.ratio_micros_sql('c.c2', 'u1.c1')}
+           WHEN u2.c1 IS NOT NULL THEN
+             {sk.ratio_micros_sql(f'u2.c1 * {SB_ALPHA_NUM}',
+                                  f'n_total * {SB_ALPHA_DEN}')}
+           ELSE 0
+         END AS s_micros,
+         CASE WHEN c.c2 IS NULL THEN 1 ELSE 0 END AS backed_off
+  FROM pairs p
+  LEFT JOIN cnt2 c USING (w1, w2)
+  LEFT JOIN uni u1 ON p.w1 = u1.tok
+  LEFT JOIN uni u2 ON p.w2 = u2.tok
+  CROSS JOIN tot
+  WHERE p.doc_id % {LM_PROBE_MOD} = 0
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(backed_off) AS BIGINT) AS n_backoff,
+       {sk.ratio_micros_sql('SUM(s_micros)', 'COUNT(*)', digits=0)}
+         AS sb_score_micros
+FROM scored GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # 7. Sub-document segment dedup ratio (round 4)
 # ---------------------------------------------------------------------------
 
@@ -2118,11 +2249,13 @@ FROM agg
 PENDING_QUERIES = {
     "quality_by_source": quality_by_source,
     "lm_probe_newdocs": lm_probe_newdocs,
+    "lm_stupid_backoff_newdocs": lm_stupid_backoff_newdocs,
 }
 
 PENDING_ORACLE = {
     "quality_by_source": _QUALITY_BY_SOURCE_ORACLE,
     "lm_probe_newdocs": _LM_PROBE_ORACLE,
+    "lm_stupid_backoff_newdocs": _SB_ORACLE,
 }
 
 # staged r8 → registered + windowed round 9: sketch/membership

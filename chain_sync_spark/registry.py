@@ -221,6 +221,9 @@ STAGED_PRIORITY = [
     # late-round-9 staged: Gopher duplicate-n-gram char-fraction
     # repetition screen (Rae et al. 2021 table A1)
     "gopher_dup_ngram_profile",
+    # late-round-9 staged: Stupid Backoff LM scoring over the probe
+    # split (Brants et al. 2007)
+    "lm_stupid_backoff_newdocs",
 ]
 
 

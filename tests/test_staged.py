@@ -902,3 +902,93 @@ def test_gopher_profile_hand_computed_edges(spark, tmp_path):
     assert got[2][2] == 0 and got[2][3] is True           # no repetition
     assert got[2][1] == (11 * 2_000_000 + 239) // (2 * 239)  # one 3-gram of 11 chars
     assert got[3] == (1, 0, 0, True)                      # < n tokens
+
+
+# ---------------------------------------------------------------------------
+# lm_stupid_backoff_newdocs (staged late round 9)
+# ---------------------------------------------------------------------------
+
+def _py_stupid_backoff(texts: dict[int, str], mod: int):
+    """From-scratch Stupid Backoff replica: normalize/split, bigram
+    and unigram counts from the stored split, S in round-half-up
+    integer micros with the 4/10 backoff rational, doc score =
+    round-half-up mean."""
+    import re
+    from collections import Counter
+
+    def words(t):
+        t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+        return [x for x in t.split(" ") if x]
+
+    toks = {i: words(t) for i, t in texts.items()}
+    stored = {i: w for i, w in toks.items() if i % mod != 0}
+    new = {i: w for i, w in toks.items() if i % mod == 0}
+    c2 = Counter(
+        (w[j], w[j + 1]) for w in stored.values() for j in range(len(w) - 1)
+    )
+    c1 = Counter(t for w in stored.values() for t in w)
+    n_total = sum(c1.values())
+    rm = lambda num, den: (num * 1_000_000 * 2 + den) // (den * 2)  # noqa: E731
+    out = {}
+    for i, w in new.items():
+        ss, nb = [], 0
+        for j in range(len(w) - 1):
+            bg = (w[j], w[j + 1])
+            if bg in c2:
+                ss.append(rm(c2[bg], c1[w[j]]))
+            else:
+                nb += 1
+                ss.append(rm(c1[w[j + 1]] * 4, n_total * 10) if w[j + 1] in c1 else 0)
+        if ss:
+            out[i] = (len(ss), nb, (sum(ss) * 2 + len(ss)) // (len(ss) * 2))
+    return out
+
+
+def test_stupid_backoff_matches_python_replica_at_sf0001(spark):
+    from chain_sync_spark.operators import corpus_ops as co
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    want = _py_stupid_backoff(texts, co.LM_PROBE_MOD)
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff, r.sb_score_micros)
+        for r in co.lm_stupid_backoff_newdocs(spark, SF).collect()
+    }
+    assert got == want
+    # scores are micros in [0, 1e6] and genuinely discriminate; the
+    # backoff/zero paths are pinned by the hand fixture below (this
+    # corpus's probe split shares the full model vocabulary)
+    assert all(0 <= v[2] <= 1_000_000 for v in got.values())
+    assert len({v[2] for v in got.values()}) > 1
+
+
+def test_stupid_backoff_all_three_paths_hand_computed(spark, tmp_path):
+    """One fixture hits every scoring branch: doc 0 carries a
+    model-known bigram (alpha beta: S = 2/3), a backed-off-to-unigram
+    bigram (beta gamma unseen, gamma known: 0.4 x 2/8), and a
+    zero-path bigram (gamma zzz, zzz out of vocabulary)."""
+    from chain_sync_spark.operators import corpus_ops as co
+
+    rows = [
+        (0, "alpha beta gamma zzz", "en", "s", 20),
+        (1, "alpha beta delta gamma", "en", "s", 22),
+        (2, "alpha beta alpha gamma", "en", "s", 22),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff, r.sb_score_micros)
+        for r in co.lm_stupid_backoff_newdocs(spark, str(tmp_path)).collect()
+    }
+    # stored split: docs 1, 2 -> c2: (alpha,beta)=2, (beta,delta)=1,
+    # (delta,gamma)=1, (alpha,gamma)=1, (beta,alpha)=1;
+    # c1: alpha=3, beta=2, delta=1, gamma=2, N=8
+    s_known = (2 * 2_000_000 + 3) // 6       # 2/3 -> 666667
+    s_backoff = (8 * 2_000_000 + 80) // 160  # 0.4 x 2/8 -> 100000
+    want_mean = (s_known + s_backoff + 0) * 2
+    want_mean = (want_mean + 3) // 6
+    assert got == {0: (3, 2, want_mean)}
+    assert _py_stupid_backoff(
+        {i: t for i, t, *_ in rows}, co.LM_PROBE_MOD
+    ) == got
