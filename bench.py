@@ -105,6 +105,7 @@ EXTENDED_SET = [
     "sample_exact_k_per_lang",     # staged r9 (two-phase top-k sample)
     "gopher_dup_ngram_profile",    # staged r10 (Gopher repetition screen)
     "lm_stupid_backoff_newdocs",   # staged r10 (Stupid Backoff scorer)
+    "kmv_distinct_shingles",       # staged r10 (KMV cardinality audit)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

@@ -1849,6 +1849,117 @@ SELECT q_permille, est_bin, cum_cnt, total FROM (
 
 
 # ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count estimator audit
+# ---------------------------------------------------------------------------
+
+K_KMV = 64             # sketch size (k minimum hash values kept)
+_KMV_SPACE = 1 << 60   # hash60 range; est = (k-1) * space / kth_min
+
+
+def kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-count estimator (Bar-Yossef et al.
+    2002) audited against exact truth, per source: the {K_KMV}
+    smallest hash60 values of the source's distinct word-3-shingles
+    yield est = ({K_KMV}-1) x 2^60 / kth_min; sources with fewer than
+    {K_KMV} distinct shingles are exact by construction (the sketch
+    holds every value).  Output (source, n_distinct, kth_min, est_kmv,
+    err_micros) — the calibration-table shape of
+    minhash_estimate_error_audit, here for the cardinality sketch the
+    profile tier would run where exact COUNT(DISTINCT) is too
+    expensive.  Unlike HLL++ (profile_column_stats_sketch), KMV is
+    DETERMINISTIC given the hash, hence oracle-able cross-engine; the
+    wide product (63 x 2^60) runs in DECIMAL(38,0) with integral div,
+    floor-identical to DuckDB's HUGEINT //.
+
+    Scale: distinct is one shuffle on (source, h); the bottom-k uses
+    the TWO-PHASE salted plan of sample_exact_k_per_lang (phase 1
+    windows over (source, spark_partition_id), so a giant source
+    never pins one task; phase 2 ranks <= k x tasks survivors);
+    n_distinct is a map-side-combinable count of the same distinct
+    relation.  Sketch state is k longs per group regardless of corpus
+    size — the 100 TB path is this plan with the exact count column
+    dropped."""
+    d = _docs_words(spark, sf_dir)
+    dist = (
+        d.select(
+            "source", F.explode(sk.word_shingles(F.col("w"), 3)).alias("g")
+        )
+        .select(
+            "source",
+            sk.hash60(F.concat(F.lit("kmv:"), F.col("g"))).alias("h"),
+        )
+        .distinct()
+    )
+    exact = dist.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    w_local = Window.partitionBy("source", "pid").orderBy("h")
+    w_global = Window.partitionBy("source").orderBy("h")
+    kept = (
+        dist.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= K_KMV)
+        .drop("lrn", "pid")
+        .withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= K_KMV)
+    )
+    sketch = kept.groupBy("source").agg(F.max("h").alias("kth_min"))
+    est = F.when(
+        F.col("n_distinct") < K_KMV, F.col("n_distinct")
+    ).otherwise(
+        F.expr(
+            f"CAST((CAST({K_KMV - 1} AS DECIMAL(38,0)) * {_KMV_SPACE})"
+            " div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT)"
+        )
+    )
+    return (
+        exact.join(sketch, "source")
+        .withColumn("est_kmv", est)
+        .select(
+            "source",
+            "n_distinct",
+            "kth_min",
+            "est_kmv",
+            sk.ratio_micros(
+                "abs(est_kmv - n_distinct)", "n_distinct"
+            ).alias("err_micros"),
+        )
+    )
+
+
+_KMV_ORACLE = f"""
+WITH {_NORM_CTE},
+dist AS (
+  SELECT DISTINCT source, {sk.hash60_sql("'kmv:' || g")} AS h
+  FROM (
+    SELECT source, unnest({sk.word_shingles_sql('w', 3)}) AS g
+    FROM docs_words
+  )
+),
+exact AS (SELECT source, COUNT(*) AS n_distinct FROM dist GROUP BY 1),
+kth AS (
+  SELECT source, MAX(h) AS kth_min FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+    FROM dist
+  ) WHERE rk <= {K_KMV} GROUP BY source
+),
+j AS (
+  SELECT e.source, e.n_distinct, k.kth_min,
+         CASE WHEN e.n_distinct < {K_KMV} THEN e.n_distinct
+              ELSE CAST({K_KMV - 1}::HUGEINT * {_KMV_SPACE} // k.kth_min
+                        AS BIGINT)
+         END AS est_kmv
+  FROM exact e JOIN kth k USING (source)
+)
+SELECT source, n_distinct, kth_min, est_kmv,
+       {sk.ratio_micros_sql('abs(est_kmv - n_distinct)', 'n_distinct')}
+         AS err_micros
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # CMS probe serving (staged round-9 entrant)
 # ---------------------------------------------------------------------------
 
@@ -2250,12 +2361,14 @@ PENDING_QUERIES = {
     "quality_by_source": quality_by_source,
     "lm_probe_newdocs": lm_probe_newdocs,
     "lm_stupid_backoff_newdocs": lm_stupid_backoff_newdocs,
+    "kmv_distinct_shingles": kmv_distinct_shingles,
 }
 
 PENDING_ORACLE = {
     "quality_by_source": _QUALITY_BY_SOURCE_ORACLE,
     "lm_probe_newdocs": _LM_PROBE_ORACLE,
     "lm_stupid_backoff_newdocs": _SB_ORACLE,
+    "kmv_distinct_shingles": _KMV_ORACLE,
 }
 
 # staged r8 → registered + windowed round 9: sketch/membership

@@ -224,6 +224,9 @@ STAGED_PRIORITY = [
     # late-round-9 staged: Stupid Backoff LM scoring over the probe
     # split (Brants et al. 2007)
     "lm_stupid_backoff_newdocs",
+    # late-round-9 staged: KMV bottom-k cardinality estimator audit
+    # (Bar-Yossef et al. 2002)
+    "kmv_distinct_shingles",
 ]
 
 

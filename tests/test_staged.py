@@ -992,3 +992,76 @@ def test_stupid_backoff_all_three_paths_hand_computed(spark, tmp_path):
     assert _py_stupid_backoff(
         {i: t for i, t, *_ in rows}, co.LM_PROBE_MOD
     ) == got
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_shingles (staged late round 9)
+# ---------------------------------------------------------------------------
+
+def _py_kmv(texts_by_source: dict[str, list[str]]):
+    """From-scratch KMV replica: normalize/split, distinct 3-shingles,
+    md5-top-60-bit hashes, bottom-k, (k-1)*2^60 // kth estimate with
+    the exact-below-k branch, round-half-up error micros."""
+    import hashlib
+    import re
+
+    from chain_sync_spark.operators import corpus_ops as co
+
+    out = {}
+    for src, texts in texts_by_source.items():
+        sh = set()
+        for t in texts:
+            w = [x for x in re.sub(r"[^a-z0-9 ]", " ", t.lower()).split(" ") if x]
+            sh.update(" ".join(w[j : j + 3]) for j in range(len(w) - 2))
+        hs = sorted(
+            int(hashlib.md5(f"kmv:{g}".encode()).hexdigest()[:15], 16)
+            for g in sh
+        )
+        if not hs:
+            continue
+        n = len(hs)
+        kth = hs[min(co.K_KMV, n) - 1]
+        est = n if n < co.K_KMV else (co.K_KMV - 1) * (1 << 60) // kth
+        err = (abs(est - n) * 1_000_000 * 2 + n) // (n * 2)
+        out[src] = (n, kth, est, err)
+    return out
+
+
+def test_kmv_matches_python_replica_at_sf0001(spark):
+    from chain_sync_spark.operators import corpus_ops as co
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    by_src = {}
+    for s, t in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        by_src.setdefault(s, []).append(t)
+    want = _py_kmv(by_src)
+    got = {
+        r.source: (r.n_distinct, r.kth_min, r.est_kmv, r.err_micros)
+        for r in co.kmv_distinct_shingles(spark, SF).collect()
+    }
+    assert got == want
+    # the estimator branch must actually run (population >> k) and
+    # land within a plausible band for k=64 (rse ~ 12.5%)
+    assert all(v[0] > co.K_KMV for v in got.values())
+    assert all(v[3] < 500_000 for v in got.values())
+
+
+def test_kmv_exact_branch_below_k(spark, tmp_path):
+    """A source with fewer than K distinct shingles is exact: est =
+    n_distinct, err 0; kth_min is the max (= last) kept hash."""
+    from chain_sync_spark.operators import corpus_ops as co
+
+    rows = [
+        (0, "a b c d e", "en", "tiny", 9),   # 3 distinct shingles
+        (1, "a b c d", "en", "tiny", 7),     # subset: adds nothing new
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: (r.n_distinct, r.kth_min, r.est_kmv, r.err_micros)
+        for r in co.kmv_distinct_shingles(spark, str(tmp_path)).collect()
+    }
+    want = _py_kmv({"tiny": [rows[0][1], rows[1][1]]})
+    assert got == want
+    assert got["tiny"][0] == 3 and got["tiny"][2] == 3 and got["tiny"][3] == 0
