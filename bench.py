@@ -106,6 +106,7 @@ EXTENDED_SET = [
     "gopher_dup_ngram_profile",    # staged r10 (Gopher repetition screen)
     "lm_stupid_backoff_newdocs",   # staged r10 (Stupid Backoff scorer)
     "kmv_distinct_shingles",       # staged r10 (KMV cardinality audit)
+    "ann_two_stage_rerank",        # staged r10 (quantize+refine serving)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

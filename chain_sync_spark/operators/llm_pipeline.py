@@ -1568,6 +1568,137 @@ SELECT query_id, neighbor_id, qcos, rk FROM (
 
 
 # ---------------------------------------------------------------------------
+# Two-stage re-rank serving (SCaNN / FAISS refine shape)
+# ---------------------------------------------------------------------------
+
+RERANK_CAND = 25  # stage-1 candidate pool per query (5x the final k)
+
+
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving — the SCaNN/FAISS "refine" shape
+    (Guo et al. 2020): stage 1 scores the whole corpus with the CHEAP
+    int8-quantized integer cosine and keeps {RERANK_CAND} candidates
+    per query; stage 2 re-scores ONLY those candidates with the exact
+    float cosine and emits the final top-{ANN_TOPK}.  Output
+    (query_id, neighbor_id, cos_sim, rk, cand_rk) — cos_sim/rk are
+    exact-arithmetic and directly comparable to embedding_cosine_topk
+    (a pytest pins per-pair score equality and recall), cand_rk keeps
+    the stage-1 position so the reordering the refine pass performs
+    is visible in the output.
+
+    Scale: stage 1 is the quantized brute-force pass (4x less
+    broadcast/shuffle bytes than float); stage 2 touches only
+    queries x {RERANK_CAND} rows — the candidate list broadcasts to
+    one indexed pass over the corpus for the float vectors, so the
+    expensive exact arithmetic runs on a relation bounded by the
+    query sample, not the corpus.  With the IVF/PQ stages in front
+    this is the full production serving chain; the refine math here
+    is identical either way."""
+    release_caches()
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    _, codes = _quant_codes(F.col("e"))
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    # stage 1: integer cosine over persisted codes (see
+    # embedding_quantized_topk for why the persist pins the
+    # once-per-vector quantization out of the per-pair loop)
+    quant = _scoped_persist(
+        emb.select("vec_id", codes.alias("c")).select(
+            "vec_id", "c", isum(F.transform(F.col("c"), lambda x: x * x)).alias("csq")
+        )
+    )
+    q1 = quant.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c").alias("qc"),
+        F.col("csq").alias("qsq"),
+    )
+    dot_i = isum(F.zip_with(F.col("qc"), F.col("c"), lambda x, y: x * y))
+    s1 = quant.join(F.broadcast(q1), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot_i.cast("double")
+            / (F.sqrt(F.col("qsq").cast("double")) * F.sqrt(F.col("csq").cast("double"))),
+            4,
+        ).alias("qcos"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    cand = (
+        s1.withColumn("cand_rk", F.row_number().over(w1))
+        .filter(F.col("cand_rk") <= RERANK_CAND)
+        .select("query_id", "neighbor_id", "cand_rk")
+    )
+    # stage 2: exact float cosine on the candidate pairs only
+    emb_n = emb.select("vec_id", "e", sk.l2norm(F.col("e")).alias("nrm"))
+    qf = emb_n.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    s2 = (
+        emb_n.join(F.broadcast(cand), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cand_rk",
+            F.round(
+                sk.cos_prenorm(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        s2.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= ANN_TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rk", "cand_rk")
+    )
+
+
+_RERANK_ORACLE = f"""
+WITH {_QUANT_SCALE_CTE.lstrip()},
+q1 AS (
+  SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < {ANN_QUERIES}
+),
+s1 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(CAST({_QUANT_DOT_SQL} AS DOUBLE)
+               / (sqrt(CAST({_QUANT_SQ_SQL.format(v='q.qc')} AS DOUBLE))
+                  * sqrt(CAST({_QUANT_SQ_SQL.format(v='c.c')} AS DOUBLE))),
+               4) AS qcos
+  FROM codes c, q1 q
+  WHERE c.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, rk AS cand_rk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rk
+    FROM s1
+  ) WHERE rk <= {RERANK_CAND}
+),
+qf AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {ANN_QUERIES}
+),
+s2 AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.cand_rk,
+         round({sk.cosine_sql('qf.qe', 'e.embedding')}, 4) AS cos_sim
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+  JOIN qf ON qf.query_id = cand.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk, cand_rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM s2
+) WHERE rk <= {ANN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (round 4 continuation)
 # ---------------------------------------------------------------------------
 
@@ -3016,11 +3147,13 @@ FROM agg
 PENDING_QUERIES: dict = {
     "minhash_estimate_error_audit": minhash_estimate_error_audit,
     "sample_exact_k_per_lang": sample_exact_k_per_lang,
+    "ann_two_stage_rerank": ann_two_stage_rerank,
 }
 
 PENDING_ORACLE: dict = {
     "minhash_estimate_error_audit": _minhash_err_oracle(),
     "sample_exact_k_per_lang": _SAMPLE_K_ORACLE,
+    "ann_two_stage_rerank": _RERANK_ORACLE,
 }
 
 # staged r8 → registered + windowed round 9: the serialized centroid

@@ -227,6 +227,9 @@ STAGED_PRIORITY = [
     # late-round-9 staged: KMV bottom-k cardinality estimator audit
     # (Bar-Yossef et al. 2002)
     "kmv_distinct_shingles",
+    # late-round-9 staged: two-stage quantized-then-exact ANN re-rank
+    # (SCaNN/FAISS refine shape)
+    "ann_two_stage_rerank",
 ]
 
 

@@ -1065,3 +1065,50 @@ def test_kmv_exact_branch_below_k(spark, tmp_path):
     want = _py_kmv({"tiny": [rows[0][1], rows[1][1]]})
     assert got == want
     assert got["tiny"][0] == 3 and got["tiny"][2] == 3 and got["tiny"][3] == 0
+
+
+# ---------------------------------------------------------------------------
+# ann_two_stage_rerank (staged late round 9)
+# ---------------------------------------------------------------------------
+
+def test_rerank_scores_are_exact_and_recall_high(spark):
+    """Stage-2 scores must EQUAL the brute-force float cosine for
+    every emitted pair (the refine pass is exact arithmetic, not an
+    approximation), and recall@k against the exact top-k must beat
+    the quantized-only ranking's measured floor (0.9)."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in lp.embedding_cosine_topk(spark, SF).collect()
+    }
+    got = lp.ann_two_stage_rerank(spark, SF).collect()
+    for r in got:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert r.cos_sim == exact[(r.query_id, r.neighbor_id)]
+    hits = sum(1 for k in exact if k in {(r.query_id, r.neighbor_id) for r in got})
+    assert hits / len(exact) >= 0.9
+    # stage-1 ordering is visibly present and within the pool bound
+    assert all(1 <= r.cand_rk <= lp.RERANK_CAND for r in got)
+
+
+def test_rerank_equals_exact_when_pool_covers_corpus(spark, tmp_path):
+    """With n - 1 <= RERANK_CAND the candidate pool is the whole
+    corpus and the two-stage result must equal brute-force cosine
+    top-k exactly (same pairs, same scores, same ranks)."""
+    rng = np.random.default_rng(7)
+    n = lp.RERANK_CAND  # n - 1 < RERANK_CAND candidates per query
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], int(i % 3)) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    sf = str(tmp_path)
+    exact = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cos_sim)
+        for r in lp.embedding_cosine_topk(spark, sf).collect()
+    }
+    got = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cos_sim)
+        for r in lp.ann_two_stage_rerank(spark, sf).collect()
+    }
+    assert got == exact
