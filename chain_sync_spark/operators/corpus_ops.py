@@ -1880,41 +1880,13 @@ def kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — the 100 TB path is this plan with the exact count column
     dropped."""
     d = _docs_words(spark, sf_dir)
-    dist = (
-        d.select(
-            "source", F.explode(sk.word_shingles(F.col("w"), 3)).alias("g")
-        )
-        .select(
-            "source",
-            sk.hash60(F.concat(F.lit("kmv:"), F.col("g"))).alias("h"),
-        )
-        .distinct()
-    )
+    dist = kmv_hashes(d)
     exact = dist.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_distinct")
     )
-    w_local = Window.partitionBy("source", "pid").orderBy("h")
-    w_global = Window.partitionBy("source").orderBy("h")
-    kept = (
-        dist.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrn", F.row_number().over(w_local))
-        .filter(F.col("lrn") <= K_KMV)
-        .drop("lrn", "pid")
-        .withColumn("rk", F.row_number().over(w_global))
-        .filter(F.col("rk") <= K_KMV)
-    )
-    sketch = kept.groupBy("source").agg(F.max("h").alias("kth_min"))
-    est = F.when(
-        F.col("n_distinct") < K_KMV, F.col("n_distinct")
-    ).otherwise(
-        F.expr(
-            f"CAST((CAST({K_KMV - 1} AS DECIMAL(38,0)) * {_KMV_SPACE})"
-            " div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT)"
-        )
-    )
+    sketch = kmv_estimate(kmv_bottomk(dist))
     return (
         exact.join(sketch, "source")
-        .withColumn("est_kmv", est)
         .select(
             "source",
             "n_distinct",
@@ -1925,6 +1897,64 @@ def kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_micros"),
         )
     )
+
+
+def kmv_hashes(d: DataFrame) -> DataFrame:
+    """Distinct (source, h) KMV hash rows of a docs_words relation —
+    ONE definition of the sketch's hash domain (salted hash60 over
+    word-3-shingles), shared verbatim by the batch audit above and
+    the streaming maintainer (streaming/stream_sync.run_stream_kmv),
+    so the audit's driver green certifies the streamed store's
+    arithmetic."""
+    return (
+        d.select(
+            "source", F.explode(sk.word_shingles(F.col("w"), 3)).alias("g")
+        )
+        .select(
+            "source",
+            sk.hash60(F.concat(F.lit("kmv:"), F.col("g"))).alias("h"),
+        )
+        .distinct()
+    )
+
+
+def kmv_bottomk(dist: DataFrame) -> DataFrame:
+    """Bottom-{K_KMV} hash rows per source — the KMV sketch state.
+    Two-phase salted top-k-per-group plan (see
+    sample_exact_k_per_lang): phase 1 bounds each (source, input
+    partition) locally so a giant source never pins one window task;
+    phase 2 ranks the <= k x tasks survivors.  Merging sketches is
+    just this function over their union — bottom-k is associative and
+    idempotent, which is what makes the streamed store exact."""
+    w_local = Window.partitionBy("source", "pid").orderBy("h")
+    w_global = Window.partitionBy("source").orderBy("h")
+    return (
+        dist.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= K_KMV)
+        .drop("lrn", "pid")
+        .withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= K_KMV)
+        .select("source", "h")
+    )
+
+
+def kmv_estimate(kept: DataFrame) -> DataFrame:
+    """(source, kth_min, est_kmv) from a bottom-k sketch relation:
+    est = ({K_KMV}-1) x 2^60 / kth_min once the sketch is saturated,
+    exact row count below that (an unsaturated sketch holds every
+    value seen).  DECIMAL(38,0) integral div — floor-identical to
+    DuckDB's HUGEINT //."""
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth_min")
+    )
+    est = F.when(F.col("n_kept") < K_KMV, F.col("n_kept")).otherwise(
+        F.expr(
+            f"CAST((CAST({K_KMV - 1} AS DECIMAL(38,0)) * {_KMV_SPACE})"
+            " div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT)"
+        )
+    )
+    return agg.select("source", "kth_min", est.alias("est_kmv"))
 
 
 _KMV_ORACLE = f"""

@@ -1314,6 +1314,72 @@ def probe_bloom(spark, store_dir: str, keys: list[str]) -> DataFrame:
     )
 
 
+def run_stream_kmv(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming KMV (bottom-k) cardinality-sketch maintenance: each
+    micro-batch's distinct shingle hashes (corpus_ops.kmv_hashes —
+    the arithmetic the batch audit kmv_distinct_shingles certifies)
+    merge into the stored per-source bottom-{{K_KMV}} set via
+    corpus_ops.kmv_bottomk over the union.  Bottom-k is associative
+    AND idempotent (min-merge), so like the Bloom store a replayed
+    batch could not corrupt the sketch — the batch-id high-water mark
+    skips it for cost, not correctness.  State is <= K_KMV rows per
+    source however long the stream history; distinct-count serving at
+    any point is probe_kmv, which shares corpus_ops.kmv_estimate with
+    the audit.
+
+    Same commit contract as run_stream_rollup: the (checkpoint
+    identity, batch-id) high-water mark commits atomically with the
+    table."""
+    import os
+
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.operators.corpus_ops import kmv_bottomk, kmv_hashes
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return  # replayed batch under the same checkpoint — already merged
+        spark = batch_df.sparkSession
+        d = batch_df.select(
+            "source", sk.words(sk.normalize_text(F.col("text"))).alias("w")
+        )
+        delta = kmv_hashes(d)
+        if os.path.isdir(store_dir):
+            merged = spark.read.parquet(store_dir).unionByName(delta).distinct()
+        else:
+            merged = delta
+        _commit_store(
+            kmv_bottomk(merged),
+            store_dir,
+            {"checkpoint": ckpt_id, "batch_id": batch_id},
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def probe_kmv(spark, store_dir: str) -> DataFrame:
+    """Read-only distinct-count estimates from a streamed KMV store:
+    (source, kth_min, est_kmv) through corpus_ops.kmv_estimate — the
+    exact arithmetic the batch audit's driver green certifies.  The
+    store is k rows per source, so the read is a broadcast-sized
+    scan at any stream length."""
+    from chain_sync_spark.operators.corpus_ops import kmv_estimate
+
+    return kmv_estimate(spark.read.parquet(store_dir))
+
+
 _LM_STORE_SCHEMA = "w1 string, w2 string, cnt bigint"
 
 

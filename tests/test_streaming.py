@@ -1797,3 +1797,53 @@ def test_winnow_probe_newdocs_equals_streamed_probe(spark, tmp_path):
         for r in winnow_probe_newdocs(spark, sf).collect()
     }
     assert certified == served and certified
+
+
+def test_stream_kmv_matches_one_pass_and_serves_estimates(spark, tmp_path):
+    """Streamed KMV store: folding the corpus in 3 micro-batches
+    produces EXACTLY the one-pass bottom-k rows (bottom-k min-merge is
+    associative + idempotent), a replayed run is a no-op, and
+    probe_kmv serves the same (kth_min, est_kmv) the batch audit
+    kmv_distinct_shingles reports for every source."""
+    from chain_sync_spark.operators.corpus_ops import (
+        _docs_words,
+        kmv_bottomk,
+        kmv_distinct_shingles,
+        kmv_hashes,
+    )
+    from chain_sync_spark.streaming.stream_sync import probe_kmv, run_stream_kmv
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    run_stream_kmv(_stream(), store, ckpt).awaitTermination(120)
+    one_pass = {
+        (r.source, r.h)
+        for r in kmv_bottomk(kmv_hashes(_docs_words(spark, sf))).collect()
+    }
+    assert {(r.source, r.h) for r in spark.read.parquet(store).collect()} == one_pass
+
+    # replay on the same checkpoint: the high-water mark skips it
+    run_stream_kmv(_stream(), store, ckpt).awaitTermination(120)
+    assert {(r.source, r.h) for r in spark.read.parquet(store).collect()} == one_pass
+
+    audit = {
+        r.source: (r.kth_min, r.est_kmv)
+        for r in kmv_distinct_shingles(spark, sf).collect()
+    }
+    served = {
+        r.source: (r.kth_min, r.est_kmv) for r in probe_kmv(spark, store).collect()
+    }
+    assert served == audit
