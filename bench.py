@@ -107,6 +107,7 @@ EXTENDED_SET = [
     "lm_stupid_backoff_newdocs",   # staged r10 (Stupid Backoff scorer)
     "kmv_distinct_shingles",       # staged r10 (KMV cardinality audit)
     "ann_two_stage_rerank",        # staged r10 (quantize+refine serving)
+    "mixture_temperature_weights", # staged r10 (alpha-sampling weights)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

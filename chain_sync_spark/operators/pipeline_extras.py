@@ -216,6 +216,83 @@ FROM per_doc
 """
 
 # ---------------------------------------------------------------------------
+# 2b. Temperature-scaled language mixture (mT5-style alpha sampling)
+# ---------------------------------------------------------------------------
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the mT5 /
+    XLM-R exponential-smoothing recipe, Xue et al. 2021 §3.1) at
+    alpha = 1/2: the smoothed share of language l is
+    sqrt(n_tokens_l) / sum_m sqrt(n_tokens_m), boosting low-resource
+    languages relative to their raw token share, and the sampling
+    boost q_l / p_l is what a mixture resampler multiplies each
+    language's acceptance rate by.  alpha = 1/2 is the one
+    temperature with an engine-exact path: s_l = floor(sqrt(n)) on
+    integer token counts <= 2^52 is bit-identical everywhere (IEEE
+    sqrt is correctly rounded and both engines floor the same
+    double), after which every ratio is sketches.ratio_micros integer
+    arithmetic — fractional alphas in general need pow(), whose
+    cross-engine determinism we do not assume.  The boost is the
+    algebraic rewrite q/p = (s_l x tot_tokens)/(sum_s x n_tokens) so
+    no intermediate micro-ratio divides another (the
+    domain_mixture_weights precedent).
+
+    Scale: one map-side-combinable aggregate to language grain
+    (bounded cardinality), then a broadcast of the 1-row totals —
+    the corpus is scanned once and never shuffled at row grain.
+    Numerator bound: s_l x tot_tokens < 2^63/2e6 holds to ~1e9-token
+    corpora per the ratio_micros bound; larger corpora widen to
+    DECIMAL, documented there."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.size(sk.words(F.col("text"))).alias("n_tok")
+    )
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    ).withColumn(
+        "s", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("s").alias("sum_s")
+    )
+    return per_lang.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        sk.ratio_micros("n_tokens", "tot_tokens").alias("share_micros"),
+        sk.ratio_micros("s", "sum_s").alias("temp_share_micros"),
+        sk.ratio_micros("s * tot_tokens", "sum_s * n_tokens").alias(
+            "boost_micros"
+        ),
+    )
+
+
+_TEMP_MIX_ORACLE = f"""
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({sk.WORDS_SQL.format(c='text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+s AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s
+  FROM per_lang
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(SUM(s) AS BIGINT) AS sum_s
+  FROM s
+)
+SELECT lang, n_docs, n_tokens,
+       {sk.ratio_micros_sql('n_tokens', 'tot_tokens')} AS share_micros,
+       {sk.ratio_micros_sql('s', 'sum_s')} AS temp_share_micros,
+       {sk.ratio_micros_sql('s * tot_tokens', 'sum_s * n_tokens')}
+         AS boost_micros
+FROM s CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # 3b. Gopher duplicate-n-gram character-fraction profile
 # ---------------------------------------------------------------------------
 
@@ -1466,12 +1543,14 @@ PENDING_QUERIES = {
     "source_overlap_matrix": source_overlap_matrix,
     "winnow_probe_newdocs": winnow_probe_newdocs,
     "gopher_dup_ngram_profile": gopher_dup_ngram_profile,
+    "mixture_temperature_weights": mixture_temperature_weights,
 }
 
 PENDING_ORACLE = {
     "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
     "winnow_probe_newdocs": _WINNOW_PROBE_ORACLE,
     "gopher_dup_ngram_profile": _GOPHER_ORACLE,
+    "mixture_temperature_weights": _TEMP_MIX_ORACLE,
 }
 
 

@@ -230,6 +230,9 @@ STAGED_PRIORITY = [
     # late-round-9 staged: two-stage quantized-then-exact ANN re-rank
     # (SCaNN/FAISS refine shape)
     "ann_two_stage_rerank",
+    # late-round-9 staged: mT5-style temperature-scaled language
+    # sampling weights at alpha = 1/2 (Xue et al. 2021)
+    "mixture_temperature_weights",
 ]
 
 

@@ -1112,3 +1112,53 @@ def test_rerank_equals_exact_when_pool_covers_corpus(spark, tmp_path):
         for r in lp.ann_two_stage_rerank(spark, sf).collect()
     }
     assert got == exact
+
+
+# ---------------------------------------------------------------------------
+# mixture_temperature_weights (staged late round 9)
+# ---------------------------------------------------------------------------
+
+def test_temperature_mixture_replica_and_boost_direction(spark):
+    """From-scratch replica (isqrt smoothing + integer micros), plus
+    the defining property of temperature sampling: a language is
+    boosted above 1.0 exactly when its raw share is below its
+    smoothed share (low-resource), and the smoothed distribution is
+    flatter than the raw one."""
+    import math
+
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
+    nt, nd = {}, {}
+    for lang, t in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
+        toks = [x for x in t.split(" ") if x]
+        nt[lang] = nt.get(lang, 0) + len(toks)
+        nd[lang] = nd.get(lang, 0) + 1
+    s = {lg: math.isqrt(n) for lg, n in nt.items()}
+    tot, sum_s = sum(nt.values()), sum(s.values())
+    rm = lambda num, den: (num * 1_000_000 * 2 + den) // (den * 2)  # noqa: E731
+    want = {
+        lg: (
+            nd[lg],
+            nt[lg],
+            rm(nt[lg], tot),
+            rm(s[lg], sum_s),
+            rm(s[lg] * tot, sum_s * nt[lg]),
+        )
+        for lg in nt
+    }
+    got = {
+        r.lang: (
+            r.n_docs,
+            r.n_tokens,
+            r.share_micros,
+            r.temp_share_micros,
+            r.boost_micros,
+        )
+        for r in px.mixture_temperature_weights(spark, SF).collect()
+    }
+    assert got == want
+    for lg, (_, _, p, q, boost) in got.items():
+        assert (boost > 1_000_000) == (p < q) or boost == 1_000_000
+    # flatter: the smoothed max share never exceeds the raw max share
+    assert max(v[3] for v in got.values()) <= max(v[2] for v in got.values())
