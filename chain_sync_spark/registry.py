@@ -36,15 +36,14 @@ freshness target.  ``rotation_debt()`` is now COMPUTED from the
 CORRECTNESS_r*.json artifacts (the round-7/round-9 failure class —
 a hand-maintained round list going stale — is retired): it returns
 the registered oracled names whose latest green row would fall
-below the 3-round target if left out of the next window.  The two
-remaining staged entrants, source_overlap_matrix and
-quality_by_source, register at round 10: tools/next_window.py
-reserves STAGED_RESERVE slots for staged entrants before the debt
-fill, so at round 10 they take 2 slots and the 2
-alphabetically-last r7-latest names slip one round (the registry
-now exceeds 150 oracled names, so a 2-name slip per round is the
-steady-state cost of new registrations; the pytest covenant is a
-4-round backstop, the planner aims at 3).
+below the 3-round target if left out of the next window.  Staged entrants
+register through tools/next_window.py, which reserves
+STAGED_RESERVE (= 4 since late round 9) slots for staged names
+before the debt fill; the matching number of freshest debt names
+slip one round (the registry now exceeds 150 oracled names, so a
+slip per round is the steady-state cost of new registrations; the
+pytest covenant is a 4-round backstop — 46 x 4 = 184 capacity over
+the 162-name oracled registry — while the planner aims at ~3.5).
 
 Round-10 hardening queue (windows over raw content keys — the skew
 class retired from the span/segment/LM families this round — that

@@ -29,8 +29,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from chain_sync_spark import registry  # noqa: E402
 
 # Window slots guaranteed to staged entrants each round even when
-# rotation debt alone could fill the window.
-STAGED_RESERVE = 2
+# rotation debt alone could fill the window.  Raised 2 -> 4 late in
+# round 9 (11 staged entrants queued; at 2/round they would take 6
+# rounds to earn first rows): 46 debt slots x the 4-round pytest
+# backstop = 184 capacity >= the 162-name oracled registry, so the
+# covenant still holds — the 3-round aim degrades to ~3.5 as the
+# steady-state cost of the larger intake.
+STAGED_RESERVE = 4
 
 
 def planned_window() -> tuple[list[str], list[str], list[str]]:
