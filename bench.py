@@ -108,6 +108,7 @@ EXTENDED_SET = [
     "kmv_distinct_shingles",       # staged r10 (KMV cardinality audit)
     "ann_two_stage_rerank",        # staged r10 (quantize+refine serving)
     "mixture_temperature_weights", # staged r10 (alpha-sampling weights)
+    "quality_composite_filter",    # staged r10 (composed rule stack)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

@@ -433,6 +433,88 @@ FROM j
 """
 
 # ---------------------------------------------------------------------------
+# 3c. Composite quality verdict (FineWeb-style rule stack)
+# ---------------------------------------------------------------------------
+
+MIN_DOC_TOKENS = 20       # Gopher-style length gate (prod: 50)
+MAX_DOC_TOKENS = 100_000
+
+
+def quality_composite_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality VERDICT a curation pipeline actually
+    ships (the FineWeb/Gopher rule-stack shape): one row per document
+    with each rule's keep flag — token-repetition
+    (quality_repetition_filter), duplicate-n-gram mass
+    (gopher_dup_ngram_profile), length bounds, corpus-LM known-bigram
+    score (lm_known_bigram_score) — and the conjunction, so a reader
+    can attribute every drop to the rule that caused it.  The
+    component relations are the REGISTERED operators called verbatim
+    (their driver greens certify the pieces; this query certifies the
+    composition): gopher covers every document and anchors the join;
+    repetition/LM rows are absent only for token-free or bigram-free
+    documents, which read as rule failures through COALESCE(false).
+
+    Scale: the components are map-side aggregates joined back on
+    doc_id — three hash joins on the uniform doc_id key, AQE-handled;
+    nothing here adds a corpus-wide key to what the components
+    already do."""
+    from chain_sync_spark.operators.corpus_ops import lm_known_bigram_score
+
+    gop = gopher_dup_ngram_profile(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("keep").alias("keep_gopher")
+    )
+    rep = quality_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_repetition")
+    )
+    lm = lm_known_bigram_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_lm")
+    )
+    j = (
+        gop.join(rep, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("keep_repetition", F.lit(False)).alias("keep_repetition"),
+            "keep_gopher",
+            F.col("n_tokens").between(MIN_DOC_TOKENS, MAX_DOC_TOKENS).alias(
+                "keep_length"
+            ),
+            F.coalesce("keep_lm", F.lit(False)).alias("keep_lm"),
+        )
+    )
+    return j.withColumn(
+        "keep",
+        F.col("keep_repetition")
+        & F.col("keep_gopher")
+        & F.col("keep_length")
+        & F.col("keep_lm"),
+    )
+
+
+def _composite_oracle() -> str:
+    from chain_sync_spark.operators.corpus_ops import _LM_SCORE_ORACLE
+
+    return f"""
+SELECT doc_id, n_tokens, keep_repetition, keep_gopher, keep_length,
+       keep_lm,
+       (keep_repetition AND keep_gopher AND keep_length AND keep_lm)
+         AS keep
+FROM (
+  SELECT g.doc_id, g.n_tokens,
+         COALESCE(r.keep, FALSE) AS keep_repetition,
+         g.keep AS keep_gopher,
+         g.n_tokens BETWEEN {MIN_DOC_TOKENS} AND {MAX_DOC_TOKENS}
+           AS keep_length,
+         COALESCE(l.keep, FALSE) AS keep_lm
+  FROM ({_GOPHER_ORACLE}) g
+  LEFT JOIN ({_QUALITY_REP_ORACLE}) r USING (doc_id)
+  LEFT JOIN ({_LM_SCORE_ORACLE}) l USING (doc_id)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. Benchmark-contamination screen
 # ---------------------------------------------------------------------------
 
@@ -1544,6 +1626,7 @@ PENDING_QUERIES = {
     "winnow_probe_newdocs": winnow_probe_newdocs,
     "gopher_dup_ngram_profile": gopher_dup_ngram_profile,
     "mixture_temperature_weights": mixture_temperature_weights,
+    "quality_composite_filter": quality_composite_filter,
 }
 
 PENDING_ORACLE = {
@@ -1551,6 +1634,7 @@ PENDING_ORACLE = {
     "winnow_probe_newdocs": _WINNOW_PROBE_ORACLE,
     "gopher_dup_ngram_profile": _GOPHER_ORACLE,
     "mixture_temperature_weights": _TEMP_MIX_ORACLE,
+    "quality_composite_filter": _composite_oracle(),
 }
 
 

@@ -232,6 +232,9 @@ STAGED_PRIORITY = [
     # late-round-9 staged: mT5-style temperature-scaled language
     # sampling weights at alpha = 1/2 (Xue et al. 2021)
     "mixture_temperature_weights",
+    # late-round-9 staged: FineWeb-style composed quality verdict
+    # with per-rule attribution
+    "quality_composite_filter",
 ]
 
 

@@ -1162,3 +1162,39 @@ def test_temperature_mixture_replica_and_boost_direction(spark):
         assert (boost > 1_000_000) == (p < q) or boost == 1_000_000
     # flatter: the smoothed max share never exceeds the raw max share
     assert max(v[3] for v in got.values()) <= max(v[2] for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# quality_composite_filter (staged late round 9)
+# ---------------------------------------------------------------------------
+
+def test_composite_filter_is_the_conjunction_of_its_components(spark):
+    """The composite must agree row-by-row with its components called
+    independently (the certification leverage: driver-green pieces,
+    this query certifies only the composition), keep must equal the
+    conjunction, and every rule must have at least one sole-cause
+    drop or a pass at sf0.001 so the attribution is demonstrably
+    live."""
+    from chain_sync_spark.operators import corpus_ops as co
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    rep = {r.doc_id: r.keep for r in
+           px.quality_repetition_filter(spark, SF).collect()}
+    gop = {r.doc_id: r.keep for r in
+           px.gopher_dup_ngram_profile(spark, SF).collect()}
+    lm = {r.doc_id: r.keep for r in
+          co.lm_known_bigram_score(spark, SF).collect()}
+    rows = px.quality_composite_filter(spark, SF).collect()
+    assert len(rows) == len(gop)
+    for r in rows:
+        assert r.keep_repetition == rep.get(r.doc_id, False)
+        assert r.keep_gopher == gop[r.doc_id]
+        assert r.keep_lm == lm.get(r.doc_id, False)
+        assert r.keep_length == (
+            px.MIN_DOC_TOKENS <= r.n_tokens <= px.MAX_DOC_TOKENS
+        )
+        assert r.keep == (
+            r.keep_repetition and r.keep_gopher and r.keep_length and r.keep_lm
+        )
+    assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+    assert any(not r.keep_length for r in rows)  # the new rule is live
