@@ -243,19 +243,39 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Numerator bound: s_l x tot_tokens < 2^63/2e6 holds to ~1e9-token
     corpora per the ratio_micros bound; larger corpora widen to
     DECIMAL, documented there."""
-    d = table(spark, sf_dir, "documents").select(
-        "lang", F.size(sk.words(F.col("text"))).alias("n_tok")
+    return temperature_weights_from_counts(
+        lang_token_counts(table(spark, sf_dir, "documents"))
     )
-    per_lang = d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-    ).withColumn(
+
+
+def lang_token_counts(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_tokens) of a documents-shaped frame — the
+    count grain the temperature weights derive from.  Sum-mergeable,
+    which is what makes the streamed store
+    (streaming/stream_sync.run_stream_lang_counts) exact."""
+    return (
+        docs.select("lang", F.size(sk.words(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def temperature_weights_from_counts(per_lang: DataFrame) -> DataFrame:
+    """The alpha = 1/2 weight arithmetic over a (lang, n_docs,
+    n_tokens) relation — ONE definition shared verbatim by the batch
+    query above and the streamed serving probe
+    (stream_sync.probe_temperature_mixture), so the batch driver
+    green certifies the streamed read path."""
+    s_col = per_lang.withColumn(
         "s", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
     )
-    totals = per_lang.agg(
+    totals = s_col.agg(
         F.sum("n_tokens").alias("tot_tokens"), F.sum("s").alias("sum_s")
     )
-    return per_lang.crossJoin(F.broadcast(totals)).select(
+    return s_col.crossJoin(F.broadcast(totals)).select(
         "lang",
         "n_docs",
         "n_tokens",

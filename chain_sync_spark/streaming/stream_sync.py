@@ -1369,6 +1369,67 @@ def run_stream_kmv(
     )
 
 
+def run_stream_lang_counts(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming per-language corpus-count maintenance: each
+    micro-batch's (lang, n_docs, n_tokens) partial
+    (pipeline_extras.lang_token_counts) SUM-merges into the stored
+    totals — the count grain the temperature-sampling weights read,
+    kept fresh per trigger with language-cardinality state.  Same
+    commit contract as run_stream_rollup: the (checkpoint identity,
+    batch-id) high-water mark commits atomically with the table, so
+    replayed batches never double-count."""
+    import os
+
+    from chain_sync_spark.operators.pipeline_extras import lang_token_counts
+
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store_dir)
+        meta = _read_commit_meta(store_dir)
+        if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
+            return  # replayed batch under the same checkpoint — already merged
+        spark = batch_df.sparkSession
+        delta = lang_token_counts(batch_df)
+        if os.path.isdir(store_dir):
+            merged = (
+                spark.read.parquet(store_dir)
+                .unionByName(delta)
+                .groupBy("lang")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("n_tokens").cast("long").alias("n_tokens"),
+                )
+            )
+        else:
+            merged = delta
+        _commit_store(merged, store_dir, {"checkpoint": ckpt_id, "batch_id": batch_id})
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def probe_temperature_mixture(spark, store_dir: str) -> DataFrame:
+    """Temperature-sampling weights served from a streamed
+    lang-counts store, through the exact arithmetic the batch query
+    certifies (pipeline_extras.temperature_weights_from_counts).
+    The store is language-cardinality rows — broadcast-sized at any
+    stream length."""
+    from chain_sync_spark.operators.pipeline_extras import (
+        temperature_weights_from_counts,
+    )
+
+    return temperature_weights_from_counts(spark.read.parquet(store_dir))
+
+
 def probe_kmv(spark, store_dir: str) -> DataFrame:
     """Read-only distinct-count estimates from a streamed KMV store:
     (source, kth_min, est_kmv) through corpus_ops.kmv_estimate — the

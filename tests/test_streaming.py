@@ -1847,3 +1847,61 @@ def test_stream_kmv_matches_one_pass_and_serves_estimates(spark, tmp_path):
         r.source: (r.kth_min, r.est_kmv) for r in probe_kmv(spark, store).collect()
     }
     assert served == audit
+
+
+def test_stream_lang_counts_matches_one_pass_and_serves_weights(spark, tmp_path):
+    """Streamed language-counts store: 3-batch sum-merge equals the
+    one-pass counts, a replayed run is a no-op (the high-water mark —
+    sums are NOT idempotent, so this is the correctness guard, not
+    just cost), and probe_temperature_mixture serves exactly what the
+    batch query mixture_temperature_weights reports."""
+    from chain_sync_spark.operators.pipeline_extras import (
+        lang_token_counts,
+        mixture_temperature_weights,
+    )
+    from chain_sync_spark.streaming.stream_sync import (
+        probe_temperature_mixture,
+        run_stream_lang_counts,
+    )
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.mode("overwrite").json(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    run_stream_lang_counts(_stream(), store, ckpt).awaitTermination(120)
+    one_pass = {
+        r.lang: (r.n_docs, r.n_tokens) for r in lang_token_counts(docs).collect()
+    }
+    stored = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert stored == one_pass
+
+    # replay on the same checkpoint must not double-count
+    run_stream_lang_counts(_stream(), store, ckpt).awaitTermination(120)
+    assert {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(store).collect()
+    } == one_pass
+
+    batch = {
+        r.lang: (r.share_micros, r.temp_share_micros, r.boost_micros)
+        for r in mixture_temperature_weights(spark, sf).collect()
+    }
+    served = {
+        r.lang: (r.share_micros, r.temp_share_micros, r.boost_micros)
+        for r in probe_temperature_mixture(spark, store).collect()
+    }
+    assert served == batch
