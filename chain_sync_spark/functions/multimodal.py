@@ -949,6 +949,95 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
 
+def _encode_wav_mono16(rate: int, samples) -> bytes:
+    """Minimal RIFF/WAVE encoder: 16-bit PCM, mono.  Quantization is
+    clip-to-[-1,1] then floor(x*32768 + 0.5) clamped to int16 — the
+    inverse of _parse_wav's /32768 scaling, so parse(encode(x))
+    returns exactly the quantized samples (roundtrip property
+    pytest-pinned)."""
+    import struct
+
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.clip(np.floor(x * 32768.0 + 0.5), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def resample_audio(media: DataFrame, factor: int) -> DataFrame:
+    """Audio decimation stage: (media_id, kind, payload, meta) → same
+    layout with every ``factor``-th mono sample kept and the payload
+    re-encoded as 16-bit mono WAV at rate // factor.  WAV (8/16/24-bit
+    + float PCM) and AIFF payloads decimate for REAL through the
+    stdlib codecs — parse to mono float, stride-slice, re-encode; a
+    real anti-aliased resampler would low-pass first (scipy/soxr),
+    which is the documented external-library boundary, same as the
+    lossy image codecs.  Non-audio rows pass through UNCHANGED (a
+    resampler must not mangle images); unparsable audio payloads take
+    the deterministic stand-in (every factor-th byte) behind the
+    _FAKE_DECODE seam.  Output meta: width = sample count, height =
+    output rate, format 'wav'.
+
+    Spark-side plumbing is the real thing: Arrow-batched mapInPandas,
+    schema-stable, partition-preserving — payload bytes never
+    shuffle."""
+    if not isinstance(factor, int) or factor < 1:
+        # fail fast on the driver, not inside a task (ADVICE r8 rule)
+        raise ValueError(f"factor must be an integer >= 1, got {factor}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_p, out_m = [], []
+            for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                if k != "audio":
+                    out_p.append(p)
+                    out_m.append(m)
+                    continue
+                aud = _parse_wav(p)
+                if aud is None:
+                    aud = _parse_aiff(p)
+                if aud is not None:
+                    rate, _n_ch, s = aud
+                    kept = s[::factor]
+                    new_rate = max(rate // factor, 1)
+                    out_p.append(_encode_wav_mono16(new_rate, kept))
+                    out_m.append(
+                        {"width": len(kept), "height": new_rate,
+                         "format": "wav"}
+                    )
+                    continue
+                if not _FAKE_DECODE:  # pragma: no cover — real codec seam
+                    raise NotImplementedError(
+                        "real audio resampling requires codec libraries "
+                        "(soundfile/soxr) not present in this environment"
+                    )
+                kept_b = (p or b"")[::factor]
+                out_p.append(kept_b)
+                out_m.append(
+                    {"width": len(kept_b), "height": 0,
+                     "format": (m or {}).get("format")}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_p,
+                    "meta": out_m,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        _batches, schema=MEDIA_SCHEMA
+    )
+
+
 def _parse_y4m(payload: bytes):
     """Parse an uncompressed YUV4MPEG2 (.y4m) video: stream header
     (W/H/F rate tags, C420* or C444 colorspace), then FRAME-delimited

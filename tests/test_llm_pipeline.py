@@ -1289,3 +1289,75 @@ def test_wav_24bit_and_float_variants():
 
     assert mm._parse_wav(wav(1, 12, b"\x00" * 48)) is None   # odd depth
     assert mm._parse_wav(wav(3, 64, b"\x00" * 64)) is None   # f64 unsupported
+
+
+def test_encode_wav_mono16_roundtrips():
+    """parse(encode(x)) returns exactly the quantized samples and the
+    declared rate/channel layout; hypothesis sweeps the value range."""
+    import numpy as np
+
+    from chain_sync_spark.functions.multimodal import (
+        _encode_wav_mono16,
+        _parse_wav,
+    )
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+            min_size=1,
+            max_size=64,
+        ),
+        st.integers(min_value=1, max_value=96000),
+    )
+    def _prop(xs, rate):
+        payload = _encode_wav_mono16(rate, xs)
+        got_rate, n_ch, s = _parse_wav(payload)
+        assert (got_rate, n_ch) == (rate, 1)
+        want = np.clip(
+            np.floor(np.clip(np.asarray(xs), -1.0, 1.0) * 32768.0 + 0.5),
+            -32768, 32767,
+        ) / 32768.0
+        assert np.array_equal(s, want)
+
+    _prop()
+
+
+def test_resample_audio_decimates_and_passes_through(spark):
+    """Decimation keeps exactly every factor-th mono sample at
+    rate//factor (re-parsed from the re-encoded payload), non-audio
+    rows pass through untouched, unparsable audio takes the
+    byte-stride stand-in, and a bad factor fails fast on the
+    driver."""
+    import numpy as np
+    import pytest as _pytest
+
+    from chain_sync_spark.functions import multimodal as mm
+
+    t = np.arange(32)
+    x16 = (np.sin(t / 3.0) * 20000).astype("<i2")
+    wav = _wav_bytes(x16, rate=8000)
+    rows = [
+        (1, "audio", bytearray(wav), {"width": 32, "height": 8000, "format": "wav"}),
+        (2, "audio", bytearray(b"not a wav"), {"width": 0, "height": 0, "format": "raw"}),
+        (3, "image", bytearray(b"P6 junk"), {"width": 0, "height": 0, "format": "ppm"}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.resample_audio(media, 4).collect()}
+
+    rate, n_ch, s = mm._parse_wav(bytes(out[1].payload))
+    assert (rate, n_ch) == (2000, 1)
+    src = x16.astype("float64") / 32768.0
+    want = np.clip(np.floor(src[::4] * 32768.0 + 0.5), -32768, 32767) / 32768.0
+    assert np.array_equal(s, want)
+    assert (out[1].meta.width, out[1].meta.height) == (len(want), 2000)
+    assert out[1].meta.format == "wav"
+
+    assert bytes(out[2].payload) == b"not a wav"[::4]  # stand-in stride
+    assert bytes(out[3].payload) == b"P6 junk"         # untouched
+    assert out[3].meta.format == "ppm"
+
+    with _pytest.raises(ValueError):
+        mm.resample_audio(media, 0)
