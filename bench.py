@@ -109,6 +109,7 @@ EXTENDED_SET = [
     "ann_two_stage_rerank",        # staged r10 (quantize+refine serving)
     "mixture_temperature_weights", # staged r10 (alpha-sampling weights)
     "quality_composite_filter",    # staged r10 (composed rule stack)
+    "dedup_funnel_report",         # staged r10 (curation funnel counts)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

@@ -535,6 +535,122 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# 3d. Dedup + quality funnel report
+# ---------------------------------------------------------------------------
+
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-dashboard FUNNEL: how many documents survive each
+    pipeline stage in sequence — total → exact dedup (keep-first per
+    normalized-text hash) → near-dup canonicalization (drop MinHash
+    cluster members that are not their cluster's quality-chosen
+    canonical) → composite quality verdict.  Output is one row per
+    stage (stage_id, stage, n_docs, n_dropped) — four rows however
+    large the corpus, the shape an operator actually monitors.  The
+    stage relations are the REGISTERED operators called verbatim
+    (dedup_exact_documents, neardup_clusters /
+    neardup_cluster_canonical, quality_composite_filter's rule
+    stack): their driver greens certify the stage semantics; this
+    query certifies the sequential set algebra.
+
+    A cluster's canonical can itself be an exact-dedup casualty (an
+    identical-text group is also a near-dup cluster, and the
+    quality tie-break may pick a non-minimal doc_id); the funnel is
+    defined as SEQUENTIAL filters, so such a cluster loses all its
+    members at stage 3 — deterministic, documented, and exactly what
+    "apply these filters in order" means.
+
+    Scale: each stage is a semi/anti join on the uniform doc_id key
+    against relations the components already compute; the counts are
+    1-row aggregates unioned — nothing here exceeds the components'
+    own cost."""
+    from chain_sync_spark.operators.llm_pipeline import (
+        dedup_exact_documents,
+        neardup_clusters,
+    )
+
+    s1 = table(spark, sf_dir, "documents").select("doc_id")
+    s2 = dedup_exact_documents(spark, sf_dir).select("doc_id")
+    noncanon = (
+        neardup_clusters(spark, sf_dir)
+        .select("doc_id")
+        .join(
+            neardup_cluster_canonical(spark, sf_dir).select(
+                F.col("canonical_doc").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    s3 = s2.join(noncanon, "doc_id", "left_anti")
+    keepq = (
+        quality_composite_filter(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    s4 = s3.join(keepq, "doc_id", "left_semi")
+    stages = [
+        (1, "total", s1),
+        (2, "exact_dedup", s2),
+        (3, "neardup_canonical", s3),
+        (4, "quality", s4),
+    ]
+    counts = None
+    for sid, label, rel in stages:
+        c = rel.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(label).alias("stage"),
+            "n_docs",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    w = Window.orderBy("stage_id")
+    return counts.select(
+        "stage_id",
+        "stage",
+        "n_docs",
+        F.coalesce(
+            F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0).cast("long")
+        ).alias("n_dropped"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from chain_sync_spark.operators.llm_pipeline import (
+        _clusters_oracle,
+        _DEDUP_EXACT_SQL,
+    )
+
+    return f"""
+WITH s2 AS (SELECT doc_id FROM ({_DEDUP_EXACT_SQL}) x),
+noncanon AS (
+  SELECT doc_id FROM ({_clusters_oracle()}) c
+  WHERE doc_id NOT IN (
+    SELECT canonical_doc FROM ({_canonical_oracle()}) k
+  )
+),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
+s4 AS (
+  SELECT doc_id FROM s3
+  WHERE doc_id IN (
+    SELECT doc_id FROM ({_composite_oracle()}) q WHERE q.keep
+  )
+),
+counts AS (
+  SELECT 1 AS stage_id, 'total' AS stage, COUNT(*) AS n_docs FROM documents
+  UNION ALL
+  SELECT 2, 'exact_dedup', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'neardup_canonical', COUNT(*) FROM s3
+  UNION ALL
+  SELECT 4, 'quality', COUNT(*) FROM s4
+)
+SELECT CAST(stage_id AS INT) AS stage_id, stage, n_docs,
+       COALESCE(LAG(n_docs) OVER (ORDER BY stage_id) - n_docs, 0)
+         AS n_dropped
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. Benchmark-contamination screen
 # ---------------------------------------------------------------------------
 
@@ -1647,6 +1763,7 @@ PENDING_QUERIES = {
     "gopher_dup_ngram_profile": gopher_dup_ngram_profile,
     "mixture_temperature_weights": mixture_temperature_weights,
     "quality_composite_filter": quality_composite_filter,
+    "dedup_funnel_report": dedup_funnel_report,
 }
 
 PENDING_ORACLE = {
@@ -1655,6 +1772,7 @@ PENDING_ORACLE = {
     "gopher_dup_ngram_profile": _GOPHER_ORACLE,
     "mixture_temperature_weights": _TEMP_MIX_ORACLE,
     "quality_composite_filter": _composite_oracle(),
+    "dedup_funnel_report": _funnel_oracle(),
 }
 
 

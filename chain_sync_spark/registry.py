@@ -235,6 +235,8 @@ STAGED_PRIORITY = [
     # late-round-9 staged: FineWeb-style composed quality verdict
     # with per-rule attribution
     "quality_composite_filter",
+    # late-round-9 staged: sequential dedup+quality funnel counts
+    "dedup_funnel_report",
 ]
 
 

@@ -1198,3 +1198,46 @@ def test_composite_filter_is_the_conjunction_of_its_components(spark):
         )
     assert any(r.keep for r in rows) and any(not r.keep for r in rows)
     assert any(not r.keep_length for r in rows)  # the new rule is live
+
+
+# ---------------------------------------------------------------------------
+# dedup_funnel_report (staged late round 9)
+# ---------------------------------------------------------------------------
+
+def test_funnel_counts_match_components_and_monotone(spark):
+    """The funnel rows must equal set algebra over the components run
+    independently, counts must be monotone non-increasing with
+    n_dropped the exact differences, and at sf0.001 every stage must
+    drop at least one document (the funnel is demonstrably live)."""
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    total = 500
+    exact = {r.doc_id for r in lp.dedup_exact_documents(spark, SF).collect()}
+    members = {r.doc_id for r in lp.neardup_clusters(spark, SF).collect()}
+    canon = {
+        r.canonical_doc
+        for r in px.neardup_cluster_canonical(spark, SF).collect()
+    }
+    s3 = exact - (members - canon)
+    keep = {
+        r.doc_id
+        for r in px.quality_composite_filter(spark, SF).collect()
+        if r.keep
+    }
+    s4 = s3 & keep
+    want = [
+        (1, "total", total, 0),
+        (2, "exact_dedup", len(exact), total - len(exact)),
+        (3, "neardup_canonical", len(s3), len(exact) - len(s3)),
+        (4, "quality", len(s4), len(s3) - len(s4)),
+    ]
+    got = [
+        (r.stage_id, r.stage, r.n_docs, r.n_dropped)
+        for r in px.dedup_funnel_report(spark, SF)
+        .orderBy("stage_id")
+        .collect()
+    ]
+    assert got == want
+    # this corpus has no byte-identical pairs (stage 2 drops 0 by
+    # data, not by bug); the near-dup and quality stages must bite
+    assert got[2][3] > 0 and got[3][3] > 0
