@@ -109,7 +109,9 @@ EXTENDED_SET = [
     "ann_two_stage_rerank",        # staged r10 (quantize+refine serving)
     "mixture_temperature_weights", # staged r10 (alpha-sampling weights)
     "quality_composite_filter",    # staged r10 (composed rule stack)
-    "dedup_funnel_report",         # staged r10 (curation funnel counts)
+    # dedup_funnel_report is NOT benched: its wall-clock is the sum
+    # of its component pipelines (each benched above) plus tiny id
+    # joins — see its docstring (the exact-profile precedent)
     "sync_round",  # full engine round, timed via _bench_sync_round
 ]
 

@@ -327,23 +327,44 @@ GOPHER_TOP_MAX_MICROS = 180_000
 GOPHER_DUP_MAX_MICROS = 140_000
 
 
-def _gopher_gram_agg(d: DataFrame, n: int, out: str, dup_only: bool) -> DataFrame:
-    """Per-doc character mass of repeated word n-grams: explode ALL
-    n-gram occurrences, count per (doc, gram), then either the MAX of
-    cnt*len(gram) (top-n-gram mass) or the SUM over grams occurring
-    more than once (duplicate-n-gram mass).  Both aggregations are
-    map-side combinable on uniform (doc_id, gram) keys — the skew
-    profile of a per-document grouping, never a corpus-wide window."""
-    grams = d.select(
-        "doc_id", F.explode(sk.word_ngrams_all(F.col("w"), n)).alias("g")
+def _gopher_masses(d: DataFrame) -> DataFrame:
+    """Per-doc character mass of repeated word n-grams, BOTH gram
+    sizes in one pass: a single explode of (n, gram) tagged
+    occurrences, one count per (doc, n, gram), one per-doc aggregate
+    with conditional MAX (top-{GOPHER_TOP_N}-gram mass) and SUM over
+    duplicated {GOPHER_DUP_N}-grams.  The tag keeps the two gram
+    populations disjoint by key, so fusing them is value-identical
+    to two separate passes (re-verified against the unchanged
+    oracle) at half the scan/explode/shuffle cost.  Both
+    aggregations are map-side combinable on uniform
+    (doc_id, n, gram) keys — the skew profile of a per-document
+    grouping, never a corpus-wide window."""
+    tag = lambda col, n: F.transform(  # noqa: E731
+        col, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
     )
-    cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                tag(sk.word_ngrams_all(F.col("w"), GOPHER_TOP_N), GOPHER_TOP_N),
+                tag(sk.word_ngrams_all(F.col("w"), GOPHER_DUP_N), GOPHER_DUP_N),
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    cnt = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
     mass = F.col("c") * F.length("g")
-    if dup_only:
-        agg = F.sum(F.when(F.col("c") > 1, mass).otherwise(F.lit(0)))
-    else:
-        agg = F.max(mass)
-    return cnt.groupBy("doc_id").agg(agg.cast("long").alias(out))
+    return cnt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == GOPHER_TOP_N, mass))
+        .cast("long")
+        .alias("top_mass"),
+        F.sum(
+            F.when(
+                (F.col("n") == GOPHER_DUP_N) & (F.col("c") > 1), mass
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dup_mass"),
+    )
 
 
 def gopher_dup_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,13 +381,14 @@ def gopher_dup_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval union, which buys nothing at the filter thresholds), plus
     the keep flag at the Gopher table-A1 thresholds.
 
-    Scale: two explode+count passes (n={GOPHER_TOP_N}, n={GOPHER_DUP_N})
-    over per-row generated grams, each aggregated per (doc_id, gram)
+    Scale: ONE explode+count pass over (n, gram)-tagged occurrences
+    for both gram sizes (see _gopher_masses — fused from two passes,
+    value-identity re-verified), aggregated per (doc_id, n, gram)
     then per doc_id — map-side combinable, no corpus-wide key ever
     groups more than one document's rows, so a hot boilerplate gram
     never concentrates (the span family's round-9 skew lesson applied
     from birth).  Docs shorter than n words contribute no gram rows
-    and re-enter via the left joins with mass 0."""
+    and re-enter via the left join with mass 0."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", sk.words(F.col("text")).alias("w")
     )
@@ -377,12 +399,8 @@ def gopher_dup_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.array_join("w", " ")).cast("long"), F.lit(1)
         ).alias("total_chars"),
     )
-    top = _gopher_gram_agg(d, GOPHER_TOP_N, "top_mass", dup_only=False)
-    dup = _gopher_gram_agg(d, GOPHER_DUP_N, "dup_mass", dup_only=True)
-    joined = (
-        base.join(top, "doc_id", "left")
-        .join(dup, "doc_id", "left")
-        .fillna({"top_mass": 0, "dup_mass": 0})
+    joined = base.join(_gopher_masses(d), "doc_id", "left").fillna(
+        {"top_mass": 0, "dup_mass": 0}
     )
     top_micros = F.least(
         F.lit(1_000_000).cast("long"),
@@ -560,56 +578,83 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "apply these filters in order" means.
 
     Scale: each stage is a semi/anti join on the uniform doc_id key
-    against relations the components already compute; the counts are
-    1-row aggregates unioned — nothing here exceeds the components'
-    own cost."""
+    against relations the components already compute.  The four
+    counts run as SEQUENTIAL actions over scoped-persisted
+    survivor-id relations (doc_id only — KBs at any corpus size) and
+    the 4-row report is rebuilt driver-side: a lazy union of count
+    branches re-ran the minhash chain once per downstream counter
+    (in-job branches race the cache before it materializes —
+    measured 15-19 s at sf0.1), while sequential actions pin each
+    cache before the next stage reads it.  The driver state is four
+    longs — the bounded-collect budget kmeans' K-row centroid loop
+    set.  Wall-clock is, by construction, ~the SUM of the component
+    pipelines (clusters' connected-components loop runs its
+    iterations at plan-build time, ~6 s of the ~15 s sf0.1 total);
+    each component is individually benched, so the funnel stays out
+    of the per-round bench set (the exact-profile precedent,
+    VERDICT r6 item 4) — it is an end-to-end audit you run per
+    curation release, not per trigger."""
     from chain_sync_spark.operators.llm_pipeline import (
+        _scoped_persist,
         dedup_exact_documents,
         neardup_clusters,
+        release_caches,
     )
 
+    from chain_sync_spark.operators.llm_pipeline import text_quality_score
+
+    # build every component plan BEFORE taking our persists: the
+    # minhash chain inside neardup_clusters calls release_caches()
+    # at build time, which would pop a persist taken earlier
     s1 = table(spark, sf_dir, "documents").select("doc_id")
-    s2 = dedup_exact_documents(spark, sf_dir).select("doc_id")
-    noncanon = (
-        neardup_clusters(spark, sf_dir)
-        .select("doc_id")
-        .join(
-            neardup_cluster_canonical(spark, sf_dir).select(
-                F.col("canonical_doc").alias("doc_id")
-            ),
-            "doc_id",
-            "left_anti",
-        )
+    exact = dedup_exact_documents(spark, sf_dir).select("doc_id")
+    # non-canonical members computed from ONE clusters relation:
+    # rank > 1 under neardup_cluster_canonical's exact ordering
+    # (quality desc, doc_id) — calling the canonical operator here
+    # would re-run the whole minhash+connected-components chain a
+    # second time (~6 s of the funnel's cost at sf0.1, measured).
+    # The complement-of-canonical invariant is pytest-pinned against
+    # the component's own output at sf0.001.
+    clusters = neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
     )
-    s3 = s2.join(noncanon, "doc_id", "left_anti")
+    w_c = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    noncanon = (
+        clusters.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w_c))
+        .filter(F.col("rk") > 1)
+        .select("doc_id")
+    )
     keepq = (
         quality_composite_filter(spark, sf_dir)
         .filter(F.col("keep"))
         .select("doc_id")
     )
+    # no release here: the minhash build above already dropped the
+    # previous query's scope, and the cluster chain's own edge
+    # persist (consumed iteratively by connected components) must
+    # stay pinned — our persists stack on top and the final
+    # release_caches() drops everything together
+    s2 = _scoped_persist(exact)
+    s3 = _scoped_persist(s2.join(noncanon, "doc_id", "left_anti"))
     s4 = s3.join(keepq, "doc_id", "left_semi")
-    stages = [
-        (1, "total", s1),
-        (2, "exact_dedup", s2),
-        (3, "neardup_canonical", s3),
-        (4, "quality", s4),
+    ns = [
+        s1.count(),  # materializes nothing extra
+        s2.count(),  # pins the exact-survivor cache
+        s3.count(),  # reads cached s2, pins the near-dup-survivor cache
+        s4.count(),  # reads cached s3
     ]
-    counts = None
-    for sid, label, rel in stages:
-        c = rel.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(sid).cast("int").alias("stage_id"),
-            F.lit(label).alias("stage"),
-            "n_docs",
-        )
-        counts = c if counts is None else counts.unionByName(c)
-    w = Window.orderBy("stage_id")
-    return counts.select(
-        "stage_id",
-        "stage",
-        "n_docs",
-        F.coalesce(
-            F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0).cast("long")
-        ).alias("n_dropped"),
+    release_caches()
+    labels = ["total", "exact_dedup", "neardup_canonical", "quality"]
+    rows = [
+        (i + 1, lab, n, 0 if i == 0 else ns[i - 1] - n)
+        for i, (lab, n) in enumerate(zip(labels, ns))
+    ]
+    return spark.createDataFrame(
+        rows, "stage_id int, stage string, n_docs long, n_dropped long"
     )
 
 
