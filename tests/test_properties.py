@@ -507,3 +507,43 @@ def test_wav_parse_roundtrip_property(bits, n, rate, seed):
     prate, pch, s = parsed
     assert (prate, pch, len(s)) == (rate, 1, n)
     assert np.array_equal(s, want)
+
+
+def test_word_ngrams_all_agrees_with_distinct_shingles(spark):
+    """Cross-helper invariant: list_distinct over the counting
+    generator (word_ngrams_all) must equal word_shingles for every n,
+    the occurrence count must be len(w) - n + 1 (or 0 below n), and
+    position order is preserved — hypothesis over arbitrary token
+    lists."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chain_sync_spark.functions import sketches as sk
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=3),
+            min_size=0,
+            max_size=12,
+        ),
+        st.integers(min_value=2, max_value=6),
+    )
+    def _prop(words, n):
+        df = spark.createDataFrame([(words,)], "w array<string>")
+        row = df.select(
+            sk.word_ngrams_all(F.col("w"), n).alias("a"),
+            sk.word_shingles(F.col("w"), n).alias("d"),
+        ).collect()[0]
+        want = (
+            [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
+            if len(words) >= n
+            else []
+        )
+        assert row.a == want
+        assert len(row.a) == max(len(words) - n + 1, 0)
+        seen = set()
+        dedup = [g for g in want if not (g in seen or seen.add(g))]
+        assert row.d == dedup
+
+    _prop()
