@@ -40,3 +40,45 @@ def salted_join(
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias(SALT_COL))
     small_s = small.crossJoin(salts)
     return big_s.join(small_s, on + [SALT_COL], how).drop(SALT_COL)
+
+
+def keep_first_by_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Keep-first-per-key WITHOUT a window: one MIN(struct(order,
+    payload)) aggregate per key, re-exploded to columns.  Value-
+    identical to ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    order_cols) = 1`` whenever ``order_cols`` are duplicate-free
+    within a key (struct comparison is lexicographic), but the
+    aggregate is MAP-SIDE COMBINABLE: each scan task emits one
+    candidate row per key it saw, so a boilerplate key occurring
+    millions of times costs one row per task in the shuffle instead
+    of pinning its whole occurrence list in one unsplittable window
+    task — the round-9 span-family hardening as a reusable
+    primitive, staged for the round-10 queue (dedup_segment_rewrite
+    seg_md5, dedup_incremental_batch content_md5; see the registry
+    docstring).  Output column order: key_cols + order_cols +
+    remaining columns, one row per key."""
+    payload = [c for c in df.columns if c not in key_cols]
+    ordered = order_cols + [c for c in payload if c not in order_cols]
+    agg = df.groupBy(*key_cols).agg(
+        F.min(F.struct(*ordered)).alias("_first")
+    )
+    return agg.select(
+        *key_cols, *[F.col(f"_first.{c}").alias(c) for c in ordered]
+    )
+
+
+def attach_group_count(
+    df: DataFrame, key_cols: list[str], out: str
+) -> DataFrame:
+    """``COUNT(*) OVER (PARTITION BY key)`` without the window: a
+    map-side-combinable groupBy count joined back on the key.  The
+    join is AQE-visible (broadcast when the distinct-key relation is
+    small, skew-split when a key is hot) where a window partition is
+    an indivisible task — the fix queued for tfidf_top_terms'
+    term-df and neardup_prefix_filter_pairs' token-df at round 10.
+    Value-identical to the window by definition; column order is
+    preserved with ``out`` appended."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias(out))
+    return df.join(counts, key_cols)

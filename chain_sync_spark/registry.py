@@ -56,7 +56,13 @@ dedup_incremental_batch's keep-first window on content_md5
 neardup_prefix_filter_pairs' token-df window (llm_pipeline).  Each
 needs value-identity re-verification and a window slot; all sit in
 upcoming debt cohorts (r7/r8-latest), so the rotation pays for the
-re-certs naturally.
+re-certs naturally.  The primitives for these swaps shipped late in
+round 9 (operators/skew.keep_first_by_key — map-side-combinable
+min-struct keep-first — and skew.attach_group_count — agg+join-back
+group counts), each pinned value-identical to its window form on
+hot-key data with a no-Window plan assertion
+(tests/test_scale_patterns.py), so the round-10 change is a
+call-site swap plus the oracle re-sweep.
 
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level

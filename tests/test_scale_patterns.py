@@ -166,3 +166,62 @@ def test_exact_k_sample_plan_is_two_phase_salted(spark):
     # Spark's rank-limit pushdown kicked in: each window phase prunes
     # to top-k via WindowGroupLimit before the full per-key sort
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_keep_first_by_key_equals_window_form(spark):
+    """The round-10 hardening primitive: min-struct keep-first must
+    equal the ROW_NUMBER-window form on data with a heavy hot key
+    (the case the window form cannot split), and its physical plan
+    must contain a partial (map-side) aggregate and NO window."""
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators.skew import keep_first_by_key
+
+    rows = [("hot", i % 7, i, f"p{i}") for i in range(200)]
+    rows += [(f"k{i}", 0, i, f"q{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "key string, o1 int, o2 int, payload string")
+
+    got = {
+        tuple(r)
+        for r in keep_first_by_key(df, ["key"], ["o1", "o2"])
+        .select("key", "o1", "o2", "payload")
+        .collect()
+    }
+    w = Window.partitionBy("key").orderBy("o1", "o2")
+    want = {
+        tuple(r)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "o1", "o2", "payload")
+        .collect()
+    }
+    assert got == want and len(got) == 51
+
+    plan = keep_first_by_key(df, ["key"], ["o1", "o2"])._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_attach_group_count_equals_window_form(spark):
+    """count-over-window replacement: same values, no Window node,
+    join visible to AQE."""
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators.skew import attach_group_count
+
+    rows = [("hot", i) for i in range(300)] + [(f"k{i}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "key string, v int")
+    got = {
+        (r.key, r.v, r.df)
+        for r in attach_group_count(df, ["key"], "df").collect()
+    }
+    w = Window.partitionBy("key")
+    want = {
+        (r.key, r.v, r.df)
+        for r in df.withColumn("df", F.count(F.lit(1)).over(w)).collect()
+    }
+    assert got == want
+    plan = attach_group_count(df, ["key"], "df")._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Window" not in plan
