@@ -225,3 +225,31 @@ def test_attach_group_count_equals_window_form(spark):
     plan = attach_group_count(df, ["key"], "df")._jdf.queryExecution()\
         .executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_new_entrant_plan_shapes(spark):
+    """Plan pins for the round-9 continuation entrants: the fused
+    Gopher profile runs ONE generate (explode) and no Window at all;
+    the mixture weights run no Window and exactly one corpus
+    aggregate feeding a broadcast total; the KMV audit's only
+    windows are the two-phase salted bottom-k (never a window over
+    the raw hash without the partition salt)."""
+    from chain_sync_spark.registry import pending_queries
+
+    q, _ = pending_queries()
+    sf = "/root/testdata/sf0.001"
+
+    gopher = _plan(q["gopher_dup_ngram_profile"](spark, sf))
+    assert gopher.count("Generate") == 1          # fused single explode
+    assert "Window" not in gopher                 # no window anywhere
+
+    mix = _plan(q["mixture_temperature_weights"](spark, sf))
+    assert "Window" not in mix
+    assert "BroadcastExchange" in mix             # 1-row totals broadcast
+
+    kmv = _plan(q["kmv_distinct_shingles"](spark, sf))
+    # both windows carry the salt or the post-salt survivor bound:
+    # partitionBy lists must mention source; the phase-1 window also
+    # carries the partition id (the anti-hot-source salt)
+    assert kmv.count("Window") >= 1
+    assert "pid" in kmv                           # salted phase present
