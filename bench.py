@@ -109,6 +109,8 @@ EXTENDED_SET = [
     "ann_two_stage_rerank",        # staged r10 (quantize+refine serving)
     "mixture_temperature_weights", # staged r10 (alpha-sampling weights)
     "quality_composite_filter",    # staged r10 (composed rule stack)
+    "ngram_novelty_score",         # staged r10 (inter-doc novelty)
+    "length_percentile_by_lang",   # staged r10 (windowless pct_rank)
     # dedup_funnel_report is NOT benched: its wall-clock is the sum
     # of its component pipelines (each benched above) plus tiny id
     # joins — see its docstring (the exact-profile precedent)

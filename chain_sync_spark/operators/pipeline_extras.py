@@ -696,6 +696,160 @@ FROM counts
 
 
 # ---------------------------------------------------------------------------
+# 3e. Inter-document n-gram novelty
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 8  # shingle width — the span family's SD_N grain
+
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document novelty: the fraction of a document's distinct
+    {NOVELTY_N}-gram shingles that appear in NO other document — the
+    memorization/duplication-risk metric train-set analyses report
+    (a doc of df=1 shingles is unique prose; a doc of high-df
+    shingles is assembled from corpus boilerplate).  Distinct from
+    the intra-doc repetition screens (gopher/top-token), the
+    eval-set contamination screen, and the span family (which marks
+    and cuts exact spans): this is the per-document corpus-grain
+    SUMMARY of shared n-gram mass.  Output (doc_id, n_shingles,
+    n_novel, novelty_micros) over docs with >= 1 shingle, integer
+    micros.
+
+    Scale: per-doc distinct shingles (map pass) → document frequency
+    via skew.attach_group_count — a map-side-combinable groupBy on
+    the shingle hash joined back, the round-10 hardening primitive,
+    so a boilerplate shingle costs one row per task in the count
+    shuffle and the join-back is AQE skew-splittable; never a window
+    over the raw hash.  Per-doc aggregate map-side combines."""
+    from chain_sync_spark.operators.corpus_ops import _docs_words
+    from chain_sync_spark.operators.skew import attach_group_count
+
+    d = _docs_words(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(sk.word_shingles(F.col("w"), NOVELTY_N)).alias("g"),
+    ).select("doc_id", sk.hash60(F.concat(F.lit("nv:"), F.col("g"))).alias("h"))
+    per_doc = (
+        attach_group_count(sh, ["h"], "df")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        sk.ratio_micros("n_novel", "n_shingles").alias("novelty_micros"),
+    )
+
+
+def _novelty_oracle() -> str:
+    from chain_sync_spark.operators.corpus_ops import _NORM_CTE
+
+    return f"""
+WITH {_NORM_CTE},
+sh AS (
+  SELECT doc_id, {sk.hash60_sql("'nv:' || g")} AS h
+  FROM (
+    SELECT doc_id, unnest({sk.word_shingles_sql('w', NOVELTY_N)}) AS g
+    FROM docs_words
+  )
+),
+df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+per_doc AS (
+  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM sh JOIN df USING (h)
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       {sk.ratio_micros_sql('n_novel', 'n_shingles')} AS novelty_micros
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3f. Windowless exact percentile rank (CDF join)
+# ---------------------------------------------------------------------------
+
+def length_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENT_RANK of each document's token length within its
+    language — WITHOUT a corpus-wide window: per-(lang, length)
+    counts (bounded by distinct lengths), a running-sum CDF over
+    that small relation, and a join back on (lang, length).
+    percent_rank = (#strictly shorter) / (n_lang - 1), identical to
+    SQL PERCENT_RANK with RANK-tie semantics, emitted as integer
+    micros (den floored at 1 for single-doc languages).  Output
+    (doc_id, lang, n_tokens, pct_rank_micros).
+
+    Scale: `PERCENT_RANK() OVER (PARTITION BY lang ORDER BY len)` is
+    the textbook form and the textbook trap — 5 languages = 5
+    unsplittable window tasks sorting the whole corpus.  The CDF
+    form's only window runs over the DISTINCT-LENGTH relation
+    (thousands of rows at any corpus size); the corpus-sized side
+    sees one map-side-combinable count and one AQE-broadcastable
+    join.  This is the windowless-rank pattern scaled analytics
+    engines (e.g. BigQuery/Presto approx variants) make you hand
+
+    build; here it is exact."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(sk.words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    per_len = d.groupBy("lang", "n_tokens").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cdf = (
+        Window.partitionBy("lang")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = per_len.select(
+        "lang",
+        "n_tokens",
+        (F.sum("cnt").over(w_cdf) - F.col("cnt")).alias("n_smaller"),
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        d.join(cdf, ["lang", "n_tokens"])
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            sk.ratio_micros("n_smaller", "GREATEST(n_lang - 1, 1)").alias(
+                "pct_rank_micros"
+            ),
+        )
+    )
+
+
+_PCT_RANK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len({sk.WORDS_SQL.format(c='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_len AS (
+  SELECT lang, n_tokens, COUNT(*) AS cnt FROM d GROUP BY 1, 2
+),
+cdf AS (
+  SELECT lang, n_tokens,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+                        ROWS UNBOUNDED PRECEDING) - cnt AS n_smaller
+  FROM per_len
+),
+tot AS (SELECT lang, COUNT(*) AS n_lang FROM d GROUP BY 1)
+SELECT d.doc_id, d.lang, d.n_tokens,
+       {sk.ratio_micros_sql('n_smaller', 'GREATEST(n_lang - 1, 1)')}
+         AS pct_rank_micros
+FROM d JOIN cdf USING (lang, n_tokens) JOIN tot USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. Benchmark-contamination screen
 # ---------------------------------------------------------------------------
 
@@ -1809,6 +1963,8 @@ PENDING_QUERIES = {
     "mixture_temperature_weights": mixture_temperature_weights,
     "quality_composite_filter": quality_composite_filter,
     "dedup_funnel_report": dedup_funnel_report,
+    "ngram_novelty_score": ngram_novelty_score,
+    "length_percentile_by_lang": length_percentile_by_lang,
 }
 
 PENDING_ORACLE = {
@@ -1818,6 +1974,8 @@ PENDING_ORACLE = {
     "mixture_temperature_weights": _TEMP_MIX_ORACLE,
     "quality_composite_filter": _composite_oracle(),
     "dedup_funnel_report": _funnel_oracle(),
+    "ngram_novelty_score": _novelty_oracle(),
+    "length_percentile_by_lang": _PCT_RANK_ORACLE,
 }
 
 

@@ -243,6 +243,10 @@ STAGED_PRIORITY = [
     "quality_composite_filter",
     # late-round-9 staged: sequential dedup+quality funnel counts
     "dedup_funnel_report",
+    # late-round-9 staged: inter-document n-gram novelty summary
+    "ngram_novelty_score",
+    # late-round-9 staged: windowless exact percent_rank (CDF join)
+    "length_percentile_by_lang",
 ]
 
 

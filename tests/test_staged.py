@@ -1241,3 +1241,98 @@ def test_funnel_counts_match_components_and_monotone(spark):
     # this corpus has no byte-identical pairs (stage 2 drops 0 by
     # data, not by bug); the near-dup and quality stages must bite
     assert got[2][3] > 0 and got[3][3] > 0
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty_score + length_percentile_by_lang (staged late round 9)
+# ---------------------------------------------------------------------------
+
+def test_novelty_matches_python_replica_and_discriminates(spark):
+    """From-scratch replica (normalize/split, distinct 8-shingles,
+    df over the corpus, df==1 novelty fraction in micros), plus: the
+    metric must discriminate on real data and a doc whose shingles
+    all have df >= 2 must score 0."""
+    import re
+
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def shingles(t):
+        t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+        w = [x for x in t.split(" ") if x]
+        n = px.NOVELTY_N
+        return {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+
+    sh = {i: shingles(t) for i, t in texts.items()}
+    df = {}
+    for gs in sh.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    want = {}
+    for i, gs in sh.items():
+        if not gs:
+            continue
+        novel = sum(1 for g in gs if df[g] == 1)
+        want[i] = (
+            len(gs),
+            novel,
+            (novel * 2_000_000 + len(gs)) // (2 * len(gs)),
+        )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty_micros)
+        for r in px.ngram_novelty_score(spark, SF).collect()
+    }
+    assert got == want
+    vals = {v[2] for v in got.values()}
+    assert len(vals) > 2  # discriminates
+    assert min(vals) == 0 or max(vals) == 1_000_000
+
+
+def test_length_percentile_matches_sql_percent_rank(spark):
+    """The CDF-join form must equal PERCENT_RANK's RANK-tie
+    semantics computed independently in python, including ties and
+    the single-doc-language guard."""
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+    rows = list(
+        zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist(), tbl["text"].to_pylist())
+    )
+    by_lang = {}
+    for i, lang, t in rows:
+        n = len([x for x in t.split(" ") if x])
+        by_lang.setdefault(lang, []).append((i, n))
+    want = {}
+    for lang, ds in by_lang.items():
+        nl = len(ds)
+        for i, n in ds:
+            smaller = sum(1 for _, m in ds if m < n)
+            den = max(nl - 1, 1)
+            want[i] = (lang, n, (smaller * 2_000_000 + den) // (2 * den))
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.pct_rank_micros)
+        for r in px.length_percentile_by_lang(spark, SF).collect()
+    }
+    assert got == want
+    # endpoints: every language has a 0; the max is < 1e6 only on ties
+    for lang, ds in by_lang.items():
+        ranks = [got[i][2] for i, _ in ds]
+        assert min(ranks) == 0
+
+
+def test_length_percentile_single_doc_lang(spark, tmp_path):
+    """One-document language: denominator floors at 1, rank 0."""
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    rows = [(1, "solo doc here", "xx", "s", 13), (2, "a b", "en", "s", 3),
+            (3, "a b c d", "en", "s", 7)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.lang, r.pct_rank_micros)
+        for r in px.length_percentile_by_lang(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: ("xx", 0), 2: ("en", 0), 3: ("en", 1_000_000)}
