@@ -64,6 +64,20 @@ hot-key data with a no-Window plan assertion
 (tests/test_scale_patterns.py), so the round-10 change is a
 call-site swap plus the oracle re-sweep.
 
+Round-10 recomposition recipe (run after the r9 artifact lands):
+``tools/next_window.py --check`` prints the window — expect 46 of
+the 50 r7-latest names (oldest cohort; 4 alphabetical-tail names
+slip to r11) + the first 4 of STAGED_PRIORITY
+(source_overlap_matrix, quality_by_source, lm_probe_newdocs,
+winnow_probe_newdocs).  Perform the hardening swap for
+neardup_prefix_filter_pairs (r7-latest — it windows at r10) via
+skew.attach_group_count on its token-df window, value-identity
+re-verified; the other three queue sites (dedup_segment_rewrite,
+dedup_incremental_batch, tfidf_top_terms — all r8-latest) swap at
+round 11 when their cohort rotates.  Pre-flight the exact WINDOW
+with tools/oracle_check.py at sf0.01, both transports, before the
+round submits.
+
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level
 ``PENDING_QUERIES``/``PENDING_ORACLE`` dicts — fully implemented,
