@@ -253,3 +253,43 @@ def test_new_entrant_plan_shapes(spark):
     # carries the partition id (the anti-hot-source salt)
     assert kmv.count("Window") >= 1
     assert "pid" in kmv                           # salted phase present
+
+
+def test_prefix_filter_df_swap_is_value_identical(spark):
+    """Pre-verification of the round-10 hardening swap for
+    neardup_prefix_filter_pairs: its token-df count-over-window
+    replaced by attach_group_count yields an IDENTICAL prefix
+    relation (doc_id, n, tok, rn) on the real corpus — everything
+    downstream (length filter, positional filter, verify) is a pure
+    function of this relation, so the swap is value-identical by
+    construction once this holds."""
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.operators.skew import attach_group_count
+
+    sf = "/root/testdata/sf0.001"
+    t = lp.PREFIX_MIN_JACCARD
+    shingled = lp._docs_shingled(spark, sf)
+    tok = shingled.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix_bound = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+
+    wdf = Window.partitionBy("tok")
+    pref_window = (
+        tok.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= prefix_bound)
+        .select("doc_id", "n", "tok", "rn")
+    )
+    pref_agg = (
+        attach_group_count(tok, ["tok"], "df")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= prefix_bound)
+        .select("doc_id", "n", "tok", "rn")
+    )
+    a = {tuple(r) for r in pref_window.collect()}
+    b = {tuple(r) for r in pref_agg.collect()}
+    assert a == b and len(a) > 100
