@@ -293,3 +293,73 @@ def test_prefix_filter_df_swap_is_value_identical(spark):
     a = {tuple(r) for r in pref_window.collect()}
     b = {tuple(r) for r in pref_agg.collect()}
     assert a == b and len(a) > 100
+
+
+def test_incremental_batch_keepfirst_swap_is_value_identical(spark):
+    """Round-11 queue pre-verification (dedup_incremental_batch):
+    the content_md5 keep-first window replaced by keep_first_by_key
+    yields identical survivors on the real corpus relation."""
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators import corpus_ops as co
+    from chain_sync_spark.operators.skew import keep_first_by_key
+    from chain_sync_spark.tables import table as tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents")
+    is_new = F.col("doc_id") % co.BATCH_MOD == 0
+    fresh = docs.filter(is_new)
+    recrawl = docs.filter(F.col("doc_id") % co.RECRAWL_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + co.RECRAWL_ID_OFFSET
+    )
+    batch = fresh.unionByName(recrawl).withColumn("content_md5", F.md5("text"))
+    old = docs.filter(~is_new).select(F.md5("text").alias("content_md5")).distinct()
+    candidates = batch.join(old, "content_md5", "left_anti")
+
+    w = Window.partitionBy("content_md5").orderBy(F.asc("doc_id"))
+    a = {
+        (r.content_md5, r.doc_id)
+        for r in candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("content_md5", "doc_id")
+        .collect()
+    }
+    b = {
+        (r.content_md5, r.doc_id)
+        for r in keep_first_by_key(
+            candidates.select("content_md5", "doc_id"), ["content_md5"], ["doc_id"]
+        ).collect()
+    }
+    assert a == b and len(a) > 10
+
+
+def test_tfidf_df_swap_value_identity_and_cost_note(spark):
+    """Round-11 queue pre-verification (tfidf_top_terms): term-df by
+    window vs attach_group_count are value-identical on the real tf
+    relation.  NOTE for the r11 decision: the current window form
+    was itself chosen over the join-back for one fewer shuffle (the
+    docstring records it); the swap trades that shuffle back for
+    AQE-splittable term groups — at local SF the cost is noise, at
+    100 TB the stopword window group is the hazard."""
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators import corpus_ops as co
+    from chain_sync_spark.operators.skew import attach_group_count
+
+    sf = "/root/testdata/sf0.001"
+    tok = co._docs_words(spark, sf).select(
+        "doc_id", F.explode("w").alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    wterm = Window.partitionBy("term")
+    cols = ["doc_id", "term", "tf", "df"]
+    a = {
+        tuple(r)
+        for r in tf.withColumn("df", F.count(F.lit(1)).over(wterm))
+        .select(*cols).collect()
+    }
+    b = {
+        tuple(r)
+        for r in attach_group_count(tf, ["term"], "df").select(*cols).collect()
+    }
+    assert a == b and len(a) > 100
