@@ -363,3 +363,48 @@ def test_tfidf_df_swap_value_identity_and_cost_note(spark):
         for r in attach_group_count(tf, ["term"], "df").select(*cols).collect()
     }
     assert a == b and len(a) > 100
+
+
+def test_segment_rewrite_keepfirst_swap_is_value_identical(spark):
+    """Round-11 queue pre-verification (dedup_segment_rewrite): the
+    seg_md5 first-occurrence window replaced by keep_first_by_key
+    yields identical kept segments on the real corpus (also A/B
+    timed in BENCH.md: the aggregate form is ~12% faster locally
+    before the hot-key payoff can even show)."""
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators import corpus_ops as co
+    from chain_sync_spark.operators.skew import keep_first_by_key
+
+    sf = "/root/testdata/sf0.001"
+    d = co._docs_words(spark, sf)
+    seg_tail = F.expr(
+        f"transform(array(w), ww -> struct("
+        f" if(size(ww) >= {co.SEG_WORDS},"
+        f"    transform(sequence(1, size(ww) div {co.SEG_WORDS}),"
+        f"      i -> array_join(slice(ww, (i - 1) * {co.SEG_WORDS} + 1,"
+        f"                            {co.SEG_WORDS}), ' ')),"
+        f"    array()) AS segs,"
+        f" array_join(slice(ww, (size(ww) div {co.SEG_WORDS}) * {co.SEG_WORDS}"
+        f"                  + 1, size(ww)), ' ') AS tail))[0]"
+    )
+    segrows = (
+        d.select("doc_id", seg_tail.alias("st"))
+        .select("doc_id", F.posexplode("st.segs").alias("idx", "seg"))
+        .withColumn("seg_md5", F.md5("seg"))
+    )
+    w = Window.partitionBy("seg_md5").orderBy("doc_id", "idx")
+    a = {
+        (r.seg_md5, r.doc_id, r.idx, r.seg)
+        for r in segrows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    }
+    b = {
+        (r.seg_md5, r.doc_id, r.idx, r.seg)
+        for r in keep_first_by_key(
+            segrows, ["seg_md5"], ["doc_id", "idx"]
+        ).collect()
+    }
+    assert a == b and len(a) > 100
