@@ -1343,6 +1343,7 @@ def test_resample_audio_decimates_and_passes_through(spark):
         (1, "audio", bytearray(wav), {"width": 32, "height": 8000, "format": "wav"}),
         (2, "audio", bytearray(b"not a wav"), {"width": 0, "height": 0, "format": "raw"}),
         (3, "image", bytearray(b"P6 junk"), {"width": 0, "height": 0, "format": "ppm"}),
+        (4, "audio", None, {"width": 0, "height": 0, "format": "raw"}),
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = {r.media_id: r for r in mm.resample_audio(media, 4).collect()}
@@ -1357,6 +1358,7 @@ def test_resample_audio_decimates_and_passes_through(spark):
 
     assert bytes(out[2].payload) == b"not a wav"[::4]  # stand-in stride
     assert bytes(out[3].payload) == b"P6 junk"         # untouched
+    assert bytes(out[4].payload) == b"" and out[4].meta.width == 0  # null-safe
     assert out[3].meta.format == "ppm"
 
     with _pytest.raises(ValueError):
