@@ -2384,6 +2384,86 @@ FROM agg
 """
 
 
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): within
+    each LANGUAGE, split documents into head / middle / tail thirds
+    by language-model fluency — CCNet orders by Kneser-Ney perplexity
+    and cuts at the 1/3 and 2/3 marks; here the fluency signal is the
+    engine-exact lm_known_bigram_score (higher known_micros = more
+    fluent, so HEAD = the most-known third).  The cut is the
+    value-grain rule a windowless plan can express: with n_ge = docs
+    in the language scoring >= s (inclusive, descending CDF), a doc
+    is head iff 3·n_ge <= n_lang, middle iff 3·n_ge <= 2·n_lang,
+    else tail — a whole tie group lands in one bucket (CCNet's
+    per-doc cut inside a tie group is order-arbitrary; this rule is
+    the deterministic refinement).  Output (doc_id, lang,
+    known_micros, cume_micros, bucket) over docs with >= 1 bigram;
+    bucket derives from the exact integers, never the rounded cume.
+
+    Scale: the textbook form — NTILE(3) OVER (PARTITION BY lang
+    ORDER BY score) — sorts the whole corpus in one unsplittable
+    task per language.  Here the only window runs over the DISTINCT
+    (lang, known_micros) relation, which is bounded by the micros
+    range (<= 1e6 + 1 values per language at ANY corpus size — a
+    tighter bound than length_percentile's distinct-lengths); the
+    corpus-sized side sees one map-side-combinable count and one
+    AQE-broadcastable join back on (lang, known_micros)."""
+    scored = lm_known_bigram_score(spark, sf_dir).select("doc_id", "known_micros")
+    lang = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = scored.join(lang, "doc_id")
+    per_score = d.groupBy("lang", "known_micros").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cdf = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("known_micros"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = per_score.select(
+        "lang", "known_micros", F.sum("cnt").over(w_cdf).alias("n_ge")
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        d.join(cdf, ["lang", "known_micros"])
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "known_micros",
+            sk.ratio_micros("n_ge", "n_lang").alias("cume_micros"),
+            F.when(F.col("n_ge") * 3 <= F.col("n_lang"), F.lit("head"))
+            .when(F.col("n_ge") * 3 <= F.col("n_lang") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+_CCNET_BUCKETS_ORACLE = f"""
+WITH scored AS (SELECT doc_id, known_micros FROM ({_LM_SCORE_ORACLE}) s),
+d AS (
+  SELECT scored.doc_id, dd.lang, scored.known_micros
+  FROM scored JOIN documents dd ON scored.doc_id = dd.doc_id
+),
+per_score AS (
+  SELECT lang, known_micros, COUNT(*) AS cnt FROM d GROUP BY 1, 2
+),
+cdf AS (
+  SELECT lang, known_micros,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY known_micros DESC
+                        ROWS UNBOUNDED PRECEDING) AS n_ge
+  FROM per_score
+),
+tot AS (SELECT lang, COUNT(*) AS n_lang FROM d GROUP BY 1)
+SELECT d.doc_id, d.lang, d.known_micros,
+       {sk.ratio_micros_sql('n_ge', 'n_lang')} AS cume_micros,
+       CASE WHEN n_ge * 3 <= n_lang THEN 'head'
+            WHEN n_ge * 3 <= n_lang * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d JOIN cdf USING (lang, known_micros) JOIN tot USING (lang)
+"""
+
+
 # quality_by_source registers at round 10 (registry.py ledger);
 # lm_probe_newdocs staged round 9 (streamed-LM serving certifier,
 # VERDICT r8 item 4)
@@ -2392,6 +2472,7 @@ PENDING_QUERIES = {
     "lm_probe_newdocs": lm_probe_newdocs,
     "lm_stupid_backoff_newdocs": lm_stupid_backoff_newdocs,
     "kmv_distinct_shingles": kmv_distinct_shingles,
+    "ccnet_quality_buckets": ccnet_quality_buckets,
 }
 
 PENDING_ORACLE = {
@@ -2399,6 +2480,7 @@ PENDING_ORACLE = {
     "lm_probe_newdocs": _LM_PROBE_ORACLE,
     "lm_stupid_backoff_newdocs": _SB_ORACLE,
     "kmv_distinct_shingles": _KMV_ORACLE,
+    "ccnet_quality_buckets": _CCNET_BUCKETS_ORACLE,
 }
 
 # staged r8 → registered + windowed round 9: sketch/membership

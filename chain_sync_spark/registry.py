@@ -261,6 +261,10 @@ STAGED_PRIORITY = [
     "ngram_novelty_score",
     # late-round-9 staged: windowless exact percent_rank (CDF join)
     "length_percentile_by_lang",
+    # round-9 wave 4: CCNet head/middle/tail fluency buckets per
+    # language (Wenzek et al. 2020) via the windowless CDF join over
+    # the micros-bounded distinct-score relation
+    "ccnet_quality_buckets",
 ]
 
 

@@ -1336,3 +1336,102 @@ def test_length_percentile_single_doc_lang(spark, tmp_path):
         for r in px.length_percentile_by_lang(spark, str(tmp_path)).collect()
     }
     assert got == {1: ("xx", 0), 2: ("en", 0), 3: ("en", 1_000_000)}
+
+
+# ---------------------------------------------------------------------------
+# ccnet_quality_buckets (staged round-9 wave 4)
+# ---------------------------------------------------------------------------
+
+def _py_lm_scores(texts):
+    """From-scratch replica of lm_known_bigram_score's known_micros:
+    normalize/split, corpus bigram counts, known = cnt >= LM_MIN_COUNT,
+    round-half-up integer micros.  Docs with zero bigrams are absent."""
+    import re
+
+    from chain_sync_spark.operators import corpus_ops as co
+
+    words = {
+        i: [x for x in re.sub(r"[^a-z0-9 ]", " ", t.lower()).split(" ") if x]
+        for i, t in texts.items()
+    }
+    cnt = {}
+    for w in words.values():
+        for j in range(len(w) - 1):
+            cnt[(w[j], w[j + 1])] = cnt.get((w[j], w[j + 1]), 0) + 1
+    out = {}
+    for i, w in words.items():
+        pairs = [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+        if not pairs:
+            continue
+        known = sum(1 for p in pairs if cnt[p] >= co.LM_MIN_COUNT)
+        out[i] = (known * 2_000_000 + len(pairs)) // (2 * len(pairs))
+    return out
+
+
+def test_ccnet_buckets_match_python_replica(spark):
+    """From-scratch replica of the whole chain (LM score -> per-lang
+    descending inclusive CDF -> integer third cuts), plus: every
+    language must populate all three buckets on real data (the cut
+    discriminates) and bucket must always derive from the exact
+    integers, never the rounded cume."""
+    from chain_sync_spark.operators import corpus_ops as co
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+    langs = dict(zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist()))
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    scores = _py_lm_scores(texts)
+    by_lang = {}
+    for i, s in scores.items():
+        by_lang.setdefault(langs[i], []).append((i, s))
+    want = {}
+    for lang, ds in by_lang.items():
+        n = len(ds)
+        for i, s in ds:
+            n_ge = sum(1 for _, t in ds if t >= s)
+            cume = (n_ge * 2_000_000 + n) // (2 * n)
+            bucket = (
+                "head" if 3 * n_ge <= n
+                else "middle" if 3 * n_ge <= 2 * n
+                else "tail"
+            )
+            want[i] = (lang, s, cume, bucket)
+    got = {
+        r.doc_id: (r.lang, r.known_micros, r.cume_micros, r.bucket)
+        for r in co.ccnet_quality_buckets(spark, SF).collect()
+    }
+    assert got == want
+    for lang, ds in by_lang.items():
+        buckets = {got[i][3] for i, _ in ds}
+        assert buckets == {"head", "middle", "tail"}, lang
+
+
+def test_ccnet_buckets_tie_group_rule(spark, tmp_path):
+    """The documented value-grain tie rule: a whole tie group takes
+    the bucket of its inclusive boundary — an all-tied language is
+    entirely 'tail' (n_ge = n for every doc), and a 2-doc language
+    splits middle/tail (top doc: 3*1 <= 2*2; bottom: neither cut)."""
+    from chain_sync_spark.operators import corpus_ops as co
+
+    fluent = "a b " * 20  # (a,b) and (b,a) corpus counts clear LM_MIN_COUNT
+    noise = " ".join(f"u{k}" for k in range(40))  # every bigram df=1
+    rows = [
+        (1, fluent, "xx", "s", len(fluent)),
+        (2, fluent, "xx", "s", len(fluent)),
+        (3, fluent, "xx", "s", len(fluent)),
+        (4, fluent, "en", "s", len(fluent)),
+        (5, noise, "en", "s", len(noise)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.known_micros, r.bucket)
+        for r in co.ccnet_quality_buckets(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (1_000_000, "tail"),
+        2: (1_000_000, "tail"),
+        3: (1_000_000, "tail"),
+        4: (1_000_000, "middle"),
+        5: (0, "tail"),
+    }
