@@ -2464,6 +2464,106 @@ FROM d JOIN cdf USING (lang, known_micros) JOIN tot USING (lang)
 """
 
 
+CLS_TRAIN_MOD = 2        # doc_id % MOD == 0 is the labeled training half
+CLS_PRIOR_MICROS = 500_000   # weight for terms unseen in training
+CLS_KEEP_MICROS = 500_000    # keep at margin >= this
+
+
+def quality_classifier_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled linear quality classifier — the fastText-shaped
+    filter (Joulin et al. 2017) production curation serves when the
+    teacher rule is too expensive to run on everything (the
+    GPT-3/DCLM recipe: label a slice with the expensive signal,
+    train a cheap linear model, serve it corpus-wide).  TRAIN: docs
+    with doc_id % {CLS_TRAIN_MOD} == 0 take the LM gate's keep
+    verdict (lm_known_bigram_score, the registered teacher) as the
+    label; each distinct normalized term's weight is the integer-
+    micros fraction of labeled docs containing it that the teacher
+    kept — the log-free Naive-Bayes-ish odds (production logistic
+    weights need float training; the engine-exact contract keeps
+    integer class odds, which preserves the margin ORDER the filter
+    thresholds on).  SERVE: every document scores the round-half-up
+    mean weight of its distinct terms, unseen terms at the
+    {CLS_PRIOR_MICROS}-micros prior; keep at margin >=
+    {CLS_KEEP_MICROS}.  Output (doc_id, n_terms, n_seen,
+    margin_micros, keep) over docs with >= 1 term, integers only.
+
+    Scale: the teacher runs on the labeled HALF only (at production
+    scale: a fixed sample, not a corpus pass); the weight table is
+    vocabulary-bounded and map-side-combined; serving is one
+    distinct-(doc, term) map pass, one AQE-broadcastable join on
+    term against the weight table, one map-side-combinable per-doc
+    aggregate.  No corpus-wide key, no window, no float."""
+    d = _docs_words(spark, sf_dir)
+    doc_terms = d.select("doc_id", F.explode("w").alias("t")).distinct()
+    is_train = F.col("doc_id") % CLS_TRAIN_MOD == 0
+    labels = (
+        lm_known_bigram_score(spark, sf_dir)
+        .filter(is_train)
+        .select("doc_id", F.col("keep").cast("long").alias("y"))
+    )
+    weights = (
+        doc_terms.join(labels, "doc_id")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("df_all"),
+            F.sum("y").alias("df_keep"),
+        )
+        .select("t", sk.ratio_micros("df_keep", "df_all").alias("w"))
+    )
+    scored = (
+        doc_terms.join(F.broadcast(weights), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.count("w").alias("n_seen"),
+            F.sum(F.coalesce("w", F.lit(CLS_PRIOR_MICROS))).alias("sum_w"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_terms",
+        "n_seen",
+        F.expr("(sum_w * 2 + n_terms) div (n_terms * 2)").alias("margin_micros"),
+        (
+            F.expr("(sum_w * 2 + n_terms) div (n_terms * 2)")
+            >= CLS_KEEP_MICROS
+        ).alias("keep"),
+    )
+
+
+_CLS_MARGIN_ORACLE = f"""
+WITH {_NORM_CTE},
+doc_terms AS (
+  SELECT DISTINCT doc_id, unnest(w) AS t FROM docs_words
+),
+labels AS (
+  SELECT doc_id, CAST(keep AS BIGINT) AS y FROM ({_LM_SCORE_ORACLE}) s
+  WHERE doc_id % {CLS_TRAIN_MOD} = 0
+),
+weights AS (
+  SELECT t, {sk.ratio_micros_sql('CAST(SUM(y) AS BIGINT)',
+                                 'CAST(COUNT(*) AS BIGINT)')} AS w
+  FROM doc_terms JOIN labels USING (doc_id)
+  GROUP BY t
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(COUNT(w) AS BIGINT) AS n_seen,
+         CAST(SUM(COALESCE(w, {CLS_PRIOR_MICROS})) AS BIGINT) AS sum_w
+  FROM doc_terms LEFT JOIN weights USING (t)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_terms, n_seen,
+       CAST((sum_w * 2 + n_terms) // (n_terms * 2) AS BIGINT)
+         AS margin_micros,
+       CAST((sum_w * 2 + n_terms) // (n_terms * 2) AS BIGINT)
+         >= {CLS_KEEP_MICROS} AS keep
+FROM scored
+"""
+
+
 # quality_by_source registers at round 10 (registry.py ledger);
 # lm_probe_newdocs staged round 9 (streamed-LM serving certifier,
 # VERDICT r8 item 4)
@@ -2473,6 +2573,7 @@ PENDING_QUERIES = {
     "lm_stupid_backoff_newdocs": lm_stupid_backoff_newdocs,
     "kmv_distinct_shingles": kmv_distinct_shingles,
     "ccnet_quality_buckets": ccnet_quality_buckets,
+    "quality_classifier_margin": quality_classifier_margin,
 }
 
 PENDING_ORACLE = {
@@ -2481,6 +2582,7 @@ PENDING_ORACLE = {
     "lm_stupid_backoff_newdocs": _SB_ORACLE,
     "kmv_distinct_shingles": _KMV_ORACLE,
     "ccnet_quality_buckets": _CCNET_BUCKETS_ORACLE,
+    "quality_classifier_margin": _CLS_MARGIN_ORACLE,
 }
 
 # staged r8 → registered + windowed round 9: sketch/membership

@@ -265,6 +265,9 @@ STAGED_PRIORITY = [
     # language (Wenzek et al. 2020) via the windowless CDF join over
     # the micros-bounded distinct-score relation
     "ccnet_quality_buckets",
+    # round-9 wave 4: distilled linear quality classifier margin
+    # (fastText/DCLM serving shape, integer class-odds weights)
+    "quality_classifier_margin",
 ]
 
 

@@ -1435,3 +1435,96 @@ def test_ccnet_buckets_tie_group_rule(spark, tmp_path):
         4: (1_000_000, "middle"),
         5: (0, "tail"),
     }
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_margin (staged round-9 wave 4)
+# ---------------------------------------------------------------------------
+
+def _py_classifier_margin(texts):
+    """From-scratch replica: distinct normalized terms per doc,
+    teacher labels on the even half via _py_lm_scores, integer-odds
+    term weights, prior for unseen, round-half-up mean micros."""
+    import re
+
+    from chain_sync_spark.operators import corpus_ops as co
+
+    terms = {
+        i: {x for x in re.sub(r"[^a-z0-9 ]", " ", t.lower()).split(" ") if x}
+        for i, t in texts.items()
+    }
+    scores = _py_lm_scores(texts)
+    labels = {
+        i: 1 if s >= co.LM_KEEP_MICROS else 0
+        for i, s in scores.items()
+        if i % co.CLS_TRAIN_MOD == 0
+    }
+    df_all, df_keep = {}, {}
+    for i, y in labels.items():
+        for t in terms[i]:
+            df_all[t] = df_all.get(t, 0) + 1
+            df_keep[t] = df_keep.get(t, 0) + y
+    w = {
+        t: (df_keep[t] * 2_000_000 + df_all[t]) // (2 * df_all[t])
+        for t in df_all
+    }
+    out = {}
+    for i, ts in terms.items():
+        if not ts:
+            continue
+        sw = sum(w.get(t, co.CLS_PRIOR_MICROS) for t in ts)
+        seen = sum(1 for t in ts if t in w)
+        n = len(ts)
+        margin = (sw * 2 + n) // (2 * n)
+        out[i] = (n, seen, margin, margin >= co.CLS_KEEP_MICROS)
+    return out
+
+
+def test_classifier_margin_matches_python_replica(spark):
+    """Replica equality at sf0.001, plus: the margin must
+    discriminate (multiple distinct values) and the distilled
+    classifier must agree with the teacher on the HELD-OUT half far
+    better than chance (the distillation actually transfers)."""
+    from chain_sync_spark.operators import corpus_ops as co
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    want = _py_classifier_margin(texts)
+    got = {
+        r.doc_id: (r.n_terms, r.n_seen, r.margin_micros, r.keep)
+        for r in co.quality_classifier_margin(spark, SF).collect()
+    }
+    assert got == want
+    assert len({v[2] for v in got.values()}) > 3
+    teacher = {
+        i: s >= co.LM_KEEP_MICROS for i, s in _py_lm_scores(texts).items()
+    }
+    held = [i for i in teacher if i % co.CLS_TRAIN_MOD != 0 and i in got]
+    agree = sum(1 for i in held if got[i][3] == teacher[i])
+    assert agree / len(held) > 0.7, (agree, len(held))
+
+
+def test_classifier_margin_unseen_term_prior(spark, tmp_path):
+    """A serving doc made entirely of terms absent from the training
+    half scores exactly the prior (the left-join branch is live),
+    and n_seen counts only trained terms."""
+    from chain_sync_spark.operators import corpus_ops as co
+
+    fluent = "a b " * 40  # (a,b)/(b,a) counts clear LM_MIN_COUNT alone
+    rows = [
+        (0, fluent, "en", "s", 10),        # train, teacher keeps
+        (2, "z9 z8 z7", "en", "s", 8),     # train, teacher drops
+        (1, "q1 q2 q3 q4", "en", "s", 11), # serve: all terms unseen
+        (3, "a b q1", "en", "s", 5),       # serve: 2 seen, 1 unseen
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_terms, r.n_seen, r.margin_micros)
+        for r in co.quality_classifier_margin(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (4, 0, co.CLS_PRIOR_MICROS)
+    # doc 3: a,b trained with weight 1e6 (kept doc 0 contains them),
+    # q1 unseen at prior -> mean of (1e6, 1e6, 5e5)
+    assert got[3] == (3, 2, (2_500_000 * 2 + 3) // 6)
