@@ -113,6 +113,7 @@ EXTENDED_SET = [
     "length_percentile_by_lang",   # staged r10 (windowless pct_rank)
     "ccnet_quality_buckets",       # staged r10 (CCNet fluency terciles)
     "quality_classifier_margin",   # staged r10 (distilled linear filter)
+    "neardup_containment_pairs",   # staged r10 (Broder containment)
     # dedup_funnel_report is NOT benched: its wall-clock is the sum
     # of its component pipelines (each benched above) plus tiny id
     # joins — see its docstring (the exact-profile precedent)

@@ -3141,6 +3141,145 @@ FROM agg
 """
 
 
+CONTAIN_MICROS = 800_000   # containment >= this flags a direction
+
+
+def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup — Broder (1997) distinguishes
+    resemblance (Jaccard, what the minhash/simhash/prefix-filter
+    family verifies) from containment c(A,B) = |A∩B| / |A|: a
+    license block or nav template pasted into a long page has LOW
+    Jaccard (the union is big) but containment ≈ 1 in one direction
+    — the subset-duplication case a resemblance-only pipeline
+    misses.  Candidates ride the SAME banded MinHash self-join as
+    neardup_minhash_bands (band collision is containment-sensitive
+    too: a contained doc shares its minima with the container);
+    verification computes EXACT shingle-set containment in BOTH
+    directions as integer micros plus the relation class:
+    'mutual' (both >= {CONTAIN_MICROS}µ), 'a_in_b' / 'b_in_a'
+    (one direction), 'partial'.  Output (doc_a, doc_b, n_common,
+    cont_a_micros, cont_b_micros, relation).
+
+    Scale: identical shape to neardup_minhash_bands — banded
+    self-join on uniform keys (candidates O(N · collisions), never
+    all-pairs), then the exact verify joins the shingle relation
+    only for candidate ids.  The directional micros are
+    ratio_micros over set sizes — pure integers."""
+    release_caches()  # previous query's scope ends here
+    shingled = _scoped_persist(_docs_shingled(spark, sf_dir))
+    sigs = shingled.select(
+        "doc_id", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = shingled.alias("sa"), shingled.alias("sb")
+    verified = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+            .cast("long")
+            .alias("n_common"),
+            F.size(F.col("sa.sh")).cast("long").alias("na"),
+            F.size(F.col("sb.sh")).cast("long").alias("nb"),
+        )
+    )
+    ca = sk.ratio_micros("n_common", "na")
+    cb = sk.ratio_micros("n_common", "nb")
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        ca.alias("cont_a_micros"),
+        cb.alias("cont_b_micros"),
+        F.when(
+            (ca >= CONTAIN_MICROS) & (cb >= CONTAIN_MICROS), F.lit("mutual")
+        )
+        .when(ca >= CONTAIN_MICROS, F.lit("a_in_b"))
+        .when(cb >= CONTAIN_MICROS, F.lit("b_in_a"))
+        .otherwise(F.lit("partial"))
+        .alias("relation"),
+    )
+
+
+def _containment_oracle() -> str:
+    coeffs = sk.minhash_coeffs(N_MINHASH)
+    sig_exprs = ",\n         ".join(
+        f"{sk.minhash_sig_sql('sh', a, b)} AS sig_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, md5("
+        + " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + ") AS bkey FROM sigs"
+        for b in range(N_BANDS)
+    )
+    ca = sk.ratio_micros_sql("n_common", "na")
+    cb = sk.ratio_micros_sql("n_common", "nb")
+    return f"""
+WITH {_SHINGLE_CTE.lstrip()},
+sigs AS (
+  SELECT doc_id, sh,
+         {sig_exprs}
+  FROM sh
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+         CAST(len(sa.sh) AS BIGINT) AS na,
+         CAST(len(sb.sh) AS BIGINT) AS nb
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       {ca} AS cont_a_micros,
+       {cb} AS cont_b_micros,
+       CASE WHEN {ca} >= {CONTAIN_MICROS} AND {cb} >= {CONTAIN_MICROS}
+              THEN 'mutual'
+            WHEN {ca} >= {CONTAIN_MICROS} THEN 'a_in_b'
+            WHEN {cb} >= {CONTAIN_MICROS} THEN 'b_in_a'
+            ELSE 'partial' END AS relation
+FROM verified
+"""
+
+
 # Staged entrants (registry.pending_queries): full implementation +
 # DuckDB oracle + dual-transport parity pytest now, a WINDOW slot at
 # a later recomposition.
@@ -3148,12 +3287,14 @@ PENDING_QUERIES: dict = {
     "minhash_estimate_error_audit": minhash_estimate_error_audit,
     "sample_exact_k_per_lang": sample_exact_k_per_lang,
     "ann_two_stage_rerank": ann_two_stage_rerank,
+    "neardup_containment_pairs": neardup_containment_pairs,
 }
 
 PENDING_ORACLE: dict = {
     "minhash_estimate_error_audit": _minhash_err_oracle(),
     "sample_exact_k_per_lang": _SAMPLE_K_ORACLE,
     "ann_two_stage_rerank": _RERANK_ORACLE,
+    "neardup_containment_pairs": _containment_oracle(),
 }
 
 # staged r8 → registered + windowed round 9: the serialized centroid

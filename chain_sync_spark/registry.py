@@ -268,6 +268,9 @@ STAGED_PRIORITY = [
     # round-9 wave 4: distilled linear quality classifier margin
     # (fastText/DCLM serving shape, integer class-odds weights)
     "quality_classifier_margin",
+    # round-9 wave 4: Broder containment (asymmetric subset-dup)
+    # verification over the banded MinHash candidates
+    "neardup_containment_pairs",
 ]
 
 

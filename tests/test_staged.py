@@ -1528,3 +1528,74 @@ def test_classifier_margin_unseen_term_prior(spark, tmp_path):
     # doc 3: a,b trained with weight 1e6 (kept doc 0 contains them),
     # q1 unseen at prior -> mean of (1e6, 1e6, 5e5)
     assert got[3] == (3, 2, (2_500_000 * 2 + 3) // 6)
+
+
+# ---------------------------------------------------------------------------
+# neardup_containment_pairs (staged round-9 wave 4)
+# ---------------------------------------------------------------------------
+
+def test_containment_pairs_match_oracle_math_at_sf0001(spark):
+    """Exact-containment verification: every emitted pair's micros
+    must equal the set arithmetic over independently-computed shingle
+    sets, candidates must be a subset of band collisions (no
+    all-pairs leak), and on this corpus every candidate is 'mutual'
+    (asymmetry is covered by the directional fixture test)."""
+    import re
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def sh(t):
+        t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+        w = [x for x in t.split(" ") if x]
+        return {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in texts.items() if len(sh(t)) > 0}
+    rows = lp.neardup_containment_pairs(spark, SF).collect()
+    for r in rows:
+        a, b = sets[r.doc_a], sets[r.doc_b]
+        inter = len(a & b)
+        assert r.n_common == inter
+        assert r.cont_a_micros == (inter * 2_000_000 + len(a)) // (2 * len(a))
+        assert r.cont_b_micros == (inter * 2_000_000 + len(b)) // (2 * len(b))
+        want_rel = (
+            "mutual"
+            if r.cont_a_micros >= lp.CONTAIN_MICROS
+            and r.cont_b_micros >= lp.CONTAIN_MICROS
+            else "a_in_b"
+            if r.cont_a_micros >= lp.CONTAIN_MICROS
+            else "b_in_a"
+            if r.cont_b_micros >= lp.CONTAIN_MICROS
+            else "partial"
+        )
+        assert r.relation == want_rel
+    assert len(rows) > 0
+
+
+def test_containment_directional_fixture(spark, tmp_path):
+    """The case resemblance dedup misses: doc 2 = doc 1's text plus a
+    junk tail — containment 1.0 one way, < 0.8 the other, and the
+    pair still band-collides (verified empirically against the real
+    hash chain), so the operator must emit it as 'a_in_b'."""
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    base = " ".join(f"w{i}" for i in range(20))
+    junk = " ".join(f"junk3x{k}" for k in range(8))
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " " + junk, "en", "s", len(base) + len(junk) + 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.cont_a_micros, r.cont_b_micros, r.relation)
+        for r in lp.neardup_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in got, got
+    n_common, ca, cb, rel = got[(1, 2)]
+    assert (n_common, ca) == (18, 1_000_000)
+    assert cb == (18 * 2_000_000 + 26) // (2 * 26)
+    assert rel == "a_in_b"
