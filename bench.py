@@ -114,6 +114,8 @@ EXTENDED_SET = [
     "ccnet_quality_buckets",       # staged r10 (CCNet fluency terciles)
     "quality_classifier_margin",   # staged r10 (distilled linear filter)
     "neardup_containment_pairs",   # staged r10 (Broder containment)
+    "pq_probe_newvecs",            # staged r10 (PQ serving certifier)
+    "embedding_prototypicality",   # staged r10 (pruning metric)
     # dedup_funnel_report is NOT benched: its wall-clock is the sum
     # of its component pipelines (each benched above) plus tiny id
     # joins — see its docstring (the exact-profile precedent)

@@ -3141,6 +3141,246 @@ FROM agg
 """
 
 
+PROTO_PRUNE_BELOW_MICROS = 950_000  # dist/mean below this = cluster core
+# (a DIAL, like ANN probe radius: isotropic high-dim data concentrates
+# the ratio near 1.0 with ~sqrt(2/dims) relative spread, so the core
+# cut sits just under 1 — real clustered corpora spread far wider)
+
+
+def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws"): each vector's squared-L2 distance
+    to its own LABEL centroid, the per-label mean distance, and the
+    ratio — the metric that ranks examples easy (cluster core,
+    redundant when data is abundant) to hard (cluster edge).
+    ``prune_easy`` flags vectors at ratio < {PROTO_PRUNE_BELOW_MICROS}µ
+    — the keep-hard-examples pruning rule at the abundant-data end of
+    the paper's regime.  Output (vec_id, label, dist_micros,
+    label_mean_micros, ratio_micros, prune_easy), integers only.
+
+    Exactness: the centroid rides embedding_label_centroids'
+    arithmetic verbatim (DECIMAL(28,10) sums → one rounded double per
+    cell — aggregation-order independent); per-(vector, dim) squared
+    deviations convert to 6-dp fixed point INDIVIDUALLY (one IEEE
+    multiply + floor each — deterministic cross-engine), so every
+    downstream SUM and mean is exact integer arithmetic with no float
+    summation order to pin.
+
+    Scale: centroid relation = labels × dims rows — broadcast; the
+    corpus side is one posexplode (no shuffle), the broadcast join,
+    and a map-side-combinable per-vector integer sum; the label mean
+    is a second labels-sized aggregate.  No window, no all-pairs; a
+    single-vector label guards the ratio denominator at 1."""
+    emb = table(spark, sf_dir, "embeddings")
+    cells = emb.select("vec_id", "label", F.posexplode("embedding").alias("dim", "x"))
+    cents = cells.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    dev = F.col("x").cast("double") - F.col("c")
+    per_vec = (
+        cells.join(F.broadcast(cents), ["label", "dim"])
+        .select(
+            "vec_id",
+            "label",
+            F.floor(dev * dev * PQ_DIST_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("dmicro"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("dmicro").alias("dist_micros"))
+    )
+    means = per_vec.groupBy("label").agg(
+        F.expr(
+            "(sum(dist_micros) * 2 + count(*)) div (count(*) * 2)"
+        ).alias("label_mean_micros")
+    )
+    ratio = sk.ratio_micros("dist_micros", "GREATEST(label_mean_micros, 1)")
+    return per_vec.join(F.broadcast(means), "label").select(
+        "vec_id",
+        "label",
+        "dist_micros",
+        "label_mean_micros",
+        ratio.alias("ratio_micros"),
+        (ratio < PROTO_PRUNE_BELOW_MICROS).alias("prune_easy"),
+    )
+
+
+def _prototypicality_oracle() -> str:
+    ratio = sk.ratio_micros_sql("dist_micros", "GREATEST(label_mean_micros, 1)")
+    return f"""
+WITH cells AS (
+  SELECT vec_id, label, t.i - 1 AS dim, embedding[t.i] AS x
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+),
+cents AS (
+  SELECT label, dim,
+         round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM cells GROUP BY 1, 2
+),
+per_vec AS (
+  SELECT vec_id, cells.label,
+         CAST(SUM(CAST(FLOOR((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+                             * {PQ_DIST_SCALE} + 0.5) AS BIGINT)) AS BIGINT)
+           AS dist_micros
+  FROM cells JOIN cents USING (label, dim)
+  GROUP BY 1, 2
+),
+means AS (
+  SELECT label,
+         CAST((SUM(dist_micros) * 2 + COUNT(*)) // (COUNT(*) * 2) AS BIGINT)
+           AS label_mean_micros
+  FROM per_vec GROUP BY 1
+)
+SELECT vec_id, per_vec.label, dist_micros, label_mean_micros,
+       {ratio} AS ratio_micros,
+       {ratio} < {PROTO_PRUNE_BELOW_MICROS} AS prune_easy
+FROM per_vec JOIN means USING (label)
+"""
+
+
+PQ_PROBE_MOD = 5  # vec_id >= PQ_K with vec_id % MOD == 0 is the probe batch
+
+
+def pq_adc_topk_against(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    topk: int = ANN_TOPK,
+    *,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The PQ SERVING arithmetic, shared VERBATIM between the batch
+    certifier (pq_probe_newvecs) and the streamed-store read path
+    (streaming/stream_sync.probe_pq): ADC top-``topk`` of ``queries``
+    (vec_id, e float arrays) against stored ``codes``
+    (vec_id, m, code_id) under a frozen ``codebook``.  Distances are
+    6-dp fixed-point BIGINT (exact integer sums, engine- and
+    order-independent); output (query_id, neighbor_id, adc_micros,
+    rk).
+
+    Scale: LUT = queries×{PQ_M}×{PQ_K} rows — broadcast; the codes
+    relation is the only corpus-sized input (3 ints per row); one
+    broadcast join + one map-side-combinable hash aggregate + the
+    top-k window over scored rows (bounded by queries × corpus)."""
+    lut = (
+        _pq_subvectors(queries, "query_id")
+        .join(F.broadcast(codebook), "m")
+        .select(
+            "query_id",
+            "m",
+            "code_id",
+            _pq_dist_micro(F.col("sub"), F.col("csub")).alias("dmicro"),
+        )
+    )
+    joined = codes.join(F.broadcast(lut), ["m", "code_id"])
+    if exclude_self:
+        # serving over a store that may index the query ids themselves
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.groupBy("query_id", F.col("vec_id").alias("neighbor_id")).agg(
+        F.sum("dmicro").alias("adc_micros")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micros"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", "adc_micros", "rk")
+    )
+
+
+def pq_probe_newvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch certifier of the streamed-PQ-index SERVING path — the
+    last streamed store without driver visibility (the
+    lm_probe_newdocs / winnow_probe_newdocs precedent): vectors with
+    vec_id >= {PQ_K} and vec_id % {PQ_PROBE_MOD} == 0 are the
+    new-arrival probe batch; the REST is the stored index (codebook
+    trained on the stored side's seed vectors — identical to the
+    full-corpus codebook since all seeds vec_id < {PQ_K} are stored
+    by construction, mirroring run_stream_pq_index's train-once
+    contract).  Each probe vector exercises BOTH serving paths:
+    the APPEND path (its own code assignment under the frozen
+    codebook, packed to the single-BIGINT pq_code) and the READ
+    path (ADC top-{ANN_TOPK} against the stored codes through
+    pq_adc_topk_against — the arithmetic streaming/stream_sync
+    .probe_pq serves, pinned row-identical by pytest over a
+    stream-maintained store on the same split).  Output (query_id,
+    pq_code, neighbor_id, adc_micros, rk), integers only.
+
+    Scale: codebook broadcast; stored codes are the only
+    corpus-sized relation (3 ints/row, scoped-persisted across the
+    ADC join); the probe side is O(batch)."""
+    release_caches()  # previous query's scope ends here
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    is_probe = (F.col("vec_id") >= PQ_K) & (F.col("vec_id") % PQ_PROBE_MOD == 0)
+    stored, probe = emb.filter(~is_probe), emb.filter(is_probe)
+    cb = _pq_codebook(stored)
+    codes = _scoped_persist(_pq_assigned(stored, cb).select("vec_id", "m", "code_id"))
+    packed = F.lit(0).cast("long")
+    for i in range(PQ_M):
+        packed = packed * PQ_K + F.col(f"code_{i}")
+    own = (
+        _pq_assigned(probe, cb)
+        .groupBy(F.col("vec_id").alias("query_id"))
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == i, F.col("code_id"))).alias(f"code_{i}")
+                for i in range(PQ_M)
+            ]
+        )
+        .select("query_id", packed.cast("long").alias("pq_code"))
+    )
+    adc = pq_adc_topk_against(codes, probe, cb)
+    return adc.join(F.broadcast(own), "query_id").select(
+        "query_id", "pq_code", "neighbor_id", "adc_micros", "rk"
+    )
+
+
+def _pq_probe_oracle() -> str:
+    packed = "0"
+    for i in range(PQ_M):
+        packed = f"({packed} * {PQ_K} + MAX(CASE WHEN m = {i} THEN code_id END))"
+    return f"""
+WITH {_PQ_BASE_CTE.lstrip()},
+own AS (
+  SELECT vec_id AS query_id, CAST({packed} AS BIGINT) AS pq_code
+  FROM assigned
+  WHERE vec_id >= {PQ_K} AND vec_id % {PQ_PROBE_MOD} = 0
+  GROUP BY vec_id
+),
+qsubs AS (
+  SELECT vec_id AS query_id, m, sub FROM subs
+  WHERE vec_id >= {PQ_K} AND vec_id % {PQ_PROBE_MOD} = 0
+),
+lut AS (
+  SELECT q.query_id, q.m, c.code_id,
+         {_PQ_DIST_MICRO_SQL.format(n=PQ_SUBDIM, a='q.sub', b='c.csub')} AS dmicro
+  FROM qsubs q JOIN cb c USING (m)
+),
+scored AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(l.dmicro) AS BIGINT) AS adc_micros
+  FROM assigned a JOIN lut l ON a.m = l.m AND a.code_id = l.code_id
+  WHERE NOT (a.vec_id >= {PQ_K} AND a.vec_id % {PQ_PROBE_MOD} = 0)
+  GROUP BY l.query_id, a.vec_id
+)
+SELECT s.query_id, own.pq_code, s.neighbor_id, s.adc_micros, s.rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_micros, neighbor_id) AS rk
+  FROM scored
+) s JOIN own USING (query_id)
+WHERE s.rk <= {ANN_TOPK}
+"""
+
+
 CONTAIN_MICROS = 800_000   # containment >= this flags a direction
 
 
@@ -3288,6 +3528,8 @@ PENDING_QUERIES: dict = {
     "sample_exact_k_per_lang": sample_exact_k_per_lang,
     "ann_two_stage_rerank": ann_two_stage_rerank,
     "neardup_containment_pairs": neardup_containment_pairs,
+    "pq_probe_newvecs": pq_probe_newvecs,
+    "embedding_prototypicality": embedding_prototypicality,
 }
 
 PENDING_ORACLE: dict = {
@@ -3295,6 +3537,8 @@ PENDING_ORACLE: dict = {
     "sample_exact_k_per_lang": _SAMPLE_K_ORACLE,
     "ann_two_stage_rerank": _RERANK_ORACLE,
     "neardup_containment_pairs": _containment_oracle(),
+    "pq_probe_newvecs": _pq_probe_oracle(),
+    "embedding_prototypicality": _prototypicality_oracle(),
 }
 
 # staged r8 → registered + windowed round 9: the serialized centroid

@@ -271,6 +271,12 @@ STAGED_PRIORITY = [
     # round-9 wave 4: Broder containment (asymmetric subset-dup)
     # verification over the banded MinHash candidates
     "neardup_containment_pairs",
+    # round-9 wave 4: batch certifier of the streamed PQ index's
+    # append + ADC read paths (the last uncertified streamed store)
+    "pq_probe_newvecs",
+    # round-9 wave 4: Sorscher-et-al prototypicality data-pruning
+    # metric (distance to own-label centroid, integer micros)
+    "embedding_prototypicality",
 ]
 
 

@@ -698,6 +698,13 @@ def run_stream_neardup_index(
         if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
             return
         spark = batch_df.sparkSession
+        # at-least-once sources can repeat an immutable record WITHIN
+        # one micro-batch as well as across batches; the store is
+        # keyed, so dedup the batch by key up front (repeats are
+        # identical by the immutable-record contract, making the pick
+        # value-deterministic).  Without this a doubled row doubles
+        # its stored rows permanently — e.g. a PQ vector's ADC sums.
+        batch_df = batch_df.dropDuplicates(["doc_id"])
         sh_b = _doc_shingles(batch_df.select("doc_id", "text")).persist()
         # try/finally so the persist is released even when
         # _commit_append raises (e.g. the foreign-checkpoint
@@ -813,6 +820,13 @@ def run_stream_shingle_index(
         if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
             return
         spark = batch_df.sparkSession
+        # at-least-once sources can repeat an immutable record WITHIN
+        # one micro-batch as well as across batches; the store is
+        # keyed, so dedup the batch by key up front (repeats are
+        # identical by the immutable-record contract, making the pick
+        # value-deterministic).  Without this a doubled row doubles
+        # its stored rows permanently — e.g. a PQ vector's ADC sums.
+        batch_df = batch_df.dropDuplicates(["doc_id"])
         d = batch_df.select("doc_id", "text")
         pos = _shingle_pos(d).persist()
         try:
@@ -919,6 +933,13 @@ def run_stream_winnow_index(
         if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
             return
         spark = batch_df.sparkSession
+        # at-least-once sources can repeat an immutable record WITHIN
+        # one micro-batch as well as across batches; the store is
+        # keyed, so dedup the batch by key up front (repeats are
+        # identical by the immutable-record contract, making the pick
+        # value-deterministic).  Without this a doubled row doubles
+        # its stored rows permanently — e.g. a PQ vector's ADC sums.
+        batch_df = batch_df.dropDuplicates(["doc_id"])
         fp_b = winnow_fingerprints(
             batch_df.select("doc_id", "text")
         ).persist()
@@ -1001,6 +1022,13 @@ def run_stream_pq_index(
         if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
             return
         spark = batch_df.sparkSession
+        # at-least-once sources can repeat an immutable record WITHIN
+        # one micro-batch as well as across batches; the store is
+        # keyed, so dedup the batch by key up front (repeats are
+        # identical by the immutable-record contract, making the pick
+        # value-deterministic).  Without this a doubled row doubles
+        # its stored rows permanently — e.g. a PQ vector's ADC sums.
+        batch_df = batch_df.dropDuplicates(["vec_id"])
         emb = batch_df.select(
             "vec_id", sk.vec_double(F.col("embedding")).alias("e")
         )
@@ -1060,19 +1088,19 @@ def search_pq_index(
 ) -> DataFrame:
     """ADC top-k search over a run_stream_pq_index store — the query
     path that makes the streamed index useful: reads the frozen
-    codebook + codes tables, builds each query's distance lookup
-    table against the codebook, and ranks every indexed vector by the
-    exact-integer sum of its codes' table entries. Identical scoring
-    to operators/llm_pipeline.embedding_pq_adc_topk (a pytest asserts
-    result equality when the store indexes the same corpus), but the
-    corpus floats are never read — only the 3-int code rows.
+    codebook + codes tables and delegates the scoring to
+    operators/llm_pipeline.pq_adc_topk_against — the arithmetic the
+    batch certifier pq_probe_newvecs carries into the driver window,
+    so its driver green certifies THIS read path verbatim (the
+    probe_lm / probe_winnow_index pattern).  Identical scoring to
+    embedding_pq_adc_topk (a pytest asserts result equality when the
+    store indexes the same corpus); the corpus floats are never read
+    — only the 3-int code rows.
 
     ``query_emb`` is (vec_id, embedding array<float>); queries are
     NOT excluded from results unless their vec_id matches an indexed
     id (self-match suppressed, mirroring the batch operator)."""
     import os
-
-    from pyspark.sql import Window
 
     from chain_sync_spark.functions import sketches as sk
     from chain_sync_spark.operators import llm_pipeline as lp
@@ -1085,32 +1113,11 @@ def search_pq_index(
     q = query_emb.select(
         "vec_id", sk.vec_double(F.col("embedding")).alias("e")
     )
-    lut = (
-        lp._pq_subvectors(q, "query_id")
-        .join(F.broadcast(cb), "m")
-        .select(
-            "query_id",
-            "m",
-            "code_id",
-            lp._pq_dist_micro(F.col("sub"), F.col("csub")).alias("dmicro"),
-        )
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["m", "code_id"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dmicro").alias("admicro"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("admicro"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("admicro").cast("double") / lp.PQ_DIST_SCALE).alias("adc_dist"),
-            "rk",
-        )
+    return lp.pq_adc_topk_against(codes, q, cb, k, exclude_self=True).select(
+        "query_id",
+        "neighbor_id",
+        (F.col("adc_micros").cast("double") / lp.PQ_DIST_SCALE).alias("adc_dist"),
+        "rk",
     )
 
 
@@ -1716,6 +1723,13 @@ def run_stream_cluster_assign(
         if meta.get("checkpoint") == ckpt_id and meta.get("batch_id", -1) >= batch_id:
             return
         spark = batch_df.sparkSession
+        # at-least-once sources can repeat an immutable record WITHIN
+        # one micro-batch as well as across batches; the store is
+        # keyed, so dedup the batch by key up front (repeats are
+        # identical by the immutable-record contract, making the pick
+        # value-deterministic).  Without this a doubled row doubles
+        # its stored rows permanently — e.g. a PQ vector's ADC sums.
+        batch_df = batch_df.dropDuplicates(["vec_id"])
         vecs = batch_df.select(
             "vec_id",
             F.transform(

@@ -1599,3 +1599,144 @@ def test_containment_directional_fixture(spark, tmp_path):
     assert (n_common, ca) == (18, 1_000_000)
     assert cb == (18 * 2_000_000 + 26) // (2 * 26)
     assert rel == "a_in_b"
+
+
+# ---------------------------------------------------------------------------
+# pq_probe_newvecs (staged round-9 wave 4) — streamed-PQ serving certifier
+# ---------------------------------------------------------------------------
+
+def test_pq_probe_matches_streamed_store_serving(spark, tmp_path):
+    """Row-identity between the batch certifier and the streamed
+    read path on the same split: a run_stream_pq_index store fed the
+    STORED half in three micro-batches, queried through
+    search_pq_index with the probe vectors, must reproduce
+    pq_probe_newvecs' ADC rows exactly (adc_dist = micros / 1e6).
+    Also pins the split contract: the probe ids never contain
+    codebook seeds, so the stored-side codebook equals the
+    full-corpus one."""
+    import json as _json
+    import os
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.streaming.stream_sync import (
+        run_stream_pq_index,
+        search_pq_index,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = list(zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()))
+    probe_ids = {
+        i for i, _ in vecs if i >= lp.PQ_K and i % lp.PQ_PROBE_MOD == 0
+    }
+    assert not any(i < lp.PQ_K for i in probe_ids)
+    stored = [(i, e) for i, e in vecs if i not in probe_ids]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # first batch must carry all codebook seeds (train-once contract);
+    # batches are disjoint — a duplicated row would double its codes
+    seeds = [r for r in stored if r[0] < lp.PQ_K]
+    rest = [r for r in stored if r[0] >= lp.PQ_K]
+    thirds = [seeds + rest[0::3], rest[1::3], rest[2::3]]
+    for b, part in enumerate(thirds):
+        with open(os.path.join(src, f"b{b}.json"), "w") as fh:
+            for i, e in part:
+                fh.write(_json.dumps({"vec_id": i, "embedding": list(map(float, e))}) + "\n")
+        os.utime(os.path.join(src, f"b{b}.json"), (1_700_000_000 + b, 1_700_000_000 + b))
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    run_stream_pq_index(stream, store, ckpt).awaitTermination(120)
+
+    queries = spark.createDataFrame(
+        [(i, list(map(float, e))) for i, e in vecs if i in probe_ids],
+        "vec_id long, embedding array<float>",
+    )
+    served = {
+        (r.query_id, r.rk): (r.neighbor_id, r.adc_dist)
+        for r in search_pq_index(spark, store, queries).collect()
+    }
+    want = {
+        (r.query_id, r.rk): (r.neighbor_id, r.adc_micros / lp.PQ_DIST_SCALE)
+        for r in lp.pq_probe_newvecs(spark, SF).collect()
+    }
+    assert served == want
+    assert len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# embedding_prototypicality (staged round-9 wave 4)
+# ---------------------------------------------------------------------------
+
+def test_prototypicality_matches_numpy_replica(spark):
+    """From-scratch replica of the full chain (decimal-exact centroid
+    stand-in via float64 mean rounded to 6dp — identical here because
+    the engine centroid IS round(sum/count, 6) — per-dim floored
+    micros, integer mean, ratio), plus: the metric must discriminate
+    and both prune_easy branches must be live on real data."""
+    import numpy as np
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = tbl["vec_id"].to_pylist()
+    labels = tbl["label"].to_pylist()
+    embs = tbl["embedding"].to_pylist()
+    by_label = {}
+    for i, lab, e in zip(ids, labels, embs):
+        by_label.setdefault(lab, []).append((i, np.asarray(e, dtype=np.float64)))
+    want = {}
+    sums, cnts = {}, {}
+    for lab, vs in by_label.items():
+        # decimal-exact column sums: float64 over float32 inputs is
+        # exact for these magnitudes and counts (each float32 has
+        # <= 24 significand bits; n <= 500 here)
+        cent = np.round(sum(v for _, v in vs) / len(vs), 6)
+        dists = {}
+        for i, v in vs:
+            d = np.floor((v - cent) * (v - cent) * 1_000_000 + 0.5).astype(np.int64)
+            dists[i] = int(d.sum())
+        n = len(vs)
+        mean = (sum(dists.values()) * 2 + n) // (2 * n)
+        for i, dm in dists.items():
+            den = max(mean, 1)
+            ratio = (dm * 2_000_000 + den) // (2 * den)
+            want[i] = (lab, dm, mean, ratio, ratio < lp.PROTO_PRUNE_BELOW_MICROS)
+    got = {
+        r.vec_id: (
+            r.label, r.dist_micros, r.label_mean_micros, r.ratio_micros, r.prune_easy
+        )
+        for r in lp.embedding_prototypicality(spark, SF).collect()
+    }
+    assert got == want
+    flags = {v[4] for v in got.values()}
+    assert flags == {True, False}
+    assert len({v[3] for v in got.values()}) > 10
+
+
+def test_prototypicality_single_vector_label(spark, tmp_path):
+    """A one-vector label: distance 0, mean 0, guarded denominator ->
+    ratio 0, prune_easy True (the degenerate-cluster edge)."""
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    dim = lp.EMB_DIM
+    rows = [
+        (1, [1.0] * dim, 7),
+        (2, [0.0] * dim, 3),
+        (3, [2.0] * dim, 3),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        r.vec_id: (r.dist_micros, r.label_mean_micros, r.ratio_micros, r.prune_easy)
+        for r in lp.embedding_prototypicality(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (0, 0, 0, True)
+    # label 3: centroid 1.0 per dim, each vec at squared dist = dim
+    assert got[2] == (dim * 1_000_000, dim * 1_000_000, 1_000_000, False)
+    assert got[3] == got[2]

@@ -1905,3 +1905,79 @@ def test_stream_lang_counts_matches_one_pass_and_serves_weights(spark, tmp_path)
         for r in probe_temperature_mixture(spark, store).collect()
     }
     assert served == batch
+
+
+def test_stream_pq_index_in_batch_duplicate_row(spark, tmp_path):
+    """An at-least-once source can repeat a record WITHIN one
+    micro-batch: the keyed stores must not double the key's rows
+    (a doubled PQ vector doubles every ADC sum that touches it,
+    permanently).  Feed batch 0 with one vec_id duplicated and
+    assert the store holds exactly PQ_M code rows per vector."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.streaming.stream_sync import (
+        PQ_STORE_TABLES,
+        read_store_table,
+        run_stream_pq_index,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = {i: [float(x) for x in rng.normal(size=lp.EMB_DIM)] for i in range(18)}
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for i in list(range(18)) + [17]:  # vec 17 re-delivered in-batch
+            fh.write(_json.dumps({"vec_id": i, "embedding": vecs[i]}) + "\n")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(src)
+    run_stream_pq_index(stream, store, ckpt).awaitTermination(120)
+    rows = read_store_table(
+        spark, store, "codes", PQ_STORE_TABLES["codes"]
+    ).collect()
+    per_vec = {}
+    for r in rows:
+        per_vec[r.vec_id] = per_vec.get(r.vec_id, 0) + 1
+    assert per_vec == {i: lp.PQ_M for i in range(18)}
+
+
+def test_stream_winnow_index_in_batch_duplicate_doc(spark, tmp_path):
+    """Same in-batch redelivery class for the winnow store: a doc
+    row repeated inside one batch must not double its fingerprints
+    or its hdf document frequencies (doubled df would push innocent
+    fingerprints over the boilerplate cap and double shared_fps)."""
+    import json as _json
+    import os
+
+    from chain_sync_spark.streaming.stream_sync import (
+        WINNOW_STORE_TABLES,
+        read_store_table,
+        run_stream_winnow_index,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for row in [(1, text), (1, text), (2, "different words " * 10)]:
+            fh.write(_json.dumps({"doc_id": row[0], "text": row[1]}) + "\n")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    run_stream_winnow_index(stream, store, ckpt).awaitTermination(120)
+    fps = read_store_table(
+        spark, store, "fps", WINNOW_STORE_TABLES["fps"]
+    ).collect()
+    doc1 = [(r.doc_id, r.h, getattr(r, "pos", None)) for r in fps if r.doc_id == 1]
+    assert len(doc1) == len(set(doc1)) > 0
+    hdf = read_store_table(
+        spark, store, "hdf", WINNOW_STORE_TABLES["hdf"]
+    ).collect()
+    doc1_h = {h for _, h, _ in doc1}
+    only_doc1 = doc1_h - {r.h for r in fps if r.doc_id == 2}
+    assert only_doc1
+    for r in hdf:
+        if r.h in only_doc1:
+            assert r.df == 1
