@@ -2408,6 +2408,11 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tighter bound than length_percentile's distinct-lengths); the
     corpus-sized side sees one map-side-combinable count and one
     AQE-broadcastable join back on (lang, known_micros)."""
+    # three consumers (per-score counts, per-lang totals, the final
+    # join-back) read the scored relation; a _scoped_persist pin was
+    # measured flat-to-worse at sf0.1 (3.12 s unpinned vs 3.27
+    # pinned) — ReusedExchange already dedupes the LM chain, the
+    # overlap-matrix precedent — so the plan stays unpinned
     scored = lm_known_bigram_score(spark, sf_dir).select("doc_id", "known_micros")
     lang = table(spark, sf_dir, "documents").select("doc_id", "lang")
     d = scored.join(lang, "doc_id")
@@ -2494,6 +2499,10 @@ def quality_classifier_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-(doc, term) map pass, one AQE-broadcastable join on
     term against the weight table, one map-side-combinable per-doc
     aggregate.  No corpus-wide key, no window, no float."""
+    # the weight build and the serving side both consume the distinct
+    # (doc, term) relation; a _scoped_persist pin measured
+    # flat-to-worse at sf0.1 (2.56 s unpinned vs 2.76 pinned —
+    # ReusedExchange dedupes the distinct), so the plan stays unpinned
     d = _docs_words(spark, sf_dir)
     doc_terms = d.select("doc_id", F.explode("w").alias("t")).distinct()
     is_train = F.col("doc_id") % CLS_TRAIN_MOD == 0
