@@ -116,6 +116,7 @@ EXTENDED_SET = [
     "neardup_containment_pairs",   # staged r10 (Broder containment)
     "pq_probe_newvecs",            # staged r10 (PQ serving certifier)
     "embedding_prototypicality",   # staged r10 (pruning metric)
+    "split_assign_leakage_safe",   # staged r10 (dedup-aware split)
     # dedup_funnel_report is NOT benched: its wall-clock is the sum
     # of its component pipelines (each benched above) plus tiny id
     # joins — see its docstring (the exact-profile precedent)

@@ -277,6 +277,9 @@ STAGED_PRIORITY = [
     # round-9 wave 4: Sorscher-et-al prototypicality data-pruning
     # metric (distance to own-label centroid, integer micros)
     "embedding_prototypicality",
+    # round-9 wave 4: dedup-aware splitting (near-dup clusters share
+    # one split, so held-out stays held out)
+    "split_assign_leakage_safe",
 ]
 
 

@@ -1740,3 +1740,46 @@ def test_prototypicality_single_vector_label(spark, tmp_path):
     # label 3: centroid 1.0 per dim, each vec at squared dist = dim
     assert got[2] == (dim * 1_000_000, dim * 1_000_000, 1_000_000, False)
     assert got[3] == got[2]
+
+
+# ---------------------------------------------------------------------------
+# split_assign_leakage_safe (staged round-9 wave 4)
+# ---------------------------------------------------------------------------
+
+def test_split_leakage_safe_invariants(spark):
+    """(a) one row per document; (b) every near-dup cluster's members
+    share ONE split (the point of the operator); (c) singletons keep
+    the naive assignment; (d) both split columns follow the hash rule
+    (python md5 replica); (e) the fix is LIVE on this corpus — real
+    clusters straddle naive splits, so leak_prevented fires."""
+    import hashlib
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    rows = lp.split_assign_leakage_safe(spark, SF).collect()
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert len(rows) == tbl.num_rows
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    def h_split(key):
+        b = int(hashlib.md5(f"split:{key}".encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 80 else "val" if b < 90 else "test"
+
+    by_cluster = {}
+    for r in rows:
+        assert r.naive_split == h_split(r.doc_id)
+        assert r.split == h_split(r.group_id)
+        assert r.leak_prevented == (r.split != r.naive_split)
+        if r.group_id != r.doc_id or True:
+            by_cluster.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    singles = [r for r in rows if r.group_id == r.doc_id]
+    assert all(not r.leak_prevented for r in singles)
+    assert any(r.leak_prevented for r in rows)
+
+    # cross-check group ids against the cluster operator itself
+    clus = {
+        r.doc_id: r.cluster_id for r in lp.neardup_clusters(spark, SF).collect()
+    }
+    for r in rows:
+        assert r.group_id == clus.get(r.doc_id, r.doc_id)
