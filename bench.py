@@ -117,6 +117,7 @@ EXTENDED_SET = [
     "pq_probe_newvecs",            # staged r10 (PQ serving certifier)
     "embedding_prototypicality",   # staged r10 (pruning metric)
     "split_assign_leakage_safe",   # staged r10 (dedup-aware split)
+    "matryoshka_recall_audit",     # staged r10 (MRL truncation audit)
     # dedup_funnel_report is NOT benched: its wall-clock is the sum
     # of its component pipelines (each benched above) plus tiny id
     # joins — see its docstring (the exact-profile precedent)

@@ -3141,6 +3141,116 @@ FROM agg
 """
 
 
+MR_DIMS = (8, 16, 32)  # audited prefix lengths (full = EMB_DIM baseline)
+
+
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL): for
+    each query, cosine top-{ANN_TOPK} using only the FIRST d
+    dimensions (d in {MR_DIMS}) versus the full-{EMB_DIM} baseline —
+    the table that tells you whether a cheap dim-prefix prefilter is
+    safe for YOUR embedding column before you ship it (an
+    MRL-trained model front-loads information, so low-d recall stays
+    high; a model that doesn't — or isotropic noise — shows
+    near-chance recall here, which is exactly what this synthetic
+    corpus honestly reports).  Output (query_id, dims, n_overlap,
+    recall_micros), integers plus the audit grain.
+
+    Scale: the query side is broadcast (bounded); the corpus side is
+    ONE pass with the dims grain exploded per row (|MR_DIMS|+1 score
+    rows per (query, vector) — the audit's sample-sized cost, like
+    ann_recall_audit); ranking follows embedding_cosine_topk's
+    engine-independent convention (4-dp rounded cosine, vec_id
+    tie-break)."""
+    release_caches()  # previous query's scope ends here
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    all_dims = list(MR_DIMS) + [EMB_DIM]
+    dims_col = F.explode(
+        F.array(*[F.lit(d) for d in all_dims])
+    ).alias("dims")
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "e", "qe", dims_col
+    )
+    te = F.expr("slice(e, 1, dims)")
+    tq = F.expr("slice(qe, 1, dims)")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "dims",
+        F.round(sk.cosine(tq, te), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id", "dims").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    topk = _scoped_persist(
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANN_TOPK)
+        .select("query_id", "dims", "neighbor_id")
+    )
+    base = topk.filter(F.col("dims") == EMB_DIM).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    # every (query, dims) group holds exactly ANN_TOPK rows, so the
+    # left-join marker keeps zero-overlap groups without re-attachment
+    return (
+        topk.filter(F.col("dims") != EMB_DIM)
+        .join(F.broadcast(base), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", "dims")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"))
+        .select(
+            "query_id",
+            "dims",
+            "n_overlap",
+            sk.ratio_micros("n_overlap", str(ANN_TOPK)).alias("recall_micros"),
+        )
+    )
+
+
+def _matryoshka_oracle() -> str:
+    all_dims = ", ".join(str(d) for d in list(MR_DIMS) + [EMB_DIM])
+    cos = sk.cosine_sql("list_slice(q.qe, 1, d.dims)", "list_slice(e.e, 1, d.dims)")
+    return f"""
+WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, e AS qe FROM ed WHERE vec_id < {ANN_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, d.dims,
+         round({cos}, 4) AS cos_sim
+  FROM ed e, q, (SELECT unnest([{all_dims}]) AS dims) d
+  WHERE e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, dims, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id, dims ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {ANN_TOPK}
+),
+base AS (
+  SELECT query_id, neighbor_id FROM topk WHERE dims = {EMB_DIM}
+),
+ov AS (
+  SELECT t.query_id, t.dims, COUNT(b.neighbor_id) AS n_overlap
+  FROM topk t LEFT JOIN base b
+    ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+  WHERE t.dims <> {EMB_DIM}
+  GROUP BY 1, 2
+)
+SELECT query_id, dims, CAST(n_overlap AS BIGINT) AS n_overlap,
+       {sk.ratio_micros_sql('n_overlap', str(ANN_TOPK))} AS recall_micros
+FROM ov
+"""
+
+
 def split_assign_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test splitting — the step that makes a
     held-out set actually held out: hashing each DOCUMENT into a
@@ -3605,6 +3715,7 @@ PENDING_QUERIES: dict = {
     "pq_probe_newvecs": pq_probe_newvecs,
     "embedding_prototypicality": embedding_prototypicality,
     "split_assign_leakage_safe": split_assign_leakage_safe,
+    "matryoshka_recall_audit": matryoshka_recall_audit,
 }
 
 PENDING_ORACLE: dict = {
@@ -3615,6 +3726,7 @@ PENDING_ORACLE: dict = {
     "pq_probe_newvecs": _pq_probe_oracle(),
     "embedding_prototypicality": _prototypicality_oracle(),
     "split_assign_leakage_safe": _split_safe_oracle(),
+    "matryoshka_recall_audit": _matryoshka_oracle(),
 }
 
 # staged r8 → registered + windowed round 9: the serialized centroid

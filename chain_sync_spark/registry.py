@@ -280,6 +280,9 @@ STAGED_PRIORITY = [
     # round-9 wave 4: dedup-aware splitting (near-dup clusters share
     # one split, so held-out stays held out)
     "split_assign_leakage_safe",
+    # round-9 wave 4: Matryoshka dim-prefix truncation recall audit
+    # (Kusupati et al. 2022)
+    "matryoshka_recall_audit",
 ]
 
 

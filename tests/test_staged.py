@@ -1783,3 +1783,65 @@ def test_split_leakage_safe_invariants(spark):
     }
     for r in rows:
         assert r.group_id == clus.get(r.doc_id, r.doc_id)
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_recall_audit (staged round-9 wave 4)
+# ---------------------------------------------------------------------------
+
+def test_matryoshka_audit_matches_numpy_replica(spark):
+    """From-scratch numpy replica of the full audit (4-dp rounded
+    cosine, neighbor-id tie-break, per-dims top-k, overlap vs the
+    full-dim baseline), plus the data-property pins: coarser
+    prefixes cannot beat the widest one on average here, and the
+    audit honestly reports near-chance recall on isotropic
+    embeddings (every value strictly below 1.0 would overfit; just
+    pin mean(32) >= mean(8))."""
+    import numpy as np
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_pylist()
+    embs = {i: np.asarray(e, dtype=np.float64) for i, e in
+            zip(ids, tbl["embedding"].to_pylist())}
+
+    def topk(qid, d):
+        qe = embs[qid][:d]
+        scored = []
+        for i, e in embs.items():
+            if i == qid:
+                continue
+            te = e[:d]
+            # replicate the sequential left-to-right fold the engines run
+            dot = 0.0
+            for a, b in zip(qe, te):
+                dot += a * b
+            na = 0.0
+            for a in qe:
+                na += a * a
+            nb = 0.0
+            for b in te:
+                nb += b * b
+            c = round(dot / ((na ** 0.5) * (nb ** 0.5)), 4)
+            scored.append((-c, i))
+        scored.sort()
+        return [i for _, i in scored[: lp.ANN_TOPK]]
+
+    want = {}
+    qids = [i for i in embs if i < lp.ANN_QUERIES]
+    for qid in qids:
+        base = set(topk(qid, lp.EMB_DIM))
+        for d in lp.MR_DIMS:
+            ov = len(set(topk(qid, d)) & base)
+            want[(qid, d)] = (ov, (ov * 2_000_000 + lp.ANN_TOPK) // (2 * lp.ANN_TOPK))
+    got = {
+        (r.query_id, r.dims): (r.n_overlap, r.recall_micros)
+        for r in lp.matryoshka_recall_audit(spark, SF).collect()
+    }
+    assert got == want
+    means = {
+        d: sum(v[1] for (q, dd), v in got.items() if dd == d) / len(qids)
+        for d in lp.MR_DIMS
+    }
+    assert means[32] >= means[8]
