@@ -38,12 +38,12 @@ a hand-maintained round list going stale — is retired): it returns
 the registered oracled names whose latest green row would fall
 below the 3-round target if left out of the next window.  Staged entrants
 register through tools/next_window.py, which reserves
-STAGED_RESERVE (= 4 since late round 9) slots for staged names
+STAGED_RESERVE (= 5 since the round-9 fourth wave) slots for staged names
 before the debt fill; the matching number of freshest debt names
 slip one round (the registry now exceeds 150 oracled names, so a
 slip per round is the steady-state cost of new registrations; the
-pytest covenant is a 4-round backstop — 46 x 4 = 184 capacity over
-the 162-name oracled registry — while the planner aims at ~3.5).
+pytest covenant is a 4-round backstop — 45 x 4 = 180 capacity over
+the 173-name oracled registry — while the planner aims at ~3.5).
 
 Round-10 hardening queue (windows over raw content keys — the skew
 class retired from the span/segment/LM families this round — that
@@ -65,11 +65,11 @@ hot-key data with a no-Window plan assertion
 call-site swap plus the oracle re-sweep.
 
 Round-10 recomposition recipe (run after the r9 artifact lands):
-``tools/next_window.py --check`` prints the window — expect 46 of
-the 50 r7-latest names (oldest cohort; 4 alphabetical-tail names
-slip to r11) + the first 4 of STAGED_PRIORITY
+``tools/next_window.py --check`` prints the window — expect 45 of
+the 50 r7-latest names (oldest cohort; 5 alphabetical-tail names
+slip to r11) + the first 5 of STAGED_PRIORITY
 (source_overlap_matrix, quality_by_source, lm_probe_newdocs,
-winnow_probe_newdocs).  Perform the hardening swap for
+winnow_probe_newdocs, minhash_estimate_error_audit).  Perform the hardening swap for
 neardup_prefix_filter_pairs (r7-latest — it windows at r10) via
 skew.attach_group_count on its token-df window, value-identity
 re-verified; the other three queue sites (dedup_segment_rewrite,

@@ -35,7 +35,11 @@ from chain_sync_spark import registry  # noqa: E402
 # backstop = 184 capacity >= the 162-name oracled registry, so the
 # covenant still holds — the 3-round aim degrades to ~3.5 as the
 # steady-state cost of the larger intake.
-STAGED_RESERVE = 4
+# = 5 since the round-9 fourth wave: 22 staged entrants at 4/round
+# would take 5.5 recompositions; 45 debt slots x the 4-round pytest
+# backstop = 180 capacity >= the 173-name oracled registry (7 names
+# of headroom for further staging).
+STAGED_RESERVE = 5
 
 
 def planned_window() -> tuple[list[str], list[str], list[str]]:
