@@ -1831,12 +1831,19 @@ def winnow_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = component diameter (reuse groups are small and dense),
     lineage checkpointed. The oracle replays the fixpoint with a
     recursive CTE."""
-    from chain_sync_spark.operators.llm_pipeline import connected_components
+    from chain_sync_spark.operators.llm_pipeline import (
+        _scoped_persist,
+        connected_components,
+    )
 
     pairs = neardup_winnow_pairs(spark, sf_dir)
     half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # persisted: the CC loop consumes edges every round (neighbor join
+    # + convergence count) — unpinned, each round re-ran the whole
+    # winnow-pairs chain (measured 13.4 s construct at sf0.1, vs ~3 s
+    # pinned; neardup_clusters always pinned its edges)
+    edges = _scoped_persist(
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
     labels = connected_components(edges)
     w = Window.partitionBy("cluster_id")
