@@ -174,9 +174,21 @@ def _compact_line(headline: dict) -> str:
                     break
                 q.pop(n)
                 line = json.dumps(headline, separators=(",", ":"))
+    # the auxiliary dicts (construct_hot, sf_ratio) are bounded today
+    # but unguarded growth is the round-4 failure class — shed them
+    # before sacrificing slow-query visibility (stderr keeps full
+    # detail for everything shed here)
+    if len(line) > 1800:
+        for aux in ("construct_hot", "sf_ratio"):
+            if len(line) <= 1800:
+                break
+            headline.pop(aux, None)
+            line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1800 and "queries" in headline:
         # still over the tail capture: keep shedding fastest-first —
         # the slowest queries (the judge's movers signal) survive to
         # the last entry rather than the whole dict vanishing
+        q = headline["queries"]
         for n in sorted(q, key=q.get):
             if len(line) <= 1800 or len(q) <= 1:
                 break
@@ -233,11 +245,13 @@ def main() -> None:
     # rejected: it inflates the lazy baseline set ~40% uniformly,
     # which would read as a fake regression against the anchor.
     cold: dict[str, float] = {}
+    construct_cold: dict[str, float] = {}
     for n in names:
         t0 = time.perf_counter()
         df = queries[n](spark, sf_dir)
         t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
+        construct_cold[n] = round(t1 - t0, 3)
         cold[n] = round(time.perf_counter() - t1, 3)
 
     timings: dict[str, float] = {}
@@ -301,6 +315,7 @@ def main() -> None:
             # honest end-to-end = construct + write; eager driver-side
             # loops (CC, Lloyd) spend their time in construct
             "construct_warm": construct,
+            "construct_cold": construct_cold,
             "sf_ratio_baseline_set": sf_ratio,
             "versions": ver,
         }),

@@ -2408,11 +2408,14 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tighter bound than length_percentile's distinct-lengths); the
     corpus-sized side sees one map-side-combinable count and one
     AQE-broadcastable join back on (lang, known_micros)."""
-    # three consumers (per-score counts, per-lang totals, the final
-    # join-back) read the scored relation; a _scoped_persist pin was
-    # measured flat-to-worse at sf0.1 (3.12 s unpinned vs 3.27
-    # pinned) — ReusedExchange already dedupes the LM chain, the
-    # overlap-matrix precedent — so the plan stays unpinned
+    # two consumers (per-score counts, the final join-back) read the
+    # scored relation; a _scoped_persist pin was measured
+    # flat-to-worse at sf0.1 (3.12 s unpinned vs 3.27 pinned) —
+    # ReusedExchange already dedupes the LM chain, the overlap-matrix
+    # precedent — so the plan stays unpinned.  The per-lang totals
+    # derive from the BOUNDED per-score relation (sum of its counts
+    # is the language's doc count by construction), not a third
+    # corpus-side aggregate.
     scored = lm_known_bigram_score(spark, sf_dir).select("doc_id", "known_micros")
     lang = table(spark, sf_dir, "documents").select("doc_id", "lang")
     d = scored.join(lang, "doc_id")
@@ -2427,7 +2430,7 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf = per_score.select(
         "lang", "known_micros", F.sum("cnt").over(w_cdf).alias("n_ge")
     )
-    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    totals = per_score.groupBy("lang").agg(F.sum("cnt").alias("n_lang"))
     return (
         d.join(cdf, ["lang", "known_micros"])
         .join(F.broadcast(totals), "lang")

@@ -187,6 +187,61 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
 # 2. Near-dup: MinHash + LSH band-bucket join
 # ---------------------------------------------------------------------------
 
+def _band_collisions(sigs):
+    """(doc_a, doc_b) DISTINCT banded-LSH collision candidates from a
+    (doc_id, sig) relation — THE one banding definition for every
+    MinHash consumer (neardup_minhash_bands, the estimator audit,
+    containment), so a banding-layout change (N_BANDS, row layout,
+    key separator) lands everywhere at once.  Self-join on the
+    uniform (band_idx, bkey), doc_a < doc_b."""
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _sig_band_sql():
+    """(sig_exprs, band_selects) — the DuckDB rendering of the same
+    banding _band_collisions runs engine-side; sigs CTE columns
+    sig_0..sig_{N_MINHASH-1} computed from `sh`."""
+    coeffs = sk.minhash_coeffs(N_MINHASH)
+    sig_exprs = ",\n         ".join(
+        f"{sk.minhash_sig_sql('sh', a, b)} AS sig_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, md5("
+        + " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + ") AS bkey FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return sig_exprs, band_selects
+
+
 def neardup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
     verification: shingle → {N_MINHASH} md5-min signatures → {N_BANDS}
@@ -204,32 +259,7 @@ def neardup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = shingled.select(
         "doc_id", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
     )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_collisions(sigs)
     sa, sb = shingled.alias("sa"), shingled.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
@@ -241,19 +271,7 @@ def neardup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    coeffs = sk.minhash_coeffs(N_MINHASH)
-    sig_exprs = ",\n         ".join(
-        f"{sk.minhash_sig_sql('sh', a, b)} AS sig_{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_idx, md5("
-        + " || '|' || ".join(
-            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
-        )
-        + ") AS bkey FROM sigs"
-        for b in range(N_BANDS)
-    )
+    sig_exprs, band_selects = _sig_band_sql()
     return f"""
 WITH {_SHINGLE_CTE.lstrip()},
 sigs AS (
@@ -310,32 +328,7 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig"),
         )
     )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_collisions(sigs)
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     eq_n = F.size(
         F.filter(
@@ -368,19 +361,7 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_err_oracle() -> str:
-    coeffs = sk.minhash_coeffs(N_MINHASH)
-    sig_exprs = ",\n         ".join(
-        f"{sk.minhash_sig_sql('sh', a, b)} AS sig_{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_idx, md5("
-        + " || '|' || ".join(
-            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
-        )
-        + ") AS bkey FROM sigs"
-        for b in range(N_BANDS)
-    )
+    sig_exprs, band_selects = _sig_band_sql()
     eq_sum = " + ".join(
         f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
         for i in range(N_MINHASH)
@@ -3161,7 +3142,14 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per (query, vector) — the audit's sample-sized cost, like
     ann_recall_audit); ranking follows embedding_cosine_topk's
     engine-independent convention (4-dp rounded cosine, vec_id
-    tie-break)."""
+    tie-break).
+
+    A single-pass variant (one 64-term running fold cut at each
+    prefix) was considered and REJECTED: float addition is not
+    associative, so per-chunk partial sums are not bit-identical to
+    the per-prefix sequential folds both engines run — the 4x explode
+    stays because cross-engine exactness outranks a 2x float-work cut
+    on an audit query."""
     release_caches()  # previous query's scope ends here
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", sk.vec_double(F.col("embedding")).alias("e")
@@ -3440,7 +3428,7 @@ def pq_adc_topk_against(
 ) -> DataFrame:
     """The PQ SERVING arithmetic, shared VERBATIM between the batch
     certifier (pq_probe_newvecs) and the streamed-store read path
-    (streaming/stream_sync.probe_pq): ADC top-``topk`` of ``queries``
+    (streaming/stream_sync.search_pq_index): ADC top-``topk`` of ``queries``
     (vec_id, e float arrays) against stored ``codes``
     (vec_id, m, code_id) under a frozen ``codebook``.  Distances are
     6-dp fixed-point BIGINT (exact integer sums, engine- and
@@ -3492,7 +3480,7 @@ def pq_probe_newvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook, packed to the single-BIGINT pq_code) and the READ
     path (ADC top-{ANN_TOPK} against the stored codes through
     pq_adc_topk_against — the arithmetic streaming/stream_sync
-    .probe_pq serves, pinned row-identical by pytest over a
+    .search_pq_index serves, pinned row-identical by pytest over a
     stream-maintained store on the same split).  Output (query_id,
     pq_code, neighbor_id, adc_micros, rk), integers only.
 
@@ -3594,32 +3582,7 @@ def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = shingled.select(
         "doc_id", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
     )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_collisions(sigs)
     sa, sb = shingled.alias("sa"), shingled.alias("sb")
     verified = (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -3653,19 +3616,7 @@ def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_oracle() -> str:
-    coeffs = sk.minhash_coeffs(N_MINHASH)
-    sig_exprs = ",\n         ".join(
-        f"{sk.minhash_sig_sql('sh', a, b)} AS sig_{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_idx, md5("
-        + " || '|' || ".join(
-            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
-        )
-        + ") AS bkey FROM sigs"
-        for b in range(N_BANDS)
-    )
+    sig_exprs, band_selects = _sig_band_sql()
     ca = sk.ratio_micros_sql("n_common", "na")
     cb = sk.ratio_micros_sql("n_common", "nb")
     return f"""

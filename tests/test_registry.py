@@ -193,3 +193,30 @@ def test_next_window_plan_fills_driver_window():
     # staged entrants spill only from the priority tail
     room = DRIVER_WINDOW - len(taken_debt)
     assert leftover == STAGED_PRIORITY[max(room, 0):]
+
+
+def test_bench_line_sheds_aux_dicts_before_queries():
+    """The round-4 capture-overflow class, for the new auxiliary
+    dicts: when the line exceeds the hard guard, construct_hot and
+    sf_ratio shed BEFORE the queries dict is sacrificed."""
+    import bench
+
+    queries = {f"some_realistically_named_query_{i:03d}": 2.5 for i in range(70)}
+    headline = {
+        "metric": "headline_queries_wall_clock",
+        "value": 12.34,
+        "queries": dict(queries),
+        "construct_hot": {
+            f"some_eager_operator_name_{i:02d}": 9.99 for i in range(30)
+        },
+        "sf_ratio": {f"some_realistically_named_query_{i:03d}": 3.3 for i in range(10)},
+    }
+    import json as _pre
+    assert len(_pre.dumps(headline, separators=(",", ":"))) > 1800
+    line = bench._compact_line(headline)
+    assert len(line) <= 1800
+    import json as _json
+
+    parsed = _json.loads(line)
+    assert "construct_hot" not in parsed
+    assert "queries" in parsed and len(parsed["queries"]) >= 1

@@ -1765,22 +1765,26 @@ def test_split_leakage_safe_invariants(spark):
         b = int(hashlib.md5(f"split:{key}".encode()).hexdigest()[:15], 16) % 100
         return "train" if b < 80 else "val" if b < 90 else "test"
 
-    by_cluster = {}
     for r in rows:
         assert r.naive_split == h_split(r.doc_id)
         assert r.split == h_split(r.group_id)
         assert r.leak_prevented == (r.split != r.naive_split)
-        if r.group_id != r.doc_id or True:
-            by_cluster.setdefault(r.group_id, set()).add(r.split)
-    assert all(len(s) == 1 for s in by_cluster.values())
     singles = [r for r in rows if r.group_id == r.doc_id]
     assert all(not r.leak_prevented for r in singles)
     assert any(r.leak_prevented for r in rows)
 
-    # cross-check group ids against the cluster operator itself
+    # the single-split invariant checked through INDEPENDENT grouping
+    # (the cluster operator's own components, not the query's
+    # group_id column — grouping by group_id would be vacuous given
+    # the h_split assertion above)
     clus = {
         r.doc_id: r.cluster_id for r in lp.neardup_clusters(spark, SF).collect()
     }
+    split_of = {r.doc_id: r.split for r in rows}
+    by_cluster = {}
+    for doc, cid in clus.items():
+        by_cluster.setdefault(cid, set()).add(split_of[doc])
+    assert by_cluster and all(len(s) == 1 for s in by_cluster.values())
     for r in rows:
         assert r.group_id == clus.get(r.doc_id, r.doc_id)
 
