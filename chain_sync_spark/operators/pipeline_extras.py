@@ -1834,8 +1834,10 @@ def winnow_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chain_sync_spark.operators.llm_pipeline import (
         _scoped_persist,
         connected_components,
+        release_caches,
     )
 
+    release_caches()  # previous query's scope ends here
     pairs = neardup_winnow_pairs(spark, sf_dir)
     half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # persisted: the CC loop consumes edges every round (neighbor join
