@@ -225,6 +225,30 @@ def pending_queries() -> tuple[
 # for the round after.  A test pins this list as a permutation of
 # pending_queries(), so staging a new entrant forces an explicit
 # priority decision here.
+# Queued implementation swaps (the round-9 skew class: windows over
+# raw content keys) — each becomes due in the round its query next
+# holds a WINDOW slot; tools/next_window.py --check prints the ones
+# due in the planned window.  Remove an entry when its swap lands
+# (value-identity re-verified, the lm_known_bigram_score precedent).
+HARDENING_QUEUE = {
+    "neardup_prefix_filter_pairs": (
+        "swap the token-df window to skew.attach_group_count"
+        " (pre-verified on the real corpus, round-9 ledger)"
+    ),
+    "dedup_segment_rewrite": (
+        "swap the seg_md5 first-occurrence window to"
+        " skew.keep_first_by_key (pre-measured value-identical, ~12%"
+        " faster)"
+    ),
+    "dedup_incremental_batch": (
+        "swap the content_md5 keep-first window to"
+        " skew.keep_first_by_key"
+    ),
+    "tfidf_top_terms": (
+        "swap the term-df window to skew.attach_group_count"
+    ),
+}
+
 STAGED_PRIORITY = [
     "source_overlap_matrix",
     "quality_by_source",

@@ -220,3 +220,14 @@ def test_bench_line_sheds_aux_dicts_before_queries():
     parsed = _json.loads(line)
     assert "construct_hot" not in parsed
     assert "queries" in parsed and len(parsed["queries"]) >= 1
+
+
+def test_hardening_queue_names_are_registered():
+    """Every queued implementation swap must reference a registered
+    query (a renamed/retired query would silently orphan its swap),
+    and the planner must surface queue names that land in a window."""
+    from chain_sync_spark.registry import HARDENING_QUEUE, all_queries
+
+    q = all_queries()
+    missing = [n for n in HARDENING_QUEUE if n not in q]
+    assert not missing, missing

@@ -86,6 +86,9 @@ def main() -> int:
             "# COVENANT SLIP — debt deferred one round by the staged "
             f"reserve: {slipped}"
         )
+    due = [n for n in window if n in registry.HARDENING_QUEUE]
+    for n in due:
+        print(f"# HARDENING DUE this window: {n} — {registry.HARDENING_QUEUE[n]}")
     print(
         "# pre-flight: python tools/oracle_check.py /root/testdata/sf0.01 "
         + " ".join(window[:3])
