@@ -1981,3 +1981,105 @@ def test_stream_winnow_index_in_batch_duplicate_doc(spark, tmp_path):
     for r in hdf:
         if r.h in only_doc1:
             assert r.df == 1
+
+
+def test_stream_cluster_assign_in_batch_duplicate_row(spark, tmp_path):
+    """In-batch redelivery for the cluster store: a vec_id repeated
+    inside one micro-batch must yield exactly ONE assignment row."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.streaming.stream_sync import (
+        CLUSTER_STORE_TABLES,
+        read_store_table,
+        run_stream_cluster_assign,
+    )
+
+    rng = np.random.default_rng(13)
+    n = lp.KMEANS_K + 4
+    vecs = {i: [float(x) for x in rng.normal(size=lp.EMB_DIM)] for i in range(n)}
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for i in list(range(n)) + [n - 1, n - 2]:  # two in-batch repeats
+            fh.write(_json.dumps({"vec_id": i, "embedding": vecs[i]}) + "\n")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(src)
+    run_stream_cluster_assign(stream, store, ckpt).awaitTermination(120)
+    rows = read_store_table(
+        spark, store, "assignments", CLUSTER_STORE_TABLES["assignments"]
+    ).collect()
+    seen = [r.vec_id for r in rows]
+    assert sorted(seen) == list(range(n))
+
+
+def test_stream_neardup_index_in_batch_duplicate_doc(spark, tmp_path):
+    """In-batch redelivery for the neardup store: a doc row repeated
+    inside one micro-batch gets ONE decision row and single band
+    rows — and, critically, is NOT flagged as a duplicate of itself
+    (an undeduped batch would see its own copy as an in-batch
+    collision candidate pair only for distinct ids, but its bands
+    and shingles would double in the stored index)."""
+    import json as _json
+    import os
+
+    from chain_sync_spark.streaming.stream_sync import (
+        NEARDUP_STORE_TABLES,
+        read_store_table,
+        run_stream_neardup_index,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain keeps falling on the quiet grey town tonight")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for row in [(1, text), (1, text), (2, "other words entirely here")]:
+            fh.write(_json.dumps({"doc_id": row[0], "text": row[1]}) + "\n")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    run_stream_neardup_index(stream, store, ckpt).awaitTermination(120)
+    dec = read_store_table(
+        spark, store, "decisions", NEARDUP_STORE_TABLES["decisions"]
+    ).collect()
+    by_doc = {}
+    for r in dec:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert {d: len(v) for d, v in by_doc.items()} == {1: 1, 2: 1}
+    assert not by_doc[1][0].is_dup
+    bands = read_store_table(
+        spark, store, "bands", NEARDUP_STORE_TABLES["bands"]
+    ).collect()
+    doc1_bands = [(r.band_idx, r.bkey) for r in bands if r.doc_id == 1]
+    assert len(doc1_bands) == len(set(doc1_bands)) > 0
+
+
+def test_stream_shingle_index_in_batch_duplicate_doc(spark, tmp_path):
+    """In-batch redelivery for the shingle store: a doc repeated
+    inside one batch keeps ONE decision row (an undeduped batch
+    emitted two identical rewrite decisions per doc)."""
+    import json as _json
+    import os
+
+    from chain_sync_spark.streaming.stream_sync import (
+        SHINGLE_STORE_TABLES,
+        read_store_table,
+        run_stream_shingle_index,
+    )
+
+    text = " ".join(f"w{i}" for i in range(25))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for row in [(1, text), (1, text)]:
+            fh.write(_json.dumps({"doc_id": row[0], "text": row[1]}) + "\n")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    run_stream_shingle_index(stream, store, ckpt).awaitTermination(120)
+    dec = read_store_table(
+        spark, store, "decisions", SHINGLE_STORE_TABLES["decisions"]
+    ).collect()
+    assert len(dec) == 1 and dec[0].doc_id == 1
