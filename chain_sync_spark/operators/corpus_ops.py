@@ -132,11 +132,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (log is monotone in the fraction).
 
     Plan: explode → (doc, term) count [shuffle 1] → df via
-    count-over-term-window [shuffle 2 — replaces the earlier
-    separate df aggregate JOINED back on term, which paid a third
-    shuffle of tf and a second scan] → corpus-size 1-row aggregate
-    broadcast → per-doc top-K window [shuffle 3].  At 100 TB every
-    stage is map-side combinable or windowed on a bounded key."""
+    skew.attach_group_count over the ALREADY-AGGREGATED tf relation
+    [shuffle 2: a map-side-combinable groupBy count joined back on
+    term — no second scan of the corpus, and unlike the earlier
+    ``COUNT(*) OVER (PARTITION BY term)`` a stopword term cannot pin
+    its whole posting list in one unsplittable window task; the
+    vocabulary-sized count relation is AQE-broadcastable] →
+    corpus-size 1-row aggregate broadcast → per-doc top-K window
+    [shuffle 3, bounded by doc vocabulary].  Round-10 hardening swap;
+    value-identity pinned by tests/test_scale_patterns.py and
+    re-certified against the DuckDB oracle."""
+    from chain_sync_spark.operators.skew import attach_group_count
+
     tok = _docs_words(spark, sf_dir).select(
         "doc_id", F.explode("w").alias("term")
     )
@@ -144,9 +151,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    wterm = Window.partitionBy("term")
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(wterm))
+        attach_group_count(tf, ["term"], "df")
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -265,26 +271,38 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first-wins window (lowest doc_id survives).
 
     Scale: the historical fingerprint set is corpus-sized — the anti
-    join shuffles on the md5 key (NOT broadcast); the in-batch
-    window shuffles only the (small) daily batch.  Both are linear;
-    payload text never travels — only (id, md5)."""
+    join shuffles on the md5 key (NOT broadcast); in-batch
+    first-wins runs through skew.keep_first_by_key — one
+    map-side-combinable MIN(struct(doc_id, payload)) per content
+    hash, NOT ``ROW_NUMBER() OVER (PARTITION BY content_md5)``: a
+    boilerplate document re-crawled millions of times costs one
+    candidate row per scan task in the shuffle instead of pinning
+    its occurrence list in one unsplittable window task (round-10
+    hardening swap; value-identity pinned by
+    tests/test_scale_patterns.py — doc_id is unique within the
+    batch, so MIN(struct) picks exactly the window's rn=1 row — and
+    re-certified against the DuckDB oracle).  Both stages are
+    linear; payload text never travels — only (id, lang, source,
+    md5)."""
+    from chain_sync_spark.operators.skew import keep_first_by_key
+
     docs = table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % BATCH_MOD == 0
     fresh = docs.filter(is_new)
     recrawl = docs.filter(F.col("doc_id") % RECRAWL_MOD == 0).withColumn(
         "doc_id", F.col("doc_id") + RECRAWL_ID_OFFSET
     )
-    batch = fresh.unionByName(recrawl).withColumn("content_md5", F.md5("text"))
+    batch = fresh.unionByName(recrawl).select(
+        "doc_id", "lang", "source", F.md5("text").alias("content_md5")
+    )
     old_hashes = (
         docs.filter(~is_new).select(F.md5("text").alias("content_md5")).distinct()
     )
-    w = Window.partitionBy("content_md5").orderBy(F.asc("doc_id"))
-    return (
-        batch.join(old_hashes, "content_md5", "left_anti")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "content_md5")
-    )
+    return keep_first_by_key(
+        batch.join(old_hashes, "content_md5", "left_anti"),
+        ["content_md5"],
+        ["doc_id"],
+    ).select("doc_id", "lang", "source", "content_md5")
 
 
 _INCR_ORACLE = f"""
@@ -841,16 +859,24 @@ def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is boilerplate/licence-block removal as production pipelines
     run it, not just a ratio report.
 
-    Plan: per-row segment generate+posexplode → ONE first-occurrence
-    window keyed on the segment md5 [the only corpus shuffle of
-    segment text] → per-doc ordered reassembly via a hash aggregate
-    on doc_id → left join back to the per-doc spine (docs with <
-    SEG_WORDS words pass through untouched). Nothing quadratic; the
-    window state per key is one row. At 100 TB the md5-keyed window
-    shuffles segment text once — the alternative (dedup on md5 only,
-    join text back by (doc_id, idx)) trades that for an extra join;
-    at 3-word segments the text IS roughly the key size, so the
-    single-shuffle form wins."""
+    Plan: per-row segment generate+posexplode → first-occurrence-
+    per-segment-hash via skew.keep_first_by_key — one map-side-
+    combinable MIN(struct(doc_id, idx, seg)) aggregate per seg_md5,
+    NOT ``ROW_NUMBER() OVER (PARTITION BY seg_md5)``: a licence
+    block repeated across millions of documents costs one candidate
+    row per scan task in the shuffle instead of pinning its whole
+    occurrence list in one unsplittable window task (round-10
+    hardening swap; (doc_id, idx) is globally unique so MIN(struct)
+    picks exactly the window's rn=1 row — value-identity pinned by
+    tests/test_scale_patterns.py and re-certified against the DuckDB
+    oracle) → per-doc ordered reassembly via a hash aggregate on
+    doc_id → left join back to the per-doc spine (docs with <
+    SEG_WORDS words pass through untouched). Nothing quadratic; at
+    100 TB the md5-keyed aggregate shuffles at most one candidate
+    segment per key per task — strictly less than the window form's
+    full segment-text shuffle."""
+    from chain_sync_spark.operators.skew import keep_first_by_key
+
     d = _docs_words(spark, sf_dir)
     # NB 1: sequence(1, 0) is DESCENDING in Spark — the if() guard
     # keeps sub-SEG_WORDS docs at zero segments instead of two bogus
@@ -875,11 +901,8 @@ def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     segrows = base.select(
         "doc_id", F.posexplode("segs").alias("idx", "seg")
     ).withColumn("seg_md5", F.md5("seg"))
-    w_first = Window.partitionBy("seg_md5").orderBy("doc_id", "idx")
-    kept = (
-        segrows.withColumn("rn", F.row_number().over(w_first))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "seg_md5")
+    kept = keep_first_by_key(segrows, ["seg_md5"], ["doc_id", "idx"]).drop(
+        "seg_md5"
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("kept_segs"),
@@ -2576,12 +2599,7 @@ FROM scored
 """
 
 
-# quality_by_source registers at round 10 (registry.py ledger);
-# lm_probe_newdocs staged round 9 (streamed-LM serving certifier,
-# VERDICT r8 item 4)
 PENDING_QUERIES = {
-    "quality_by_source": quality_by_source,
-    "lm_probe_newdocs": lm_probe_newdocs,
     "lm_stupid_backoff_newdocs": lm_stupid_backoff_newdocs,
     "kmv_distinct_shingles": kmv_distinct_shingles,
     "ccnet_quality_buckets": ccnet_quality_buckets,
@@ -2589,8 +2607,6 @@ PENDING_QUERIES = {
 }
 
 PENDING_ORACLE = {
-    "quality_by_source": _QUALITY_BY_SOURCE_ORACLE,
-    "lm_probe_newdocs": _LM_PROBE_ORACLE,
     "lm_stupid_backoff_newdocs": _SB_ORACLE,
     "kmv_distinct_shingles": _KMV_ORACLE,
     "ccnet_quality_buckets": _CCNET_BUCKETS_ORACLE,
@@ -2598,12 +2614,16 @@ PENDING_ORACLE = {
 }
 
 # staged r8 → registered + windowed round 9: sketch/membership
-# serving probes and the frozen-tokenizer fertility report
+# serving probes and the frozen-tokenizer fertility report.
+# staged r9 → registered + windowed round 10: the per-source quality
+# report and the streamed-LM serving certifier (VERDICT r8 item 4).
 QUERIES.update(
     {
         "cms_probe_terms": cms_probe_terms,
         "bloom_probe_fingerprints": bloom_probe_fingerprints,
         "bpe_fertility_frozen": bpe_fertility_frozen,
+        "quality_by_source": quality_by_source,
+        "lm_probe_newdocs": lm_probe_newdocs,
     }
 )
 
@@ -2612,5 +2632,7 @@ ORACLE.update(
         "cms_probe_terms": _CMS_PROBE_ORACLE,
         "bloom_probe_fingerprints": _bloom_probe_oracle(),
         "bpe_fertility_frozen": _bpe_fertility_oracle(),
+        "quality_by_source": _QUALITY_BY_SOURCE_ORACLE,
+        "lm_probe_newdocs": _LM_PROBE_ORACLE,
     }
 )

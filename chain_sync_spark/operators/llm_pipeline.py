@@ -478,6 +478,117 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    max_iters: int = CLUSTER_MAX_ITERS,
+    checkpoint_every: int = CLUSTER_CHECKPOINT_EVERY,
+) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the scale hedge for min-label propagation
+    (connected_components above): label propagation needs DIAMETER
+    rounds, so one adversarially long chain in a 100 TB corpus holds
+    the whole job hostage on the driver-side convergence loop; the
+    star alternation contracts every component to a star rooted at
+    its minimum in O(log^2 n) rounds REGARDLESS of diameter.
+
+    Same interface and same output contract as connected_components
+    ((doc_id, label = component min) over every node incident to an
+    edge, label relation scope-pooled); property-tested equal on the
+    existing fixtures (tests/test_cc_variants.py).  NOT flipped in as
+    the default anywhere — callers opt in when diameter is a risk.
+
+    Representation: edges live canonically as (hi, lo), hi > lo, one
+    row per undirected edge (dedup per round).  Per round:
+
+      * large-star — over BOTH directions (u, v): every neighbor
+        v > u re-points to m(u) = min(N(u) ∪ {u}); emitted pairs
+        (v, m(u)) are canonical by construction (v > u >= m(u))
+      * small-star — over the canonical relation keyed by hi: all of
+        hi's smaller neighbors (and hi itself) re-point to
+        m = min(N_smaller(hi) ∪ {hi}) = min(lo); self-pairs drop
+
+    Convergence = the canonical edge set reaches a fixpoint (equal
+    row count + empty except; both sides are distinct-deduped).  At
+    the fixpoint the edges ARE the answer: every non-root points
+    directly at its component minimum."""
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .distinct()
+        .persist()
+    )
+    converged = False
+    try:
+        for i in range(max_iters):
+            # large-star over both directions
+            d = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+                canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+            )
+            m_u = d.groupBy("u").agg(
+                F.least(F.first("u"), F.min("v")).alias("m")
+            )
+            large = (
+                d.join(m_u, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                .distinct()
+            )
+            # small-star over the canonical (hi -> smaller neighbors) view
+            m_hi = large.groupBy("hi").agg(F.min("lo").alias("m"))
+            small = (
+                large.join(m_hi, "hi")
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("hi").alias("hi"), F.col("m").alias("lo")),
+                            F.struct(F.col("lo").alias("hi"), F.col("m").alias("lo")),
+                        )
+                    ).alias("e")
+                )
+                .select("e.hi", "e.lo")
+                .filter(F.col("hi") != F.col("lo"))
+                .distinct()
+            )
+            if (i + 1) % checkpoint_every == 0:
+                small = small.localCheckpoint(eager=True)
+            else:
+                small = small.persist()
+            same = (
+                small.count() == canon.count()
+                and small.exceptAll(canon).isEmpty()
+            )
+            canon.unpersist()
+            canon = small
+            if same:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_iters} "
+                "rounds; raise max_iters"
+            )
+    except BaseException:
+        canon.unpersist()
+        raise
+    labels = (
+        nodes.join(canon.withColumnRenamed("hi", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("lo"), F.col("doc_id")).alias("label")
+        )
+        .persist()
+    )
+    labels.count()  # materialize before releasing the edge relation
+    canon.unpersist()
+    _SCOPED_CACHES.append(labels)
+    return labels
+
+
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs — the step an actual
     training-data pipeline needs after candidate generation: connected
@@ -1266,19 +1377,29 @@ def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists the join shuffles are short (contrast a naive
     token join, where one stopword-shaped shingle produces a
     quadratic bucket); the verify join touches
-    positionally-surviving candidates only. One shuffle keyed on
-    token for df, one per-doc window, one prefix-token equi-join
-    with a pair-grain aggregate, one candidate-bounded verify."""
+    positionally-surviving candidates only. Token df comes from
+    skew.attach_group_count — a map-side-combinable groupBy count
+    joined back on the token, NOT ``COUNT(*) OVER (PARTITION BY
+    tok)``: a boilerplate shingle shared by millions of docs would
+    pin its whole occurrence list in one unsplittable window task,
+    while the agg+join-back form ships one row per task per token
+    through the shuffle and lets AQE broadcast or skew-split the
+    join (round-10 hardening swap; value-identity pinned by
+    tests/test_scale_patterns.py and re-certified against the DuckDB
+    oracle).  Remaining stages: one per-doc window (bounded by doc
+    length), one prefix-token equi-join with a pair-grain aggregate,
+    one candidate-bounded verify."""
+    from chain_sync_spark.operators.skew import attach_group_count
+
     release_caches()  # previous query's scope ends here
     t = PREFIX_MIN_JACCARD
     shingled = _scoped_persist(_docs_shingled(spark, sf_dir))
     tok = shingled.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("tok")
     )
-    wdf = Window.partitionBy("tok")
     wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
     pref = (
-        tok.withColumn("df", F.count(F.lit(1)).over(wdf))
+        attach_group_count(tok, ["tok"], "df")
         .withColumn("rn", F.row_number().over(wdoc))
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
         .select("doc_id", "n", "tok", "rn")
@@ -3659,7 +3780,6 @@ FROM verified
 # DuckDB oracle + dual-transport parity pytest now, a WINDOW slot at
 # a later recomposition.
 PENDING_QUERIES: dict = {
-    "minhash_estimate_error_audit": minhash_estimate_error_audit,
     "sample_exact_k_per_lang": sample_exact_k_per_lang,
     "ann_two_stage_rerank": ann_two_stage_rerank,
     "neardup_containment_pairs": neardup_containment_pairs,
@@ -3670,7 +3790,6 @@ PENDING_QUERIES: dict = {
 }
 
 PENDING_ORACLE: dict = {
-    "minhash_estimate_error_audit": _minhash_err_oracle(),
     "sample_exact_k_per_lang": _SAMPLE_K_ORACLE,
     "ann_two_stage_rerank": _RERANK_ORACLE,
     "neardup_containment_pairs": _containment_oracle(),
@@ -3681,11 +3800,14 @@ PENDING_ORACLE: dict = {
 }
 
 # staged r8 → registered + windowed round 9: the serialized centroid
-# artifact and the ANN recall/cost audit
+# artifact and the ANN recall/cost audit.
+# staged r9 → registered + windowed round 10: the MinHash estimator
+# calibration audit.
 QUERIES.update(
     {
         "kmeans_centroids_fixedpoint": kmeans_centroids_fixedpoint,
         "ann_recall_audit": ann_recall_audit,
+        "minhash_estimate_error_audit": minhash_estimate_error_audit,
     }
 )
 
@@ -3693,5 +3815,6 @@ ORACLE.update(
     {
         "kmeans_centroids_fixedpoint": _km_centroids_oracle(),
         "ann_recall_audit": _ann_recall_oracle(),
+        "minhash_estimate_error_audit": _minhash_err_oracle(),
     }
 )

@@ -1962,12 +1962,7 @@ FROM shared s JOIN tot t ON s.src_a = t.source
 """
 
 
-# source_overlap_matrix registers at round 10 (registry.py ledger);
-# winnow_probe_newdocs staged round 9 (streamed-index serving
-# certifier, VERDICT r8 item 4)
 PENDING_QUERIES = {
-    "source_overlap_matrix": source_overlap_matrix,
-    "winnow_probe_newdocs": winnow_probe_newdocs,
     "gopher_dup_ngram_profile": gopher_dup_ngram_profile,
     "mixture_temperature_weights": mixture_temperature_weights,
     "quality_composite_filter": quality_composite_filter,
@@ -1977,8 +1972,6 @@ PENDING_QUERIES = {
 }
 
 PENDING_ORACLE = {
-    "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
-    "winnow_probe_newdocs": _WINNOW_PROBE_ORACLE,
     "gopher_dup_ngram_profile": _GOPHER_ORACLE,
     "mixture_temperature_weights": _TEMP_MIX_ORACLE,
     "quality_composite_filter": _composite_oracle(),
@@ -2004,6 +1997,11 @@ QUERIES = {
     "dedup_incremental_spans": dedup_incremental_spans,
     "neardup_winnow_pairs": neardup_winnow_pairs,
     "winnow_dup_clusters": winnow_dup_clusters,
+    # staged r9 → registered + windowed round 10: the cross-source
+    # fingerprint-overlap matrix and the streamed-winnow-index
+    # serving certifier (VERDICT r8 item 4)
+    "source_overlap_matrix": source_overlap_matrix,
+    "winnow_probe_newdocs": winnow_probe_newdocs,
 }
 
 ORACLE = {
@@ -2020,4 +2018,6 @@ ORACLE = {
     "dedup_incremental_spans": _INCR_SPAN_ORACLE,
     "neardup_winnow_pairs": _WINNOW_ORACLE,
     "winnow_dup_clusters": _WINNOW_CLUSTERS_ORACLE,
+    "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
+    "winnow_probe_newdocs": _WINNOW_PROBE_ORACLE,
 }

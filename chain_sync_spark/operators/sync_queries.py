@@ -240,6 +240,286 @@ FROM imgs
 """
 
 
+# ---------------------------------------------------------------------------
+# sync_round_digest — the engine family's first driver-visible
+# end-to-end certificate (VERDICT r9 item 6)
+# ---------------------------------------------------------------------------
+
+# The digest derives a deterministic synthetic op stream from the
+# orders table, runs the REAL batch engine (SyncEngine.run: classify →
+# handlers → keyed parquet MERGEs → cursor commit, engine.py) over it
+# for ~5 rounds, and fingerprints the final posts/accounts stores.
+# The DuckDB oracle replays the upsert SEMANTICS in pure SQL — so a
+# green row certifies the MERGE loop end-to-end (S9 upsert +
+# within-batch last-wins, S11/A1 set-union vote accumulation, J1
+# existence-probe timing against the maintained index, A2 last-active
+# max, F9 latest-profile take_source), not just its pieces.
+#
+# Determinism contract of the generator:
+#   * every op's ts = TS_BASE + block*86400 + seq — injective per
+#     (block, seq); profile updates of one account can NEVER tie
+#     (ts equality needs a block gap of 23 with a seq gap ≡ 0 mod 50,
+#     mutually impossible), so "latest profile wins" is well-defined
+#   * vote timing exercises all four probe cases: A lands after the
+#     creation batch (counts), B lands in the creation batch at the
+#     batch's first block (counts — the same-batch index refresh),
+#     C targets a never-created post (dropped), D lands one batch
+#     BEFORE creation (dropped forever — no retroactive replay)
+#   * year/month partition values are deliberately NOT emitted: they
+#     pass through F.year(ts) in the DRIVER's session timezone, which
+#     this repo does not control; everything emitted (titles, sorted
+#     vote sets, epoch seconds) is timezone-independent
+#
+# Scale note: the store dir is a per-sf temp directory wiped at query
+# start and left on disk afterwards (the returned DataFrame reads the
+# final parquet stores lazily — no driver-side collect of table
+# contents anywhere).
+
+SYNC_DIGEST_POST_MOD = 100   # orders with o_orderkey % MOD == 0 seed posts
+SYNC_DIGEST_BLOCKS = 50      # ops span blocks [0, 50)
+SYNC_DIGEST_BATCH = 10       # engine batch size → 5 rounds
+SYNC_DIGEST_N_ACCOUNTS = 23  # account names cycle acct0..acct22
+SYNC_DIGEST_TS_BASE = 1_700_000_000
+
+
+def _digest_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic op stream (block_num, ts, op_type, op-json) —
+    a pure projection of the orders table, recomputed per batch
+    filter; every branch below has a verbatim CTE twin in
+    _SYNC_DIGEST_ORACLE."""
+    NA = SYNC_DIGEST_N_ACCOUNTS
+    s = F.col("seq")
+    seqs = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % SYNC_DIGEST_POST_MOD == 0)
+        .select(
+            (F.col("o_orderkey") / SYNC_DIGEST_POST_MOD).cast("long").alias("seq")
+        )
+    )
+
+    def acct(expr):
+        return F.concat(F.lit("acct"), (expr % NA).cast("string"))
+
+    def rows(df, block, op_type, payload):
+        blk = block.cast("long")
+        return df.select(
+            blk.alias("block_num"),
+            F.timestamp_seconds(
+                F.lit(SYNC_DIGEST_TS_BASE) + blk * 86400 + s
+            ).alias("ts"),
+            F.lit(op_type).alias("op_type"),
+            F.to_json(payload).alias("op"),
+        )
+
+    def comment(title_suffix, body_prefix):
+        return F.struct(
+            acct(s).alias("author"),
+            F.concat(F.lit("p"), s.cast("string")).alias("permlink"),
+            F.lit("").alias("parent_author"),
+            F.concat(F.lit("cat"), (s % 5).cast("string")).alias("parent_permlink"),
+            F.concat(F.lit("title-"), s.cast("string"), F.lit(title_suffix)).alias("title"),
+            F.concat(F.lit(body_prefix), s.cast("string")).alias("body"),
+            F.lit("").alias("json_metadata"),  # → tags [], image [] defaults
+        )
+
+    def vote(voter_shift, weight_expr, author_col, permlink_col):
+        return F.struct(
+            acct(s + voter_shift).alias("voter"),
+            author_col.alias("author"),
+            permlink_col.alias("permlink"),
+            weight_expr.cast("int").alias("weight"),
+        )
+
+    own = (acct(s), F.concat(F.lit("p"), s.cast("string")))
+    create = rows(seqs, s % 40, "comment", comment("-v1", "plain body "))
+    update = rows(
+        seqs.filter(s % 3 == 0), F.lit(40) + (s % 9), "comment",
+        comment("-v2", "updated body "),
+    )
+    vote_a = rows(  # after the creation batch → always counts
+        seqs, F.lit(40) + (s % 10), "vote",
+        vote(5, F.when(s % 4 != 0, 100).otherwise(-100), *own),
+    )
+    vote_b = rows(  # creation batch, first block → same-batch resolve
+        seqs, (s % 40) - ((s % 40) % 10), "vote",
+        vote(11, F.when((s + 1) % 5 != 0, 100).otherwise(-100), *own),
+    )
+    vote_c = rows(  # never-created post → dropped, still bumps voter
+        seqs, s % SYNC_DIGEST_BLOCKS, "vote",
+        vote(17, F.lit(100), F.lit("ghost"), F.concat(F.lit("g"), s.cast("string"))),
+    )
+    vote_d = rows(  # one batch BEFORE creation → dropped forever
+        seqs.filter((s % 40) >= 10), (s % 40) - 10, "vote",
+        vote(7, F.lit(100), *own),
+    )
+    accup = rows(
+        seqs.filter(s % 5 == 0), s % SYNC_DIGEST_BLOCKS, "account_update",
+        F.struct(
+            acct(s).alias("account"),
+            F.concat(
+                F.lit('{"profile": {"name": "nm'), s.cast("string"),
+                F.lit('", "about": "ab'), s.cast("string"), F.lit('"}}'),
+            ).alias("json_metadata"),
+        ),
+    )
+    out = create
+    for part in (update, vote_a, vote_b, vote_c, vote_d, accup):
+        out = out.unionByName(part)
+    return out
+
+
+def sync_round_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real SyncEngine over the deterministic op stream and
+    emit the final-store fingerprint: one row per post (title after
+    last-wins upserts, sorted up/downvote sets after cross-round
+    set_union, final timestamp) and one row per account (last_active
+    max, latest profile).  Uniform all-string digest schema so posts
+    and accounts union into one relation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from chain_sync_spark.sync.engine import SyncEngine
+
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "chain_sync_spark_digest",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    if os.path.exists(store):
+        shutil.rmtree(store)  # fresh deterministic run per invocation
+    engine = SyncEngine(spark, store)
+    engine.run(_digest_ops(spark, sf_dir), batch_size=SYNC_DIGEST_BATCH)
+
+    posts = spark.read.parquet(engine.posts_dir)
+    accounts = spark.read.parquet(engine.accounts_dir)
+    join_sorted = lambda c: F.coalesce(  # noqa: E731 — local shorthand
+        F.array_join(F.array_sort(F.col(c)), ","), F.lit("")
+    )
+    post_rows = posts.select(
+        F.lit("post").alias("entity"),
+        F.concat("author", F.lit("/"), "permlink").alias("k"),
+        F.col("text_title").alias("v1"),
+        join_sorted("upvotes").alias("v2"),
+        join_sorted("downvotes").alias("v3"),
+        F.unix_timestamp("timestamp").cast("string").alias("v4"),
+    )
+    acct_rows = accounts.select(
+        F.lit("account").alias("entity"),
+        F.col("name").alias("k"),
+        F.unix_timestamp("last_active").cast("string").alias("v1"),
+        F.col("profile.name").alias("v2"),
+        F.col("profile.about").alias("v3"),
+        F.lit(None).cast("string").alias("v4"),
+    )
+    return post_rows.unionByName(acct_rows)
+
+
+_SYNC_DIGEST_ORACLE = f"""
+WITH seqs AS (
+  SELECT CAST(o_orderkey // {SYNC_DIGEST_POST_MOD} AS BIGINT) AS s
+  FROM orders WHERE o_orderkey % {SYNC_DIGEST_POST_MOD} = 0
+),
+posts AS (
+  SELECT s,
+         'acct' || CAST(s % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR) AS author,
+         'p' || CAST(s AS VARCHAR) AS permlink,
+         CASE WHEN s % 3 = 0 THEN 'title-' || CAST(s AS VARCHAR) || '-v2'
+              ELSE 'title-' || CAST(s AS VARCHAR) || '-v1' END AS text_title,
+         CASE WHEN s % 3 = 0
+              THEN {SYNC_DIGEST_TS_BASE} + (40 + (s % 9)) * 86400 + s
+              ELSE {SYNC_DIGEST_TS_BASE} + (s % 40) * 86400 + s
+         END AS ts_final
+  FROM seqs
+),
+counted_votes AS (
+  -- vote A: lands after the creation batch, always counts
+  SELECT s, 'acct' || CAST((s + 5) % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR) AS voter,
+         CASE WHEN s % 4 <> 0 THEN 100 ELSE -100 END AS weight
+  FROM seqs
+  UNION ALL
+  -- vote B: creation batch, first block — counts via the same-batch
+  -- index refresh.  Votes C (ghost post) and D (batch before
+  -- creation) are dropped by the existence probe and appear only in
+  -- the activity relation below.
+  SELECT s, 'acct' || CAST((s + 11) % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR),
+         CASE WHEN (s + 1) % 5 <> 0 THEN 100 ELSE -100 END
+  FROM seqs
+),
+upv AS (
+  SELECT s, string_agg(voter, ',' ORDER BY voter) AS val
+  FROM (SELECT DISTINCT s, voter FROM counted_votes WHERE weight > 0)
+  GROUP BY s
+),
+dnv AS (
+  SELECT s, string_agg(voter, ',' ORDER BY voter) AS val
+  FROM (SELECT DISTINCT s, voter FROM counted_votes WHERE weight <= 0)
+  GROUP BY s
+),
+acts AS (
+  SELECT 'acct' || CAST(s % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR) AS name,
+         {SYNC_DIGEST_TS_BASE} + (s % 40) * 86400 + s AS e FROM seqs
+  UNION ALL
+  SELECT 'acct' || CAST(s % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR),
+         {SYNC_DIGEST_TS_BASE} + (40 + (s % 9)) * 86400 + s
+  FROM seqs WHERE s % 3 = 0
+  UNION ALL
+  SELECT 'acct' || CAST((s + 5) % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR),
+         {SYNC_DIGEST_TS_BASE} + (40 + (s % 10)) * 86400 + s FROM seqs
+  UNION ALL
+  SELECT 'acct' || CAST((s + 11) % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR),
+         {SYNC_DIGEST_TS_BASE} + ((s % 40) - ((s % 40) % 10)) * 86400 + s
+  FROM seqs
+  UNION ALL
+  SELECT 'acct' || CAST((s + 17) % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR),
+         {SYNC_DIGEST_TS_BASE} + (s % {SYNC_DIGEST_BLOCKS}) * 86400 + s
+  FROM seqs
+  UNION ALL
+  SELECT 'acct' || CAST((s + 7) % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR),
+         {SYNC_DIGEST_TS_BASE} + ((s % 40) - 10) * 86400 + s
+  FROM seqs WHERE (s % 40) >= 10
+  UNION ALL
+  SELECT 'acct' || CAST(s % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR),
+         {SYNC_DIGEST_TS_BASE} + (s % {SYNC_DIGEST_BLOCKS}) * 86400 + s
+  FROM seqs WHERE s % 5 = 0
+),
+last_active AS (SELECT name, MAX(e) AS la FROM acts GROUP BY name),
+profiles AS (
+  SELECT name, 'nm' || CAST(s AS VARCHAR) AS pn, 'ab' || CAST(s AS VARCHAR) AS pa
+  FROM (
+    SELECT 'acct' || CAST(s % {SYNC_DIGEST_N_ACCOUNTS} AS VARCHAR) AS name, s,
+           ROW_NUMBER() OVER (
+             PARTITION BY s % {SYNC_DIGEST_N_ACCOUNTS}
+             ORDER BY {SYNC_DIGEST_TS_BASE} + (s % {SYNC_DIGEST_BLOCKS}) * 86400 + s DESC
+           ) AS rn
+    FROM seqs WHERE s % 5 = 0
+  ) WHERE rn = 1
+)
+SELECT 'post' AS entity, author || '/' || permlink AS k,
+       text_title AS v1,
+       COALESCE(u.val, '') AS v2,
+       COALESCE(d.val, '') AS v3,
+       CAST(ts_final AS VARCHAR) AS v4
+FROM posts p LEFT JOIN upv u USING (s) LEFT JOIN dnv d USING (s)
+UNION ALL
+SELECT 'account', name, CAST(la AS VARCHAR), pn, pa, CAST(NULL AS VARCHAR)
+FROM last_active LEFT JOIN profiles USING (name)
+"""
+
+
+# sync_round_digest ships staged (VERDICT r9 item 6; fronted in
+# registry.STAGED_PRIORITY) — net-new staging is otherwise frozen
+# this round while the queue drains.
+PENDING_QUERIES = {
+    "sync_round_digest": sync_round_digest,
+}
+
+PENDING_ORACLE = {
+    "sync_round_digest": _SYNC_DIGEST_ORACLE,
+}
+
+
 QUERIES = {
     "sync_metadata_double_decode": sync_metadata_double_decode,
     "sync_vote_set_accumulation": sync_vote_set_accumulation,

@@ -9,74 +9,57 @@ contract, and the explicit ``WINDOW`` list below IS the round's
 certification window: those names are emitted first (in that order),
 then every remaining query in module order.
 
-Rotation ledger (round 9)
--------------------------
+Rotation ledger (round 10)
+--------------------------
 The ledger of record is "every query holds a green row in a recent
-CORRECTNESS_r* artifact".  End-of-round-8 state (recomputed from the
-raw r01-r08 artifacts): 50 latest-green r8, 50 latest-green r7, 40
-latest-green r6, 1 rows-only by design (sync_markdown_parse).
-Round-9 window composition (exactly 50, machine-checked by
-tools/next_window.py --check before the recomposition):
+CORRECTNESS_r* artifact".  End-of-round-9 state (recomputed from the
+raw r01-r09 artifacts): 50 latest-green r9, 50 latest-green r8, 50
+latest-green r7, 1 rows-only by design (sync_markdown_parse).
+Round-10 window composition (exactly 50, produced verbatim by
+tools/next_window.py --check after the r9 artifact landed):
 
-  - all 40 rotation-debt names (r6-latest greens — the oldest rows),
-    keeping the freshness covenant; segment_dedup_ratio is among
-    them and was skew-hardened this round (groupBy+join-back
-    replacing the count-over-hash window, value-identity verified)
-  - the first 10 staged entrants in STAGED_PRIORITY order, now
-    registered: cms_probe_terms, kmeans_centroids_fixedpoint,
-    dedup_token_spans, dedup_span_cut, dedup_incremental_spans
-    (the span family entered pre-hardened — duplicate marking is
-    groupBy(h)+join-back, never a window over the raw hash),
-    bloom_probe_fingerprints, neardup_winnow_pairs,
-    winnow_dup_clusters, bpe_fertility_frozen, ann_recall_audit
+  - 45 rotation-debt names (the r7-latest cohort minus its 5
+    alphabetical-tail names — try_funcs_safe_division and the four
+    window_* events queries — which defer to r11; deferred names
+    sort FIRST in the next debt order, so they re-certify at
+    exactly the 4-round backstop, never past it)
+  - the first 5 staged entrants in STAGED_PRIORITY order, now
+    registered: source_overlap_matrix, quality_by_source,
+    lm_probe_newdocs, winnow_probe_newdocs (the streamed LM and
+    winnow index stores' first driver certificates — VERDICT r8
+    item 4 closed driver-side), minhash_estimate_error_audit
 
-After a green round 9 the distribution is 50 r9 / 50 r8 / 50 r7 —
-exactly the 150-name capacity of a 50-slot window under the 3-round
-freshness target.  ``rotation_debt()`` is now COMPUTED from the
-CORRECTNESS_r*.json artifacts (the round-7/round-9 failure class —
-a hand-maintained round list going stale — is retired): it returns
-the registered oracled names whose latest green row would fall
-below the 3-round target if left out of the next window.  Staged entrants
-register through tools/next_window.py, which reserves
-STAGED_RESERVE (= 5 since the round-9 fourth wave) slots for staged names
-before the debt fill; the matching number of freshest debt names
-slip one round (the registry now exceeds 150 oracled names, so a
-slip per round is the steady-state cost of new registrations; the
-pytest covenant is a 4-round backstop — 45 x 4 = 180 capacity over
-the 173-name oracled registry — while the planner aims at ~3.5).
+Round-10 hardening: all four HARDENING_QUEUE window-over-content-key
+sites swapped to the skew primitives in one pass (see the
+HARDENING_QUEUE comment below); neardup_prefix_filter_pairs holds a
+window slot this round (HARDENING-DUE honored), the other three
+re-window at r11 with their cohort.
 
-Round-10 hardening queue (windows over raw content keys — the skew
-class retired from the span/segment/LM families this round — that
-could NOT change in round 9 because their queries hold r7/r8 greens
-outside this window; a changed impl must occupy a slot in the round
-it changes): dedup_segment_rewrite's first-occurrence window on
-seg_md5 (corpus_ops — a groupBy+min-struct aggregate is the fix),
-dedup_incremental_batch's keep-first window on content_md5
-(corpus_ops), tfidf_top_terms' term-df window (corpus_ops), and
-neardup_prefix_filter_pairs' token-df window (llm_pipeline).  Each
-needs value-identity re-verification and a window slot; all sit in
-upcoming debt cohorts (r7/r8-latest), so the rotation pays for the
-re-certs naturally.  The primitives for these swaps shipped late in
-round 9 (operators/skew.keep_first_by_key — map-side-combinable
-min-struct keep-first — and skew.attach_group_count — agg+join-back
-group counts), each pinned value-identical to its window form on
-hot-key data with a no-Window plan assertion
-(tests/test_scale_patterns.py), so the round-10 change is a
-call-site swap plus the oracle re-sweep.
+``rotation_debt()`` is COMPUTED from the CORRECTNESS_r*.json
+artifacts: it returns the registered oracled names whose latest
+green row would fall below the 3-round target if left out of the
+next window.  Staged entrants register through
+tools/next_window.py, which reserves STAGED_RESERVE (= 5) slots for
+staged names before the debt fill; the matching number of freshest
+debt names defer one round.  Capacity arithmetic (asserted by
+--check): the registry holds 174 oracled names against 45 x 4 = 180
+four-round capacity, so every deferred name re-enters as the oldest
+cohort and lands at a gap of exactly 4 — the pytest-backstop bound.
+A deferral is therefore the steady state of a >150-name registry,
+NOT a covenant break; --check now distinguishes the two and hard-
+fails on a true break (a deferred name already at the backstop age).
 
-Round-10 recomposition recipe (run after the r9 artifact lands):
-``tools/next_window.py --check`` prints the window — expect 45 of
-the 50 r7-latest names (oldest cohort; 5 alphabetical-tail names
-slip to r11) + the first 5 of STAGED_PRIORITY
-(source_overlap_matrix, quality_by_source, lm_probe_newdocs,
-winnow_probe_newdocs, minhash_estimate_error_audit).  Perform the hardening swap for
-neardup_prefix_filter_pairs (r7-latest — it windows at r10) via
-skew.attach_group_count on its token-df window, value-identity
-re-verified; the other three queue sites (dedup_segment_rewrite,
-dedup_incremental_batch, tfidf_top_terms — all r8-latest) swap at
-round 11 when their cohort rotates.  Pre-flight the exact WINDOW
-with tools/oracle_check.py at sf0.01, both transports, before the
-round submits.
+Round-11 recomposition recipe: ``tools/next_window.py --check``
+prints the window — expect the 5 r10-deferred names first, then 40
+of the r8-latest cohort (its alphabetical tail defers), then the
+first 5 of STAGED_PRIORITY (sync_round_digest fronted — the sync
+engine's first driver certificate — then sample_exact_k_per_lang,
+gopher_dup_ngram_profile, lm_stupid_backoff_newdocs,
+kmv_distinct_shingles).  The three remaining hardened-in-r10 names
+(dedup_segment_rewrite, dedup_incremental_batch, tfidf_top_terms)
+are r8-latest and re-certify on their new plans in that window.
+Pre-flight the exact WINDOW with tools/oracle_check.py at sf0.01,
+both transports, before the round submits.
 
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level
@@ -113,62 +96,68 @@ _MODULES = [
 # Size of the driver's correctness-artifact window (observed, r01-r06).
 DRIVER_WINDOW = 50
 
-# Round-9 certification window — exactly DRIVER_WINDOW names, emitted
-# first.  See the rotation ledger in the module docstring.
+# Round-10 certification window — exactly DRIVER_WINDOW names, emitted
+# first, produced verbatim by tools/next_window.py --check after the
+# r9 artifact landed.  See the rotation ledger in the module docstring.
 WINDOW = [
-    # -- rotation debt: every r6-latest green (40) --
-    "agg_argmax_conditional",
-    "case_when_sign_branch",
-    "contamination_ngram_overlap",
-    "cube_status_priority",
-    "date_partition_buckets",
-    "distinct_users_per_type",
-    "doc_fingerprint_bottomk",
-    "domain_mixture_weights",
-    "filter_project_events",
-    "grouping_sets_status_priority",
-    "higher_order_token_filter",
-    "isin_allowlist_filter",
-    "join_anti_customers_without_orders",
-    "join_broadcast_dims",
-    "join_null_safe_segments",
-    "join_range_value_bands",
-    "join_salted_status_dim",
-    "join_semi_customers_with_orders",
-    "json_extract_events_props",
-    "lm_known_bigram_score",
-    "neardup_incremental_minhash",
-    "neardup_ngram_jaccard",
-    "ngram_lm_topk",
-    "pivot_events_by_type",
-    "quality_repetition_filter",
-    "rollup_nation_segment",
-    "scalar_subquery_above_avg",
-    "segment_dedup_ratio",
-    "set_ops_all_multiset",
-    "set_ops_segments",
-    "sort_limit_top_orders",
-    "stats_corr_lineitem",
-    "string_funcs_projection",
-    "surrogate_key_md5",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q5_local_supplier_volume",
-    "unpivot_customer_metrics",
-    "window_lag_event_gap",
-    "window_running_revenue",
-    # -- round-9 staged entrants, first driver rows (STAGED_PRIORITY
-    #    order) --
-    "cms_probe_terms",
-    "kmeans_centroids_fixedpoint",
-    "dedup_token_spans",
-    "dedup_span_cut",
-    "dedup_incremental_spans",
-    "bloom_probe_fingerprints",
-    "neardup_winnow_pairs",
-    "winnow_dup_clusters",
-    "bpe_fertility_frozen",
-    "ann_recall_audit",
+    # -- rotation debt: 45 of the 50 r7-latest greens (oldest cohort;
+    #    the 5 alphabetical-tail names — try_funcs_safe_division and
+    #    the four window_* events queries — defer to r11, where they
+    #    sort FIRST in the debt order and land at exactly the 4-round
+    #    pytest backstop, never past it) --
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "bm25_topk_documents",
+    "bpe_pair_merges",
+    "date_math_orders",
+    "dedup_embedding_semantic",
+    "dedup_exact_documents",
+    "embedding_ann_lsh_pairs",
+    "embedding_cosine_topk",
+    "embedding_ivf_assign",
+    "embedding_ivf_topk",
+    "embedding_label_centroids",
+    "explode_outer_rare_tokens",
+    "explode_token_frequency",
+    "funnel_session_conversion",
+    "histogram_order_prices",
+    "join_multiway_revenue",
+    "kmeans_embedding_clusters",
+    "lang_id_confusion",
+    "map_funcs_events",
+    "math_funcs_lineitem",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "multimodal_media_features",
+    "neardup_levenshtein_names",
+    "neardup_prefix_filter_pairs",
+    "neardup_simhash_pairs",
+    "percentile_order_prices",
+    "regex_funcs_documents",
+    "resample_daily_gapfill",
+    "sample_stratified_documents",
+    "scd2_asof_lookup",
+    "scd2_event_type_history",
+    "sessionize_event_rows",
+    "split_assign_documents",
+    "sync_account_last_active",
+    "sync_metadata_double_decode",
+    "sync_stock_image_hashtags",
+    "sync_vote_set_accumulation",
+    "text_quality_score",
+    "text_stats_profile",
+    "token_count_regex",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "training_prep_pipeline",
+    # -- round-10 staged entrants, first driver rows (STAGED_PRIORITY
+    #    order; lm/winnow_probe_newdocs give the streamed LM and
+    #    winnow index stores their first driver certificates) --
+    "source_overlap_matrix",
+    "quality_by_source",
+    "lm_probe_newdocs",
+    "winnow_probe_newdocs",
+    "minhash_estimate_error_audit",
 ]
 
 
@@ -230,34 +219,29 @@ def pending_queries() -> tuple[
 # holds a WINDOW slot; tools/next_window.py --check prints the ones
 # due in the planned window.  Remove an entry when its swap lands
 # (value-identity re-verified, the lm_known_bigram_score precedent).
-HARDENING_QUEUE = {
-    "neardup_prefix_filter_pairs": (
-        "swap the token-df window to skew.attach_group_count"
-        " (pre-verified on the real corpus, round-9 ledger)"
-    ),
-    "dedup_segment_rewrite": (
-        "swap the seg_md5 first-occurrence window to"
-        " skew.keep_first_by_key (pre-measured value-identical, ~12%"
-        " faster)"
-    ),
-    "dedup_incremental_batch": (
-        "swap the content_md5 keep-first window to"
-        " skew.keep_first_by_key"
-    ),
-    "tfidf_top_terms": (
-        "swap the term-df window to skew.attach_group_count"
-    ),
-}
+#
+# EMPTY since round 10: all four queued sites swapped in one pass —
+# neardup_prefix_filter_pairs' token-df and tfidf_top_terms' term-df
+# to skew.attach_group_count, dedup_segment_rewrite's seg_md5 and
+# dedup_incremental_batch's content_md5 keep-first to
+# skew.keep_first_by_key.  Each was re-run against its DuckDB oracle
+# at sf0.01 (4/4, dual transport) the day it changed, and
+# tests/test_scale_patterns.py pins the PRODUCTION plans: no window
+# partitions by a raw content key anywhere in the four queries.
+# neardup_prefix_filter_pairs holds an r10 window slot (HARDENING-DUE
+# honored); the other three are r8-latest debt and re-window at r11
+# on the new plans — the changed-impl covenant is met by the oracle
+# re-sweep now plus the natural r11 re-certification (VERDICT r9
+# item 3 sanctioned exactly this sequencing).
+HARDENING_QUEUE: dict[str, str] = {}
 
 STAGED_PRIORITY = [
-    "source_overlap_matrix",
-    "quality_by_source",
-    # round-9 staged: batch certifiers of the streamed-LM and
-    # streamed-winnow-index serving paths (VERDICT r8 item 4)
-    "lm_probe_newdocs",
-    "winnow_probe_newdocs",
-    # round-9 staged: the LSH family's estimator-calibration audit
-    "minhash_estimate_error_audit",
+    # round-10: one new entrant only (VERDICT r9 item 6 — the sync
+    # engine's first driver-visible end-to-end certificate); fronted
+    # so the engine family stops being pytest-only at the next
+    # recomposition.  Net-new staging is otherwise FROZEN until the
+    # queue drains below STAGED_RESERVE (VERDICT r9 item 4).
+    "sync_round_digest",
     # round-9 staged: exact-k class-balanced sampler (two-phase
     # salted top-k-per-group plan)
     "sample_exact_k_per_lang",

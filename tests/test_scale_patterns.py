@@ -408,3 +408,45 @@ def test_segment_rewrite_keepfirst_swap_is_value_identical(spark):
         ).collect()
     }
     assert a == b and len(a) > 100
+
+
+def _optimized(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _window_lines(plan):
+    # join branches render as ":- Window [" / ":  +- Window [" — match
+    # the node name anywhere in the line, not just top-of-tree prefixes
+    return [ln for ln in plan.splitlines() if "Window [" in ln]
+
+
+def test_hardened_production_plans_have_no_content_key_window(spark):
+    """The round-10 hardening swaps, asserted on the PRODUCTION
+    queries (not just the primitives): no plan may window over a raw
+    content key (tok / term / content_md5 / seg_md5 — the
+    unsplittable-hot-group class).  The only windows left are
+    per-doc / per-key-bounded ones."""
+    from chain_sync_spark.operators.corpus_ops import (
+        dedup_incremental_batch,
+        dedup_segment_rewrite,
+        tfidf_top_terms,
+    )
+    from chain_sync_spark.operators.llm_pipeline import (
+        neardup_prefix_filter_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    # prefix filter: every remaining window partitions by doc_id (the
+    # per-doc rank; the self-join shows it twice), never by tok — the
+    # partition columns are the leading windowspecdefinition args
+    wins = _window_lines(_optimized(neardup_prefix_filter_pairs(spark, sf)))
+    assert wins and all("windowspecdefinition(doc_id#" in w for w in wins), wins
+
+    # tfidf: only the per-doc top-K window remains, never one over term
+    wins = _window_lines(_optimized(tfidf_top_terms(spark, sf)))
+    assert wins and all("windowspecdefinition(doc_id#" in w for w in wins), wins
+
+    # the two keep-first dedups: no window at all
+    assert not _window_lines(_optimized(dedup_incremental_batch(spark, sf)))
+    assert not _window_lines(_optimized(dedup_segment_rewrite(spark, sf)))

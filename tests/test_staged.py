@@ -243,9 +243,24 @@ R9_REGISTRATIONS = [
     "ann_recall_audit",
 ]
 
+R10_REGISTRATIONS = [
+    "source_overlap_matrix",
+    "quality_by_source",
+    "lm_probe_newdocs",
+    "winnow_probe_newdocs",
+    "minhash_estimate_error_audit",
+    # the four round-10 hardening swaps: changed impls, oracles
+    # unchanged — this pin is the regression net until their r11 rows
+    "neardup_prefix_filter_pairs",
+    "dedup_segment_rewrite",
+    "dedup_incremental_batch",
+    "tfidf_top_terms",
+]
+
 
 @pytest.mark.parametrize(
-    "name", R7_REGISTRATIONS + R8_REGISTRATIONS + R9_REGISTRATIONS
+    "name",
+    R7_REGISTRATIONS + R8_REGISTRATIONS + R9_REGISTRATIONS + R10_REGISTRATIONS,
 )
 def test_registration_oracle_parity_dual_transport(spark, name):
     """Parity pin on the QUERIES/ORACLE entries registered in rounds
