@@ -118,6 +118,10 @@ EXTENDED_SET = [
     "embedding_prototypicality",   # staged r10 (pruning metric)
     "split_assign_leakage_safe",   # staged r10 (dedup-aware split)
     "matryoshka_recall_audit",     # staged r10 (MRL truncation audit)
+    # round-10 hardening-swap visibility: the two swapped queries not
+    # already benched above (prefix-filter and segment-rewrite are)
+    "dedup_incremental_batch",     # keep-first swap (r10)
+    "tfidf_top_terms",             # term-df swap (r10)
     # dedup_funnel_report is NOT benched: its wall-clock is the sum
     # of its component pipelines (each benched above) plus tiny id
     # joins — see its docstring (the exact-profile precedent)
@@ -125,6 +129,18 @@ EXTENDED_SET = [
 ]
 
 HEADLINE = BASELINE_SET + EXTENDED_SET
+
+# The sf-ladder (10x-down ratio check) runs the baseline set PLUS the
+# round-10 skew-hardened queries: the swaps trade local wall-clock for
+# AQE-splittable plans, so their scale story must stay evidenced in
+# the ratio series, not just asserted (VERDICT r9 item 8).
+SKEW_HARDENED = [
+    "neardup_prefix_filter_pairs",
+    "dedup_segment_rewrite",
+    "dedup_incremental_batch",
+    "tfidf_top_terms",
+]
+LADDER_SET = BASELINE_SET + SKEW_HARDENED
 
 # Library operators benched without a registry entry (pytest-gated,
 # no DuckDB oracle by design — see each docstring).
@@ -285,7 +301,7 @@ def main() -> None:
     ):
         small: dict[str, float] = {}
         for _pass in range(2):  # first pass warms the small-SF footers
-            for n in BASELINE_SET:
+            for n in LADDER_SET:
                 if n not in queries:
                     continue
                 df = queries[n](spark, ladder_dir)
