@@ -193,9 +193,13 @@ def _compact_line(headline: dict) -> str:
     # the auxiliary dicts (construct_hot, sf_ratio) are bounded today
     # but unguarded growth is the round-4 failure class — shed them
     # before sacrificing slow-query visibility (stderr keeps full
-    # detail for everything shed here)
+    # detail for everything shed here). sf_ratio sheds FIRST:
+    # construct_hot is the eager-loop honesty signal (VERDICT r9
+    # item 8 asks for it in the compact line) and is top-5-bounded
+    # (~160 chars), while the growing ladder set is the bigger dict
+    # and its full series also lands in stderr + BENCH.md.
     if len(line) > 1800:
-        for aux in ("construct_hot", "sf_ratio"):
+        for aux in ("sf_ratio", "construct_hot"):
             if len(line) <= 1800:
                 break
             headline.pop(aux, None)

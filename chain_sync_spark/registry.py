@@ -233,6 +233,21 @@ def pending_queries() -> tuple[
 # on the new plans — the changed-impl covenant is met by the oracle
 # re-sweep now plus the natural r11 re-certification (VERDICT r9
 # item 3 sanctioned exactly this sequencing).
+#
+# Round-10 eager-loop pass (same covenant, same evidence standard):
+# connected_components dropped its per-round label-vs-label
+# convergence shuffle (a `changed` flag rides the propagation join),
+# the Lloyd family serves trained centroids from the frozen-codebook
+# store (llm_pipeline._km_trained_centroids) instead of re-running
+# identical deterministic training per query, and every
+# localCheckpoint site registers with the scope pool for
+# deterministic block release (llm_pipeline._scoped_checkpoint).
+# All consumers re-certified against their DuckDB oracles at sf0.001
+# AND sf0.01 dual-transport the day they changed (8/8 CC+kmeans,
+# 4/4 BPE); the affected WINDOW holders (kmeans_embedding_clusters,
+# bpe_pair_merges) earn their r10 rows on the new code, the CC
+# consumers re-window naturally at r11/r12. BENCH.md round-10
+# section records the numbers.
 HARDENING_QUEUE: dict[str, str] = {}
 
 STAGED_PRIORITY = [

@@ -50,11 +50,13 @@ def test_registry_sweep_leaves_no_cached_relations(spark):
     registry (VERDICT r2 'What's wrong' #3)."""
     jsc = spark.sparkContext._jsc
     spark.catalog.clearCache()
-    # localCheckpoint RDDs from OTHER tests in this session are freed
-    # by the ContextCleaner on GC, not by unpersist/clearCache —
-    # measure relative to a baseline snapshot. (At this SF the clusters
-    # loop converges before its first checkpoint, so the sweep itself
-    # creates none.)
+    # Bare localCheckpoint RDDs from OTHER tests in this session are
+    # freed by the ContextCleaner on GC, not by unpersist/clearCache —
+    # measure relative to a baseline snapshot.  Checkpoints created BY
+    # the sweep itself (the BPE fold, a long CC loop) go through
+    # _scoped_checkpoint, whose blocks release_caches() frees
+    # deterministically — the sweep must therefore end at exactly
+    # baseline, GC or no GC.
     baseline = jsc.getPersistentRDDs().size()
     max_live = 0
     for name, fn in all_queries().items():
@@ -65,3 +67,50 @@ def test_registry_sweep_leaves_no_cached_relations(spark):
     # scope bound: at no point did more than one query's working set
     # (<= 3 relations) sit in the cache simultaneously
     assert max_live <= 3, f"cache accumulation during sweep: {max_live} live"
+
+
+def test_scoped_checkpoint_blocks_freed_at_release(spark):
+    """_scoped_checkpoint truncates lineage like localCheckpoint but
+    its blocks drop DETERMINISTICALLY at release_caches() — no
+    dependence on the ContextCleaner's GC timing (the round-10
+    registry-sweep flake: checkpoint residue from the BPE fold
+    surfaced whenever those queries ran at the sweep's tail)."""
+    jsc = spark.sparkContext._jsc
+    lp.release_caches()
+    baseline = jsc.getPersistentRDDs().size()
+    ck = lp._scoped_checkpoint(
+        spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    )
+    assert ck.count() == 1000  # readable while in scope
+    assert jsc.getPersistentRDDs().size() == baseline + 1
+    lp.release_caches()
+    assert jsc.getPersistentRDDs().size() == baseline, (
+        "checkpoint blocks survived release_caches()"
+    )
+
+
+def test_km_codebook_store_trains_once_and_serves_identical_rows(
+    spark, monkeypatch
+):
+    """The frozen-codebook store: the first caller trains, every later
+    caller is served the SAME K-row artifact without re-running Lloyd
+    (training is deterministic integer arithmetic, so the stored rows
+    are what retraining would produce).  The monkeypatched trainer
+    proves the second call never trains."""
+    lp._KM_CODEBOOK_STORE.clear()
+    first = {
+        (r["cid"], tuple(r["c"]))
+        for r in lp._km_trained_centroids(spark, SF_DIR).collect()
+    }
+    assert len(first) == lp.KMEANS_K
+
+    def _boom(vecs):
+        raise AssertionError("codebook store missed: retraining ran")
+
+    monkeypatch.setattr(lp, "_km_train", _boom)
+    again = {
+        (r["cid"], tuple(r["c"]))
+        for r in lp._km_trained_centroids(spark, SF_DIR).collect()
+    }
+    assert again == first
+    lp.release_caches()
