@@ -49,8 +49,10 @@ def keep_first_by_key(
     payload)) aggregate per key, re-exploded to columns.  Value-
     identical to ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
     order_cols) = 1`` whenever ``order_cols`` are duplicate-free
-    within a key (struct comparison is lexicographic), but the
-    aggregate is MAP-SIDE COMBINABLE: each scan task emits one
+    within a key (struct comparison is lexicographic; null keys
+    group like a window partition, and null order fields sort first
+    exactly like the window's ASC NULLS FIRST — both property-tested
+    on nullable data), but the aggregate is MAP-SIDE COMBINABLE: each scan task emits one
     candidate row per key it saw, so a boilerplate key occurring
     millions of times costs one row per task in the shuffle instead
     of pinning its whole occurrence list in one unsplittable window
@@ -78,7 +80,23 @@ def attach_group_count(
     small, skew-split when a key is hot) where a window partition is
     an indivisible task — the fix queued for tfidf_top_terms'
     term-df and neardup_prefix_filter_pairs' token-df at round 10.
-    Value-identical to the window by definition; column order is
-    preserved with ``out`` appended."""
+
+    The join-back is NULL-SAFE (``<=>``): a window partitions null
+    keys into a group like any other, and a plain equi-join-back
+    would silently DROP those rows — none of the production callers
+    feed nullable keys (md5/token/shingle hashes), but the primitive
+    keeps the window's exact semantics so a future caller can't be
+    bitten (property-tested on null keys).  ``<=>`` is still a plain
+    equi-join to the planner — hash/broadcast strategies and AQE
+    skew-split all apply.  Value-identical to the window; column
+    order is preserved with ``out`` appended."""
+    ren = {c: f"_agc_{c}" for c in key_cols}
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias(out))
-    return df.join(counts, key_cols)
+    counts = counts.select(
+        *[F.col(c).alias(ren[c]) for c in key_cols], out
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(c).eqNullSafe(F.col(ren[c]))
+        cond = eq if cond is None else cond & eq
+    return df.join(counts, cond).drop(*ren.values())
