@@ -450,3 +450,21 @@ def test_hardened_production_plans_have_no_content_key_window(spark):
     # the two keep-first dedups: no window at all
     assert not _window_lines(_optimized(dedup_incremental_batch(spark, sf)))
     assert not _window_lines(_optimized(dedup_segment_rewrite(spark, sf)))
+
+
+def test_attach_group_count_nullsafe_join_stays_hash_join(spark):
+    """The null-safe join-back (``<=>``) must still plan as a HASH
+    join: Spark rewrites EqualNullSafe into the composite key
+    (coalesce(k), isnull(k)), so the count relation joins by hash /
+    broadcast exactly like a plain equi-join — if a refactor or an
+    engine change ever degraded it to BroadcastNestedLoopJoin, every
+    consumer (tfidf term-df, prefix-filter token-df, novelty
+    shingle-df) would go quadratic at scale."""
+    from chain_sync_spark.operators.skew import attach_group_count
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    plan = _plan(attach_group_count(df, ["k"], "cnt"))
+    assert "HashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
