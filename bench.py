@@ -220,19 +220,9 @@ def _compact_line(headline: dict) -> str:
     return line
 
 
-def _cpu_probe() -> float:
-    """Pure-Python 20M-iteration loop — the host-throttle probe
-    BENCH.md's cross-round comparisons rely on. ~0.5 s on an
-    unthrottled core; readings of 1.5 s+ mean the host is throttled
-    and every wall-clock number in this artifact scales with it."""
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(20_000_000):
-        x += i
-    return round(time.perf_counter() - t0, 3)
-
-
 def _probe_worker(_: int) -> float:
+    """The ONE probe loop (20M pure-Python iterations) — both probes
+    time exactly this function so the mc/sc ratio can never drift."""
     t0 = time.perf_counter()
     x = 0
     for i in range(20_000_000):
@@ -240,19 +230,31 @@ def _probe_worker(_: int) -> float:
     return time.perf_counter() - t0
 
 
-def _cpu_probe_multicore(n: int = 8) -> float:
-    """The same loop on ``n`` processes at once — the MULTI-core
+def _cpu_probe() -> float:
+    """Single-core host-throttle probe BENCH.md's cross-round
+    comparisons rely on. ~0.5 s on an unthrottled core; readings of
+    1.5 s+ mean the host is throttled and every wall-clock number in
+    this artifact scales with it."""
+    return round(_probe_worker(0), 3)
+
+
+def _cpu_probe_multicore(n: int | None = None) -> float:
+    """The same loop on several processes at once — the MULTI-core
     availability probe. Rounds 9-10 repeatedly hit a failure mode the
     single-core probe cannot see: uniform ~1.2-1.3x inflation across
     the lazy query set at a NORMAL single-core reading, caused by
     other tenants consuming cores Spark's 32 local threads expected.
-    Reported as the worst per-process time: on an idle 32-core host
-    it matches the single-core probe (~0.5 s); a reading well above
-    the single-core number means cross-process contention, and the
-    round's wall-clock numbers carry that named cause. Processes, not
-    threads — the GIL would serialize threads and measure nothing."""
+    Reported as the worst per-process time: on an idle host with
+    >= n free cores it matches the single-core probe (~0.5 s); a
+    reading well above the single-core number means cross-process
+    contention, and the round's wall-clock numbers carry that named
+    cause. n is capped at the host's core count so a small machine
+    doesn't read as permanently contended. Processes, not threads —
+    the GIL would serialize threads and measure nothing."""
     import multiprocessing as mp
 
+    if n is None:
+        n = min(8, os.cpu_count() or 1)
     try:
         with mp.get_context("fork").Pool(n) as pool:
             times = pool.map(_probe_worker, range(n))

@@ -1579,6 +1579,8 @@ def bpe_train(
     persists round-over-round and localCheckpoints every
     {BPE_CHECKPOINT_EVERY} rounds so plan lineage stays bounded
     (the connected-components discipline)."""
+    from chain_sync_spark.operators.llm_pipeline import _scoped_checkpoint
+
     toks = _docs_words(spark, sf_dir).select(F.explode("w").alias("word"))
     vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
     syms = vocab.select(_word_chars(F.col("word")).alias("s"), "n_occ").persist()
@@ -1613,10 +1615,6 @@ def bpe_train(
                 # cache can drop immediately.  Scope-pooled so the
                 # checkpoint blocks free deterministically at the next
                 # release_caches instead of at an eventual driver GC.
-                from chain_sync_spark.operators.llm_pipeline import (
-                    _scoped_checkpoint,
-                )
-
                 nxt = _scoped_checkpoint(nxt)
                 syms.unpersist()
             else:
@@ -1642,16 +1640,21 @@ def bpe_apply_merges(
     merges so the chained-fold plan stays codegen-sized.  Input is
     the VOCABULARY (distinct words), never the token stream — the
     standard word-cache trick, so the per-merge pass is
-    vocabulary-sized at any corpus scale."""
+    vocabulary-sized at any corpus scale.
+
+    SCOPE CONTRACT: with >= {BPE_CHECKPOINT_EVERY} merges the
+    returned relation is built on scope-pooled checkpoint blocks —
+    consume it before the next release_caches() (the next query's
+    start), the same lifetime every scoped persist in this package
+    already has; unlike a persist, a checkpointed relation is
+    unreadable after release (lineage was truncated away)."""
+    from chain_sync_spark.operators.llm_pipeline import _scoped_checkpoint
+
     syms = words.withColumn("s", _word_chars(F.col(word_col)))
     for i, (l, r) in enumerate(merges):
         syms = syms.withColumn("s", _apply_merge(F.col("s"), l, r))
         if (i + 1) % BPE_CHECKPOINT_EVERY == 0 and i + 1 < len(merges):
             # scope-pooled: blocks free at the next release_caches
-            from chain_sync_spark.operators.llm_pipeline import (
-                _scoped_checkpoint,
-            )
-
             syms = _scoped_checkpoint(syms)
     return syms
 

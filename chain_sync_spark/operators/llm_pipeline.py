@@ -532,8 +532,13 @@ def connected_components(
         labels.unpersist()
         raise
     # labels is already materialized (the convergence count ran it);
-    # register it with the scope pool so the next query releases it
-    _SCOPED_CACHES.append(labels)
+    # register it with the scope pool so the next query releases it —
+    # unless the final round checkpointed, in which case
+    # _scoped_checkpoint already registered this exact relation
+    # (identity scan: DataFrame.__eq__ builds a Column, so `in` would
+    # raise rather than compare)
+    if not any(labels is c for c in _SCOPED_CACHES):
+        _SCOPED_CACHES.append(labels)
     return labels.select("doc_id", "label")
 
 

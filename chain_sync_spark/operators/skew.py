@@ -89,8 +89,21 @@ def attach_group_count(
     bitten (property-tested on null keys).  ``<=>`` is still a plain
     equi-join to the planner — hash/broadcast strategies and AQE
     skew-split all apply.  Value-identical to the window; column
-    order is preserved with ``out`` appended."""
-    ren = {c: f"_agc_{c}" for c in key_cols}
+    order is preserved with ``out`` appended.  The join-side key
+    renames are derived fresh against the input's columns, so a
+    caller whose relation already carries an ``_agc_``-prefixed
+    column can't hit an ambiguous reference or lose a column to the
+    final drop."""
+    taken = set(df.columns) | {out}
+
+    def _fresh(c: str) -> str:
+        cand = f"_agc_{c}"
+        while cand in taken:
+            cand = "_" + cand
+        taken.add(cand)
+        return cand
+
+    ren = {c: _fresh(c) for c in key_cols}
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias(out))
     counts = counts.select(
         *[F.col(c).alias(ren[c]) for c in key_cols], out

@@ -556,20 +556,39 @@ def test_word_ngrams_all_agrees_with_distinct_shingles(spark):
 # values, hot keys, ties) rather than only on the corpus fixtures.
 # ---------------------------------------------------------------------------
 
-_SKEW_ROWS = st.lists(
-    st.tuples(
-        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # key
-        st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),  # order
-        st.integers(min_value=0, max_value=10**6),  # payload
+# Each hypothesis example is a BATCH of independent datasets packed
+# into one DataFrame (ds id rides in the key), so one example costs
+# one Spark round-trip per side — the module's batching convention —
+# while still covering null keys, null order values, hot keys, ties.
+_SKEW_DATASETS = st.lists(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # key
+            st.one_of(
+                st.none(), st.integers(min_value=-3, max_value=3)
+            ),  # order
+            st.integers(min_value=0, max_value=10**6),  # payload
+        ),
+        min_size=1,
+        max_size=25,
     ),
-    min_size=1,
-    max_size=30,
+    min_size=2,
+    max_size=5,
 )
 
 
-@settings(max_examples=8, deadline=None)
-@given(_SKEW_ROWS)
-def test_keep_first_by_key_equals_window_rn1(spark, data):
+def _skew_batch_df(spark, datasets):
+    rows = [
+        (ds, k, o, i, p)
+        for ds, data in enumerate(datasets)
+        for i, (k, o, p) in enumerate(data)
+    ]
+    return spark.createDataFrame(rows, "ds int, k int, o int, i int, p long")
+
+
+@settings(max_examples=3, deadline=None)
+@given(_SKEW_DATASETS)
+def test_keep_first_by_key_equals_window_rn1(spark, datasets):
     """keep_first_by_key == ROW_NUMBER()=1 on arbitrary data: null
     keys form a group, null order values sort first (ASC NULLS
     FIRST), ties in the first order column break on the unique
@@ -579,28 +598,27 @@ def test_keep_first_by_key_equals_window_rn1(spark, data):
 
     from chain_sync_spark.operators.skew import keep_first_by_key
 
-    rows = [(k, o, i, p) for i, (k, o, p) in enumerate(data)]
-    df = spark.createDataFrame(rows, "k int, o int, i int, p long")
+    df = _skew_batch_df(spark, datasets)
     got = {
         tuple(r)
-        for r in keep_first_by_key(df, ["k"], ["o", "i"])
-        .select("k", "o", "i", "p")
+        for r in keep_first_by_key(df, ["ds", "k"], ["o", "i"])
+        .select("ds", "k", "o", "i", "p")
         .collect()
     }
-    w = Window.partitionBy("k").orderBy(F.asc("o"), F.asc("i"))
+    w = Window.partitionBy("ds", "k").orderBy(F.asc("o"), F.asc("i"))
     want = {
         tuple(r)
         for r in df.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
-        .select("k", "o", "i", "p")
+        .select("ds", "k", "o", "i", "p")
         .collect()
     }
     assert got == want
 
 
-@settings(max_examples=8, deadline=None)
-@given(_SKEW_ROWS)
-def test_attach_group_count_equals_count_window(spark, data):
+@settings(max_examples=3, deadline=None)
+@given(_SKEW_DATASETS)
+def test_attach_group_count_equals_count_window(spark, datasets):
     """attach_group_count == COUNT(*) OVER (PARTITION BY key) on
     arbitrary data — including NULL keys, which a plain equi-join-back
     would silently drop (the null-safe join is the point)."""
@@ -608,21 +626,20 @@ def test_attach_group_count_equals_count_window(spark, data):
 
     from chain_sync_spark.operators.skew import attach_group_count
 
-    rows = [(k, o, i, p) for i, (k, o, p) in enumerate(data)]
-    df = spark.createDataFrame(rows, "k int, o int, i int, p long")
-    # i is unique per row, so the row sets are duplicate-free and a
-    # set compare is exact (sorted() would choke on None vs int)
+    df = _skew_batch_df(spark, datasets)
+    # (ds, i) is unique per row, so the row sets are duplicate-free
+    # and a set compare is exact (sorted() would choke on None vs int)
     got = {
         tuple(r)
-        for r in attach_group_count(df, ["k"], "cnt")
-        .select("k", "i", "cnt")
+        for r in attach_group_count(df, ["ds", "k"], "cnt")
+        .select("ds", "k", "i", "cnt")
         .collect()
     }
-    w = Window.partitionBy("k")
+    w = Window.partitionBy("ds", "k")
     want = {
         tuple(r)
         for r in df.withColumn("cnt", F.count(F.lit(1)).over(w))
-        .select("k", "i", "cnt")
+        .select("ds", "k", "i", "cnt")
         .collect()
     }
     assert got == want
