@@ -113,12 +113,22 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 approx_count_distinct (HLL++). The sketch estimates differ
     between engines by design, so the cross-engine contract is: each
     engine's estimate must fall within 5% of the exact distinct count
-    — a boolean that hash-matches when both sketches are sane. At
-    100 TB the approx variant is the only affordable distinct count:
-    fixed-size sketch per group, no distinct shuffle."""
+    — a boolean that hash-matches when both sketches are sane.
+
+    The Spark sketch precision is PINNED at rsd=0.01: the default
+    rsd=0.05 makes "within 5%" a ONE-SIGMA test that HLL++ is
+    expected to fail on a third of groups as cardinality grows —
+    first seen at sf0.1, where the 'click' estimate missed 1500
+    exact users by >5% while sf0.01 passed on the small-cardinality
+    (linear-counting) regime. At rsd=0.01 the 5% band is ~5 sigma,
+    so the boolean is stable at any scale; the sketch stays
+    fixed-size (~16 KB per group — the whole point of the approx
+    variant at 100 TB: no distinct shuffle). DuckDB's HLL is
+    fixed-precision (~0.8% error) and sits inside the band by
+    construction."""
     ev = table(spark, sf_dir, "events")
     exact = F.countDistinct("user_id")
-    approx = F.approx_count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.01)
     return ev.groupBy("event_type").agg(
         exact.alias("exact_users"),
         (F.abs(approx - exact) <= exact * F.lit(0.05)).alias("approx_within_5pct"),
