@@ -389,6 +389,23 @@ def cos_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(a, b) / (na * nb)
 
 
+def round_sim(c: Column, digits: int = 4) -> Column:
+    """round(x, digits) with NEGATIVE ZERO canonicalized to +0.0 —
+    ``+ 0.0`` is the IEEE identity that rewrites ONLY -0.0.  A
+    noise-magnitude similarity (near-orthogonal cosine) can land on
+    opposite sides of 0 in Spark's vs DuckDB's float summation, and
+    the driver canon treats -0.0 and 0.0 as DIFFERENT values: found
+    live at sf0.1 (embedding_ann_multiprobe pair 276/1232 — Spark
+    0.0, DuckDB -0.0 — in an otherwise identical 8777-pair set).
+    Pair with :func:`round_sim_sql` on the oracle side."""
+    return F.round(c, digits) + F.lit(0.0)
+
+
+def round_sim_sql(expr: str, digits: int = 4) -> str:
+    """Oracle-side twin of :func:`round_sim`."""
+    return f"(round({expr}, {digits}) + 0.0)"
+
+
 def dot_sql(a: str, b: str) -> str:
     return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
 

@@ -904,8 +904,8 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                sk.cos_prenorm(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")), 4
+            sk.round_sim(
+                sk.cos_prenorm(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm"))
             ).alias("cos_sim"),
         )
     )
@@ -923,7 +923,7 @@ WITH q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         round({sk.cosine_sql('q.qe', 'e.embedding')}, 4) AS cos_sim
+         (round({sk.cosine_sql('q.qe', 'e.embedding')}, 4) + 0.0) AS cos_sim
   FROM embeddings e, q
   WHERE e.vec_id <> q.query_id
 )
@@ -972,11 +972,10 @@ def embedding_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.bucket").alias("bucket"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(
+            sk.round_sim(
                 sk.cos_prenorm(
                     F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
-                ),
-                4,
+                )
             ).alias("cos_sim"),
         )
     )
@@ -993,7 +992,7 @@ WITH bucketed AS (
   SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
 )
 SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+       (round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) + 0.0) AS cos_sim
 FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
@@ -1047,11 +1046,10 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("a.bucket").bitwiseXOR(F.col("b.bucket")))
             .cast("int")
             .alias("hamming"),
-            F.round(
+            sk.round_sim(
                 sk.cos_prenorm(
                     F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
-                ),
-                4,
+                )
             ).alias("cos_sim"),
         )
     )
@@ -1069,7 +1067,7 @@ WITH bucketed AS (
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(bit_count(xor(a.bucket, b.bucket)) AS INT) AS hamming,
-       round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+       (round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) + 0.0) AS cos_sim
 FROM bucketed a JOIN bucketed b
   ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
 """
@@ -1272,7 +1270,7 @@ def embedding_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.join(F.broadcast(seeds)).select(
         "vec_id",
         "centroid_id",
-        F.round(sk.cosine(F.col("e"), F.col("ce")), 4).alias("cos_sim"),
+        sk.round_sim(sk.cosine(F.col("e"), F.col("ce"))).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
     return (
@@ -1289,7 +1287,7 @@ WITH seeds AS (
 ),
 scored AS (
   SELECT e.vec_id, s.centroid_id,
-         round({sk.cosine_sql('e.embedding', 's.ce')}, 4) AS cos_sim
+         (round({sk.cosine_sql('e.embedding', 's.ce')}, 4) + 0.0) AS cos_sim
   FROM embeddings e CROSS JOIN seeds s
 )
 SELECT vec_id, centroid_id, cos_sim FROM scored
@@ -1357,7 +1355,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(sk.cosine(F.col("qe"), F.col("e")), 4).alias("cos_sim"),
+            sk.round_sim(sk.cosine(F.col("qe"), F.col("e"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -1398,7 +1396,7 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         round({sk.cosine_sql('p.qe', 'a.embedding')}, 4) AS cos_sim
+         (round({sk.cosine_sql('p.qe', 'a.embedding')}, 4) + 0.0) AS cos_sim
   FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
   WHERE a.vec_id <> p.query_id
 )
@@ -1812,8 +1810,8 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "cand_rk",
-            F.round(
-                sk.cos_prenorm(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")), 4
+            sk.round_sim(
+                sk.cos_prenorm(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm"))
             ).alias("cos_sim"),
         )
     )
@@ -1852,7 +1850,7 @@ qf AS (
 ),
 s2 AS (
   SELECT cand.query_id, cand.neighbor_id, cand.cand_rk,
-         round({sk.cosine_sql('qf.qe', 'e.embedding')}, 4) AS cos_sim
+         (round({sk.cosine_sql('qf.qe', 'e.embedding')}, 4) + 0.0) AS cos_sim
   FROM cand
   JOIN embeddings e ON e.vec_id = cand.neighbor_id
   JOIN qf ON qf.query_id = cand.query_id
@@ -3392,7 +3390,7 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "dims",
-        F.round(sk.cosine(tq, te), 4).alias("cos_sim"),
+        sk.round_sim(sk.cosine(tq, te)).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id", "dims").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -3434,7 +3432,7 @@ q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id, d.dims,
-         round({cos}, 4) AS cos_sim
+         (round({cos}, 4) + 0.0) AS cos_sim
   FROM ed e, q, (SELECT unnest([{all_dims}]) AS dims) d
   WHERE e.vec_id <> q.query_id
 ),
