@@ -2614,15 +2614,11 @@ FROM scored
 
 
 PENDING_QUERIES = {
-    "lm_stupid_backoff_newdocs": lm_stupid_backoff_newdocs,
-    "kmv_distinct_shingles": kmv_distinct_shingles,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "quality_classifier_margin": quality_classifier_margin,
 }
 
 PENDING_ORACLE = {
-    "lm_stupid_backoff_newdocs": _SB_ORACLE,
-    "kmv_distinct_shingles": _KMV_ORACLE,
     "ccnet_quality_buckets": _CCNET_BUCKETS_ORACLE,
     "quality_classifier_margin": _CLS_MARGIN_ORACLE,
 }
@@ -2631,6 +2627,8 @@ PENDING_ORACLE = {
 # serving probes and the frozen-tokenizer fertility report.
 # staged r9 → registered + windowed round 10: the per-source quality
 # report and the streamed-LM serving certifier (VERDICT r8 item 4).
+# staged r9 → registered + windowed round 11: the Stupid Backoff LM
+# probe scorer and the KMV bottom-k cardinality audit.
 QUERIES.update(
     {
         "cms_probe_terms": cms_probe_terms,
@@ -2638,6 +2636,8 @@ QUERIES.update(
         "bpe_fertility_frozen": bpe_fertility_frozen,
         "quality_by_source": quality_by_source,
         "lm_probe_newdocs": lm_probe_newdocs,
+        "lm_stupid_backoff_newdocs": lm_stupid_backoff_newdocs,
+        "kmv_distinct_shingles": kmv_distinct_shingles,
     }
 )
 
@@ -2648,5 +2648,7 @@ ORACLE.update(
         "bpe_fertility_frozen": _bpe_fertility_oracle(),
         "quality_by_source": _QUALITY_BY_SOURCE_ORACLE,
         "lm_probe_newdocs": _LM_PROBE_ORACLE,
+        "lm_stupid_backoff_newdocs": _SB_ORACLE,
+        "kmv_distinct_shingles": _KMV_ORACLE,
     }
 )

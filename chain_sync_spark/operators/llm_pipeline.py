@@ -3879,7 +3879,6 @@ FROM verified
 # DuckDB oracle + dual-transport parity pytest now, a WINDOW slot at
 # a later recomposition.
 PENDING_QUERIES: dict = {
-    "sample_exact_k_per_lang": sample_exact_k_per_lang,
     "ann_two_stage_rerank": ann_two_stage_rerank,
     "neardup_containment_pairs": neardup_containment_pairs,
     "pq_probe_newvecs": pq_probe_newvecs,
@@ -3889,7 +3888,6 @@ PENDING_QUERIES: dict = {
 }
 
 PENDING_ORACLE: dict = {
-    "sample_exact_k_per_lang": _SAMPLE_K_ORACLE,
     "ann_two_stage_rerank": _RERANK_ORACLE,
     "neardup_containment_pairs": _containment_oracle(),
     "pq_probe_newvecs": _pq_probe_oracle(),
@@ -3902,11 +3900,14 @@ PENDING_ORACLE: dict = {
 # artifact and the ANN recall/cost audit.
 # staged r9 → registered + windowed round 10: the MinHash estimator
 # calibration audit.
+# staged r9 → registered + windowed round 11: the exact-k
+# class-balanced sampler (two-phase salted top-k-per-group plan).
 QUERIES.update(
     {
         "kmeans_centroids_fixedpoint": kmeans_centroids_fixedpoint,
         "ann_recall_audit": ann_recall_audit,
         "minhash_estimate_error_audit": minhash_estimate_error_audit,
+        "sample_exact_k_per_lang": sample_exact_k_per_lang,
     }
 )
 
@@ -3915,5 +3916,6 @@ ORACLE.update(
         "kmeans_centroids_fixedpoint": _km_centroids_oracle(),
         "ann_recall_audit": _ann_recall_oracle(),
         "minhash_estimate_error_audit": _minhash_err_oracle(),
+        "sample_exact_k_per_lang": _SAMPLE_K_ORACLE,
     }
 )

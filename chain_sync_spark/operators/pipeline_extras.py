@@ -1963,7 +1963,6 @@ FROM shared s JOIN tot t ON s.src_a = t.source
 
 
 PENDING_QUERIES = {
-    "gopher_dup_ngram_profile": gopher_dup_ngram_profile,
     "mixture_temperature_weights": mixture_temperature_weights,
     "quality_composite_filter": quality_composite_filter,
     "dedup_funnel_report": dedup_funnel_report,
@@ -1972,7 +1971,6 @@ PENDING_QUERIES = {
 }
 
 PENDING_ORACLE = {
-    "gopher_dup_ngram_profile": _GOPHER_ORACLE,
     "mixture_temperature_weights": _TEMP_MIX_ORACLE,
     "quality_composite_filter": _composite_oracle(),
     "dedup_funnel_report": _funnel_oracle(),
@@ -2002,6 +2000,9 @@ QUERIES = {
     # serving certifier (VERDICT r8 item 4)
     "source_overlap_matrix": source_overlap_matrix,
     "winnow_probe_newdocs": winnow_probe_newdocs,
+    # staged r9 → registered + windowed round 11: the Gopher
+    # duplicate-n-gram char-fraction repetition screen
+    "gopher_dup_ngram_profile": gopher_dup_ngram_profile,
 }
 
 ORACLE = {
@@ -2020,4 +2021,5 @@ ORACLE = {
     "winnow_dup_clusters": _WINNOW_CLUSTERS_ORACLE,
     "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
     "winnow_probe_newdocs": _WINNOW_PROBE_ORACLE,
+    "gopher_dup_ngram_profile": _GOPHER_ORACLE,
 }

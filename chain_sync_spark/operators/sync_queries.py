@@ -508,16 +508,9 @@ FROM last_active LEFT JOIN profiles USING (name)
 """
 
 
-# sync_round_digest ships staged (VERDICT r9 item 6; fronted in
-# registry.STAGED_PRIORITY) — net-new staging is otherwise frozen
-# this round while the queue drains.
-PENDING_QUERIES = {
-    "sync_round_digest": sync_round_digest,
-}
+PENDING_QUERIES: dict = {}
 
-PENDING_ORACLE = {
-    "sync_round_digest": _SYNC_DIGEST_ORACLE,
-}
+PENDING_ORACLE: dict = {}
 
 
 QUERIES = {
@@ -527,6 +520,9 @@ QUERIES = {
     "sync_stock_image_hashtags": sync_stock_image_hashtags,
     "sync_markdown_parse": sync_markdown_parse,
     "markdown_extract_builtin": markdown_extract_builtin,
+    # staged r10 → registered + windowed round 11: the sync engine's
+    # first driver-visible end-to-end certificate (VERDICT r9 item 6)
+    "sync_round_digest": sync_round_digest,
 }
 
 ORACLE = {
@@ -575,4 +571,5 @@ ORACLE = {
         FROM t
     """,
     "markdown_extract_builtin": _MD_BUILTIN_ORACLE,
+    "sync_round_digest": _SYNC_DIGEST_ORACLE,
 }

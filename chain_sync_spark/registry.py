@@ -9,31 +9,34 @@ contract, and the explicit ``WINDOW`` list below IS the round's
 certification window: those names are emitted first (in that order),
 then every remaining query in module order.
 
-Rotation ledger (round 10)
+Rotation ledger (round 11)
 --------------------------
 The ledger of record is "every query holds a green row in a recent
-CORRECTNESS_r* artifact".  End-of-round-9 state (recomputed from the
-raw r01-r09 artifacts): 50 latest-green r9, 50 latest-green r8, 50
-latest-green r7, 1 rows-only by design (sync_markdown_parse).
-Round-10 window composition (exactly 50, produced verbatim by
-tools/next_window.py --check after the r9 artifact landed):
+CORRECTNESS_r* artifact".  End-of-round-10 state (recomputed from
+the raw r01-r10 artifacts): 50 latest-green r10, 50 latest-green
+r9, 50 latest-green r8, 5 latest-green r7 (the r10 deferral tail),
+1 rows-only by design (sync_markdown_parse).
+Round-11 window composition (exactly 50, produced verbatim by
+tools/next_window.py --check after the r10 artifact landed):
 
-  - 45 rotation-debt names (the r7-latest cohort minus its 5
-    alphabetical-tail names — try_funcs_safe_division and the four
-    window_* events queries — which defer to r11; deferred names
-    sort FIRST in the next debt order, so they re-certify at
-    exactly the 4-round backstop, never past it)
+  - the 5 r10-deferred r7-latest names FIRST
+    (try_funcs_safe_division + the four window_* events queries —
+    they re-certify at exactly the 4-round backstop, never past it)
+  - 40 of the r8-latest cohort (its alphabetical tail — 6 tpch_q*,
+    url_extract_normalize, vocab_coverage_oov, window_rank_variants,
+    window_trailing_7d_revenue — defers to r12 as the oldest debt
+    cohort, landing at gap 4 exactly: the steady state)
   - the first 5 staged entrants in STAGED_PRIORITY order, now
-    registered: source_overlap_matrix, quality_by_source,
-    lm_probe_newdocs, winnow_probe_newdocs (the streamed LM and
-    winnow index stores' first driver certificates — VERDICT r8
-    item 4 closed driver-side), minhash_estimate_error_audit
+    registered: sync_round_digest (the sync engine's first
+    driver-visible end-to-end certificate — VERDICT r9 item 6 /
+    r10 item 1 closed), sample_exact_k_per_lang,
+    gopher_dup_ngram_profile, lm_stupid_backoff_newdocs,
+    kmv_distinct_shingles
 
-Round-10 hardening: all four HARDENING_QUEUE window-over-content-key
-sites swapped to the skew primitives in one pass (see the
-HARDENING_QUEUE comment below); neardup_prefix_filter_pairs holds a
-window slot this round (HARDENING-DUE honored), the other three
-re-window at r11 with their cohort.
+The three r10-hardened r8-latest names (dedup_segment_rewrite,
+dedup_incremental_batch, tfidf_top_terms) hold slots and re-certify
+on their new skew-primitive plans, completing the changed-impl
+covenant for the round-10 hardening pass.
 
 ``rotation_debt()`` is COMPUTED from the CORRECTNESS_r*.json
 artifacts: it returns the registered oracled names whose latest
@@ -49,17 +52,13 @@ A deferral is therefore the steady state of a >150-name registry,
 NOT a covenant break; --check now distinguishes the two and hard-
 fails on a true break (a deferred name already at the backstop age).
 
-Round-11 recomposition recipe: ``tools/next_window.py --check``
-prints the window — expect the 5 r10-deferred names first, then 40
-of the r8-latest cohort (its alphabetical tail defers), then the
-first 5 of STAGED_PRIORITY (sync_round_digest fronted — the sync
-engine's first driver certificate — then sample_exact_k_per_lang,
-gopher_dup_ngram_profile, lm_stupid_backoff_newdocs,
-kmv_distinct_shingles).  The three remaining hardened-in-r10 names
-(dedup_segment_rewrite, dedup_incremental_batch, tfidf_top_terms)
-are r8-latest and re-certify on their new plans in that window.
-Pre-flight the exact WINDOW with tools/oracle_check.py at sf0.01,
-both transports, before the round submits.
+Round-12 recomposition recipe: ``tools/next_window.py --check``
+prints the window ONLY AFTER CORRECTNESS_r11.json lands — expect
+the 10 r11-deferred r8 names first, then the r9-latest cohort fill,
+then up to STAGED_RESERVE of STAGED_PRIORITY (pq_probe_newvecs and
+the remaining streamed-store certifiers fronted per VERDICT r10
+item 4).  Pre-flight the exact WINDOW with tools/oracle_check.py at
+sf0.01, both transports, before the round submits.
 
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level
@@ -96,68 +95,68 @@ _MODULES = [
 # Size of the driver's correctness-artifact window (observed, r01-r06).
 DRIVER_WINDOW = 50
 
-# Round-10 certification window — exactly DRIVER_WINDOW names, emitted
+# Round-11 certification window — exactly DRIVER_WINDOW names, emitted
 # first, produced verbatim by tools/next_window.py --check after the
-# r9 artifact landed.  See the rotation ledger in the module docstring.
+# r10 artifact landed.  See the rotation ledger in the module docstring.
 WINDOW = [
-    # -- rotation debt: 45 of the 50 r7-latest greens (oldest cohort;
-    #    the 5 alphabetical-tail names — try_funcs_safe_division and
-    #    the four window_* events queries — defer to r11, where they
-    #    sort FIRST in the debt order and land at exactly the 4-round
-    #    pytest backstop, never past it) --
-    "approx_distinct_users",
-    "approx_percentile_prices",
-    "bm25_topk_documents",
-    "bpe_pair_merges",
-    "date_math_orders",
-    "dedup_embedding_semantic",
-    "dedup_exact_documents",
-    "embedding_ann_lsh_pairs",
-    "embedding_cosine_topk",
-    "embedding_ivf_assign",
-    "embedding_ivf_topk",
-    "embedding_label_centroids",
-    "explode_outer_rare_tokens",
-    "explode_token_frequency",
-    "funnel_session_conversion",
-    "histogram_order_prices",
-    "join_multiway_revenue",
-    "kmeans_embedding_clusters",
-    "lang_id_confusion",
-    "map_funcs_events",
-    "math_funcs_lineitem",
-    "multimodal_binary_stats",
-    "multimodal_frame_sample",
-    "multimodal_media_features",
-    "neardup_levenshtein_names",
-    "neardup_prefix_filter_pairs",
-    "neardup_simhash_pairs",
-    "percentile_order_prices",
-    "regex_funcs_documents",
-    "resample_daily_gapfill",
-    "sample_stratified_documents",
-    "scd2_asof_lookup",
-    "scd2_event_type_history",
-    "sessionize_event_rows",
-    "split_assign_documents",
-    "sync_account_last_active",
-    "sync_metadata_double_decode",
-    "sync_stock_image_hashtags",
-    "sync_vote_set_accumulation",
-    "text_quality_score",
-    "text_stats_profile",
-    "token_count_regex",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "training_prep_pipeline",
-    # -- round-10 staged entrants, first driver rows (STAGED_PRIORITY
-    #    order; lm/winnow_probe_newdocs give the streamed LM and
-    #    winnow index stores their first driver certificates) --
-    "source_overlap_matrix",
-    "quality_by_source",
-    "lm_probe_newdocs",
-    "winnow_probe_newdocs",
-    "minhash_estimate_error_audit",
+    # -- the 5 r10-deferred r7-latest names (oldest debt, sorts
+    #    first; lands at exactly the 4-round pytest backstop) --
+    "try_funcs_safe_division",
+    "window_session_events",
+    "window_sliding_events",
+    "window_topk_orders_per_customer",
+    "window_tumbling_events",
+    # -- rotation debt: 40 of the 50 r8-latest greens (alphabetical
+    #    tail defers to r12; includes the three r10-hardened names
+    #    re-certifying on their skew-primitive plans) --
+    "array_funcs_documents",
+    "bpe_encode_frozen",
+    "chunk_documents_overlap",
+    "collect_sorted_event_types",
+    "dedup_incremental_batch",
+    "dedup_segment_rewrite",
+    "embed_hashing_fixedpoint",
+    "embedding_ann_multiprobe",
+    "embedding_pq_adc_topk",
+    "embedding_pq_assign",
+    "embedding_quantize_int8",
+    "embedding_quantized_topk",
+    "flagship_sync_digest",
+    "heavy_hitters_cms",
+    "join_asof_purchase_prior_view",
+    "kmeans_assign_serving",
+    "kmeans_balanced_sample",
+    "markdown_extract_builtin",
+    "mixture_resample_documents",
+    "neardup_cluster_canonical",
+    "neardup_clusters",
+    "neardup_minhash_bands",
+    "pack_training_sequences",
+    "pii_scrub_documents",
+    "profile_column_stats",
+    "profile_drift_events",
+    "quantile_sketch_orders",
+    "retention_cohort_weeks",
+    "tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_class_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    # -- round-11 staged entrants, first driver rows (STAGED_PRIORITY
+    #    order; sync_round_digest is the sync engine's first
+    #    driver-visible end-to-end certificate) --
+    "sync_round_digest",
+    "sample_exact_k_per_lang",
+    "gopher_dup_ngram_profile",
+    "lm_stupid_backoff_newdocs",
+    "kmv_distinct_shingles",
 ]
 
 
@@ -251,24 +250,13 @@ def pending_queries() -> tuple[
 HARDENING_QUEUE: dict[str, str] = {}
 
 STAGED_PRIORITY = [
-    # round-10: one new entrant only (VERDICT r9 item 6 — the sync
-    # engine's first driver-visible end-to-end certificate); fronted
-    # so the engine family stops being pytest-only at the next
-    # recomposition.  Net-new staging is otherwise FROZEN until the
-    # queue drains below STAGED_RESERVE (VERDICT r9 item 4).
-    "sync_round_digest",
-    # round-9 staged: exact-k class-balanced sampler (two-phase
-    # salted top-k-per-group plan)
-    "sample_exact_k_per_lang",
-    # late-round-9 staged: Gopher duplicate-n-gram char-fraction
-    # repetition screen (Rae et al. 2021 table A1)
-    "gopher_dup_ngram_profile",
-    # late-round-9 staged: Stupid Backoff LM scoring over the probe
-    # split (Brants et al. 2007)
-    "lm_stupid_backoff_newdocs",
-    # late-round-9 staged: KMV bottom-k cardinality estimator audit
-    # (Bar-Yossef et al. 2002)
-    "kmv_distinct_shingles",
+    # Round-11 order per VERDICT r10 item 4: the streamed-store batch
+    # certifiers front the queue so every streamed store earns a
+    # driver row by r13 (pq_probe_newvecs is the PQ index's append +
+    # ADC read certifier, the last uncertified streamed store).
+    # Net-new staging stays FROZEN until the queue drains below
+    # STAGED_RESERVE (VERDICT r9 item 4 / r10 item 3).
+    "pq_probe_newvecs",
     # late-round-9 staged: two-stage quantized-then-exact ANN re-rank
     # (SCaNN/FAISS refine shape)
     "ann_two_stage_rerank",
@@ -294,9 +282,6 @@ STAGED_PRIORITY = [
     # round-9 wave 4: Broder containment (asymmetric subset-dup)
     # verification over the banded MinHash candidates
     "neardup_containment_pairs",
-    # round-9 wave 4: batch certifier of the streamed PQ index's
-    # append + ADC read paths (the last uncertified streamed store)
-    "pq_probe_newvecs",
     # round-9 wave 4: Sorscher-et-al prototypicality data-pruning
     # metric (distance to own-label centroid, integer micros)
     "embedding_prototypicality",

@@ -56,11 +56,15 @@ def test_rotation_ledger_covenant():
     """Completeness: every registry query holds a driver row in some
     prior artifact or sits inside THIS round's window (the whole
     point of the rotation).  Freshness backstop: no query's latest
-    GREEN row may trail the newest artifact by 3+ rounds unless it is
-    windowed this round.  (The planner in tools/next_window.py aims
-    at a 3-round cycle; this test is the looser 4-round backstop so
-    that the 2-per-round covenant slips the >150-name registry forces
-    never false-fail it.)"""
+    GREEN row may trail the newest artifact by MORE than 4 rounds
+    unless it is windowed this round.  (The planner in
+    tools/next_window.py aims at a 3-round cycle; this test is the
+    looser 4-round backstop so that the deferral slips the >150-name
+    registry forces — deferred names re-certify at gap 4 exactly,
+    per the registry docstring's capacity arithmetic — never
+    false-fail it.  The r10 verdict caught this encoded as
+    ``newest - 3``, which is the planner TARGET, not the backstop:
+    that form is guaranteed red the round after any deferral.)"""
     artifacts = _artifacts()
     assert artifacts, "no CORRECTNESS artifacts found"
     seen = set(WINDOW)
@@ -79,7 +83,7 @@ def test_rotation_ledger_covenant():
     oracled = set(all_queries()) & set(all_oracles())
     stale = sorted(
         n for n in oracled
-        if n not in WINDOW and last_green.get(n, 0) <= newest - 3
+        if n not in WINDOW and last_green.get(n, 0) <= newest - 4
     )
     assert not stale, f"stale greens left out of the window: {stale}"
 
