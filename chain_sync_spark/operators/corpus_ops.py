@@ -1151,9 +1151,15 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: explode → filter to the query terms (a tiny IN-list, pushed
     into the scan's row filter) → (doc, dl, term) hash aggregate for
     tf [map-side combinable; dl rides as a grouping column so no
-    doc-length join is ever needed] → df via count-over-term window
-    [bounded: one row per (doc, matched term)] → corpus-stats 1-row
-    broadcast → per-doc DECIMAL sum → top-k window. The tokenized
+    doc-length join is ever needed] → term-df via
+    skew.attach_group_count (a common query term matches O(corpus)
+    documents, so the old per-term window pinned them in one task;
+    the count + join-back is map-side combinable and AQE-splittable)
+    → corpus-stats 1-row broadcast → per-doc DECIMAL sum →
+    two-phase salted top-k
+    (skew.global_topk_desc: per-scan-partition top-k, then one
+    bounded sort-slice aggregate over <= k x partitions survivors —
+    no partition-less window anywhere). The tokenized
     (doc_id, dl) relation is computed ONCE under a scoped persist and
     feeds both the tf branch and the corpus-stats aggregate (the
     stats need every document's length, so a second full
@@ -1162,6 +1168,10 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chain_sync_spark.operators.llm_pipeline import (
         _scoped_persist,
         release_caches,
+    )
+    from chain_sync_spark.operators.skew import (
+        attach_group_count,
+        global_topk_desc,
     )
 
     release_caches()  # previous query's scope ends here
@@ -1182,14 +1192,17 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    wterm = Window.partitionBy("term")
     idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
         F.col("tf")
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
+    # term-df without the per-term window (same class as the tfidf
+    # r10 swap): a common query term matches O(corpus) documents, so
+    # COUNT OVER (PARTITION BY term) pins them in one task; the
+    # map-side-combinable count + join-back is value-identical
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(wterm))
+        attach_group_count(tf, ["term"], "df")
         .join(F.broadcast(stats))
         .select(
             "doc_id",
@@ -1200,15 +1213,16 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.sum("s").cast("double").alias("score"),
     )
-    # global window is bounded: per_doc holds only documents matching
-    # >=1 fixed query term (query-term filter runs first), not the
-    # corpus; at retrieval scale swap for per-partition top-k + merge
-    wk = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= BM25_TOP_K)
-        .select("doc_id", "n_terms_matched", "score", "rk")
-    )
+    # final top-k via the two-phase salted plan (skew.global_topk_desc
+    # — round-11 hardening): per_doc is every document matching >=1
+    # query term, which for common terms is O(corpus), so the old
+    # partition-less ROW_NUMBER window was a one-task sort over a
+    # corpus-sized relation; the swap is value-identical (doc_id is
+    # the unique tie-break) and bounds every task at k rows per scan
+    # partition.
+    return global_topk_desc(
+        per_doc, "score", "doc_id", BM25_TOP_K
+    ).select("doc_id", "n_terms_matched", "score", "rk")
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
@@ -1267,24 +1281,27 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the OOV distribution is non-degenerate.
 
     Plan: one vocabulary-sized hash aggregate for term counts
-    [shuffle keyed on term, map-side combinable], a top-V sort of
-    that PRE-AGGREGATED relation (vocabulary-sized — millions of rows
-    at 100 TB, not corpus-sized; a single-partition row_number over
-    it is the standard shape, same as bm25's top-k), then the vocab —
-    V rows — broadcasts into a left join against the token stream and
-    a per-doc count aggregate [map-side combinable]. The corpus-sized
-    relation is never joined on a non-broadcast side and never sorted.
+    [shuffle keyed on term, map-side combinable], the top-V cut of
+    that PRE-AGGREGATED relation via the two-phase salted top-k
+    (skew.global_topk_desc — the distinct-term relation is millions
+    of rows at 100 TB, so no single task ever sorts it), then the
+    vocab — V rows — broadcasts into a left join against the token
+    stream and a per-doc count aggregate [map-side combinable]. The
+    corpus-sized relation is never joined on a non-broadcast side
+    and never sorted.
     """
+    from chain_sync_spark.operators.skew import global_topk_desc
+
     dw = _docs_words(spark, sf_dir)
     tok = dw.select("doc_id", F.explode("w").alias("term"))
     tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    # global window is bounded: input is one row per DISTINCT term
-    # (vocabulary-sized, zipf-bounded), never the token stream
-    wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
-    vocab = (
-        tc.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= VOCAB_TOP_V)
-        .select("term", F.lit(1).alias("in_vocab"))
+    # top-V vocab cut via the two-phase salted plan (round-11
+    # hardening): the distinct-term relation GROWS with the corpus —
+    # millions of rows at 100 TB — so the old partition-less
+    # ROW_NUMBER window was a one-task sort; the swap is
+    # value-identical (term is the unique tie-break).
+    vocab = global_topk_desc(tc, "cnt", "term", VOCAB_TOP_V).select(
+        "term", F.lit(1).alias("in_vocab")
     )
     cov = (
         tok.join(F.broadcast(vocab), "term", "left")
@@ -1353,9 +1370,25 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term count relation, as here, is value-identical), and the
     48-cell result broadcasts back for estimation. That is the whole
     point of the sketch: heavy hitters without shuffling a
-    corpus-sized vocabulary. Hashing uses the repo's portable 60-bit
-    md5 (`sketches.hash60`) so Spark and DuckDB agree bucket-by-
-    bucket."""
+    corpus-sized vocabulary.
+
+    Round-11 hardening, both halves lossless: (a) the estimate join
+    probes only CANDIDATE cells — cells with ``cell >= T`` where
+    ``T`` is the k-th largest EXACT count (computed by the bounded
+    two-phase top-k and broadcast as one row).  ``est >= exact``
+    gives ``T <= T*`` (the k-th largest estimate), and a top-k term
+    has every cell ``>= est >= T* >= T``, so requiring all
+    ``CMS_ROWS`` cells to survive the filter (the ``n_cells``
+    check) can never drop a top-k term — only the long tail, which
+    at 100 TB is the whole vocabulary minus ~k terms.  (b) the final
+    rank runs through skew.global_topk_desc instead of a
+    partition-less ROW_NUMBER window, so the candidate relation is
+    never single-task-sorted either.  Hashing uses the repo's
+    portable 60-bit md5 (`sketches.hash60`) so Spark and DuckDB
+    agree bucket-by-bucket; the DuckDB oracle keeps the direct
+    all-terms form — value-identical by the argument above."""
+    from chain_sync_spark.operators.skew import global_topk_desc
+
     dw = _docs_words(spark, sf_dir)
     tc = (
         dw.select(F.explode("w").alias("term"))
@@ -1379,24 +1412,34 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sketch = rows.groupBy("r", "bucket").agg(F.sum("exact_cnt").alias("cell"))
-    est = (
-        rows.join(F.broadcast(sketch), ["r", "bucket"])
-        .groupBy("term", "exact_cnt")
-        .agg(F.min("cell").alias("est_cnt"))
+    # threshold = k-th largest exact count (or the smallest count
+    # when fewer than k terms exist) — a 1-row broadcast
+    thresh = (
+        global_topk_desc(tc, "exact_cnt", "term", CMS_TOP_K)
+        .agg(F.min("exact_cnt").alias("t"))
     )
-    # global window is bounded: input is the candidate heavy-hitter
-    # set (vocabulary-sized after the estimate join), not the stream
-    wk = Window.orderBy(F.desc("est_cnt"), F.asc("term"))
-    return (
-        est.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= CMS_TOP_K)
-        .select(
-            "term",
-            "exact_cnt",
-            "est_cnt",
-            (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
-            "rk",
+    heavy_cells = (
+        sketch.join(F.broadcast(thresh))
+        .filter(F.col("cell") >= F.col("t"))
+        .select("r", "bucket", "cell")
+    )
+    est = (
+        rows.join(F.broadcast(heavy_cells), ["r", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(
+            F.min("cell").alias("est_cnt"),
+            F.count(F.lit(1)).alias("n_cells"),
         )
+        # a term missing any cell has est < T there, hence not top-k
+        .filter(F.col("n_cells") == CMS_ROWS)
+        .drop("n_cells")
+    )
+    return global_topk_desc(est, "est_cnt", "term", CMS_TOP_K).select(
+        "term",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
+        "rk",
     )
 
 

@@ -14,7 +14,7 @@ rand()) so retried tasks and replayed batches salt identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
@@ -94,6 +94,10 @@ def attach_group_count(
     caller whose relation already carries an ``_agc_``-prefixed
     column can't hit an ambiguous reference or lose a column to the
     final drop."""
+    if out in df.columns:
+        # the join-back would yield two columns named `out` and every
+        # downstream reference would turn silently ambiguous
+        raise ValueError(f"column {out!r} already exists in the input")
     taken = set(df.columns) | {out}
 
     def _fresh(c: str) -> str:
@@ -113,3 +117,80 @@ def attach_group_count(
         eq = F.col(c).eqNullSafe(F.col(ren[c]))
         cond = eq if cond is None else cond & eq
     return df.join(counts, cond).drop(*ren.values())
+
+
+def global_topk_desc(
+    df: DataFrame, measure: str, tiebreak: str, k: int, rank_col: str = "rk"
+) -> DataFrame:
+    """Global ``ORDER BY measure DESC, tiebreak ASC LIMIT k`` with
+    ROW_NUMBER ranks, WITHOUT a global-window single-partition sort —
+    the round-11 hardening for the last partition-less WindowExec
+    sites (bm25 final top-k, vocab top-V, CMS heavy-hitter top-k),
+    whose inputs are vocabulary-sized: bounded by DISTINCT-TERM
+    count, which grows with the corpus, so a one-task sort over them
+    is a 100 TB scale-killer.
+
+    Two phases, the ``sample_exact_k_per_lang`` plan generalized to
+    an empty group key:
+
+    - phase 1 windows inside each scan partition (salted by
+      ``spark_partition_id()`` — every pid group lives in exactly one
+      task, and Spark's WindowGroupLimit prunes to k before the
+      per-pid sort), keeping a local top-k: at most ``k x
+      n_partitions`` survivors, independent of input size;
+    - phase 2 ranks the survivors with ONE sort-slice aggregate
+      (``array_sort`` + ``slice`` over a collected struct array) —
+      partial aggregation ships <= k structs per task and the final
+      merge handles <= k x n_partitions rows, so no WindowExec (and
+      no second shuffle-and-sort) appears anywhere in the plan.
+
+    Value-identical to ``ROW_NUMBER() OVER (ORDER BY measure DESC,
+    tiebreak ASC) <= k`` PROVIDED ``tiebreak`` is unique within
+    ``df`` and both columns are non-null (every call site feeds
+    aggregated counts/scores keyed by the tiebreak column; the salt
+    never affects the RESULT, only the plan).  ``measure`` must be
+    numeric — descending order is encoded by negation inside the
+    sort struct.  Output: the input columns plus ``rank_col``
+    (INT, 1-based)."""
+    if rank_col in df.columns:
+        raise ValueError(f"column {rank_col!r} already exists in the input")
+    taken = set(df.columns) | {rank_col}
+
+    def _fresh(c: str) -> str:
+        while c in taken:
+            c = "_" + c
+        taken.add(c)
+        return c
+
+    pid = _fresh("_gtk_pid")
+    lrn = _fresh("_gtk_lrn")
+    w_local = Window.partitionBy(pid).orderBy(
+        F.desc(measure), F.asc(tiebreak)
+    )
+    survivors = (
+        df.withColumn(pid, F.spark_partition_id())
+        .withColumn(lrn, F.row_number().over(w_local))
+        .filter(F.col(lrn) <= k)
+        .drop(pid, lrn)
+    )
+    top = survivors.agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col(measure)).alias("_neg"),
+                        F.col(tiebreak).alias("_tb"),
+                        F.struct(*df.columns).alias("_row"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("_top")
+    )
+    return top.select(
+        F.posexplode("_top").alias("_pos", "_t")
+    ).select(
+        F.col("_t._row.*"),
+        (F.col("_pos") + 1).cast("int").alias(rank_col),
+    )

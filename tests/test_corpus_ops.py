@@ -278,19 +278,20 @@ def test_new_ops_edge_cases(spark, tmp_path):
 
 
 def test_bm25_single_corpus_scan_plan(spark):
-    """Plan evidence for the one-tokenization-pass claim: both the tf
-    branch and the corpus-stats branch read the persisted (doc_id,
-    dl, w) relation (two InMemoryTableScans), so the documents
-    parquet is only read — and the corpus only tokenized — once, at
-    cache materialization. (The cached relation's own plan is echoed
-    inside each InMemoryTableScan, so counting 'Scan parquet' in the
-    plan STRING would overcount.)"""
+    """Plan evidence for the one-tokenization-pass claim: every
+    branch reads the persisted (doc_id, dl, w) relation, so the
+    documents parquet is only read — and the corpus only tokenized —
+    once, at cache materialization.  Three InMemoryTableScans since
+    the round-11 term-df swap: the tf branch, attach_group_count's
+    count side over tf, and the corpus-stats branch.  (The cached
+    relation's own plan is echoed inside each InMemoryTableScan, so
+    counting 'Scan parquet' in the plan STRING would overcount.)"""
     from chain_sync_spark.operators import llm_pipeline as lp
 
     df = co.bm25_topk_documents(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     lp.release_caches()
-    assert plan.count("InMemoryTableScan") == 2
+    assert plan.count("InMemoryTableScan") == 3
 
 
 def test_segment_rewrite_first_occurrence_wins(spark, tmp_path):

@@ -233,10 +233,13 @@ def test_new_entrant_plan_shapes(spark):
     the mixture weights run no Window and exactly one corpus
     aggregate feeding a broadcast total; the KMV audit's only
     windows are the two-phase salted bottom-k (never a window over
-    the raw hash without the partition salt)."""
-    from chain_sync_spark.registry import pending_queries
+    the raw hash without the partition salt).  Resolved through the
+    registry AND the staged set — these entrants registered at the
+    r11 recomposition and the pins must survive that move."""
+    from chain_sync_spark.registry import all_queries, pending_queries
 
     q, _ = pending_queries()
+    q = {**all_queries(), **q}
     sf = "/root/testdata/sf0.001"
 
     gopher = _plan(q["gopher_dup_ngram_profile"](spark, sf))
@@ -468,3 +471,63 @@ def test_attach_group_count_nullsafe_join_stays_hash_join(spark):
     plan = _plan(attach_group_count(df, ["k"], "cnt"))
     assert "HashJoin" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_global_topk_swaps_leave_no_partitionless_window(spark):
+    """Round-11 hardening (VERDICT r10 item 2): the last three
+    vocabulary-sized global top-k sites — bm25's final top-k, the
+    vocab top-V cut, the CMS heavy-hitter rank — must run the
+    two-phase salted plan.  Every window left in their plans is the
+    phase-1 per-scan-partition one (salted by _gtk_pid); the global
+    rank is a bounded sort-slice aggregate, so NO partition-less
+    WindowExec survives anywhere.  bm25's term-df window is also
+    gone (attach_group_count, the tfidf r10 class)."""
+    from chain_sync_spark.operators.corpus_ops import (
+        bm25_topk_documents,
+        heavy_hitters_cms,
+        vocab_coverage_oov,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (bm25_topk_documents, vocab_coverage_oov, heavy_hitters_cms):
+        plan = _optimized(fn(spark, sf))
+        wins = _window_lines(plan)
+        assert wins, f"{fn.__name__}: phase-1 salted window missing"
+        bad = [w for w in wins if "_gtk_pid" not in w]
+        assert not bad, f"{fn.__name__}: partition-less window left: {bad}"
+
+
+def test_global_topk_desc_equals_window_form(spark):
+    """Value identity of skew.global_topk_desc against the
+    partition-less ROW_NUMBER window it replaces, on a relation with
+    duplicate measures (ties broken by the unique tiebreak) across
+    repartitionings — the salt must shape only the plan."""
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators.skew import global_topk_desc
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 37).alias("m"),
+        F.col("id").cast("string").alias("key"),
+        (F.col("id") * 7 % 11).alias("payload"),
+    )
+    w = Window.orderBy(F.desc("m"), F.asc("key"))
+    want = [
+        (r.m, r.key, r.payload, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .collect()
+    ]
+    for parts in (1, 7):
+        got = [
+            (r.m, r.key, r.payload, r.rk)
+            for r in global_topk_desc(
+                df.repartition(parts), "m", "key", 25
+            ).collect()
+        ]
+        assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_topk_desc(df.withColumnRenamed("payload", "rk"), "m", "key", 5)
