@@ -259,8 +259,12 @@ def _cpu_probe_multicore(n: int | None = None) -> float:
         with mp.get_context("fork").Pool(n) as pool:
             times = pool.map(_probe_worker, range(n))
         return round(max(times), 3)
-    except Exception:
-        return -1.0  # probe must never take the bench down
+    except Exception as exc:  # probe must never take the bench down
+        # say WHY on stderr — a silent -1.0 sentinel in the artifact
+        # makes the mc/sc contention ratio read as garbage with no
+        # indication the probe itself failed (ADVICE r10)
+        print(f"cpu_probe_mc failed: {exc!r}", file=sys.stderr)
+        return -1.0
 
 
 def main() -> None:

@@ -29,6 +29,7 @@ through the portable md5-based primitives in functions/sketches.py.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -119,6 +120,23 @@ def _free_checkpoint_blocks(df: DataFrame) -> None:
 def _scoped_persist(df: DataFrame) -> DataFrame:
     _SCOPED_CACHES.append(df)
     return df.persist()
+
+
+def escape_scope(df: DataFrame) -> DataFrame:
+    """Materialize a result OUT of the scope pool's lifetime.
+
+    Scope-pooled checkpoints free their blocks at the next
+    release_caches() (lineage was truncated at checkpoint time, so
+    there is nothing to recompute from), and any relation derived
+    from one — a connected_components labeling, a bpe_apply_merges
+    segmentation — dies with them: a later action fails with Spark's
+    cryptic "Block rdd_N not found".  An external caller that needs
+    a result ACROSS query boundaries calls this instead of holding
+    the raw relation: the returned DataFrame owns fresh blocks with
+    a caller-controlled lifetime (unpersist it when done).  In-repo
+    consumers never need it — the driver protocol consumes each
+    result before the next query opens a scope (ADVICE r10)."""
+    return df.localCheckpoint(eager=True)
 
 
 def _scoped_checkpoint(df: DataFrame) -> DataFrame:
@@ -923,7 +941,7 @@ WITH q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         (round({sk.cosine_sql('q.qe', 'e.embedding')}, 4) + 0.0) AS cos_sim
+         {sk.round_sim_sql(sk.cosine_sql('q.qe', 'e.embedding'))} AS cos_sim
   FROM embeddings e, q
   WHERE e.vec_id <> q.query_id
 )
@@ -992,7 +1010,7 @@ WITH bucketed AS (
   SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
 )
 SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       (round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) + 0.0) AS cos_sim
+       {sk.round_sim_sql(sk.cosine_sql('a.embedding', 'b.embedding'))} AS cos_sim
 FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
@@ -1067,7 +1085,7 @@ WITH bucketed AS (
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(bit_count(xor(a.bucket, b.bucket)) AS INT) AS hamming,
-       (round({sk.cosine_sql('a.embedding', 'b.embedding')}, 4) + 0.0) AS cos_sim
+       {sk.round_sim_sql(sk.cosine_sql('a.embedding', 'b.embedding'))} AS cos_sim
 FROM bucketed a JOIN bucketed b
   ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
 """
@@ -1287,7 +1305,7 @@ WITH seeds AS (
 ),
 scored AS (
   SELECT e.vec_id, s.centroid_id,
-         (round({sk.cosine_sql('e.embedding', 's.ce')}, 4) + 0.0) AS cos_sim
+         {sk.round_sim_sql(sk.cosine_sql('e.embedding', 's.ce'))} AS cos_sim
   FROM embeddings e CROSS JOIN seeds s
 )
 SELECT vec_id, centroid_id, cos_sim FROM scored
@@ -1396,7 +1414,7 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         (round({sk.cosine_sql('p.qe', 'a.embedding')}, 4) + 0.0) AS cos_sim
+         {sk.round_sim_sql(sk.cosine_sql('p.qe', 'a.embedding'))} AS cos_sim
   FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
   WHERE a.vec_id <> p.query_id
 )
@@ -1850,7 +1868,7 @@ qf AS (
 ),
 s2 AS (
   SELECT cand.query_id, cand.neighbor_id, cand.cand_rk,
-         (round({sk.cosine_sql('qf.qe', 'e.embedding')}, 4) + 0.0) AS cos_sim
+         {sk.round_sim_sql(sk.cosine_sql('qf.qe', 'e.embedding'))} AS cos_sim
   FROM cand
   JOIN embeddings e ON e.vec_id = cand.neighbor_id
   JOIN qf ON qf.query_id = cand.query_id
@@ -2737,6 +2755,14 @@ def _km_train(vecs: DataFrame) -> DataFrame:
 _KM_CODEBOOK_STORE: dict[tuple, tuple[list, object]] = {}
 
 
+def invalidate_trained_centroids() -> None:
+    """Drop every memoized codebook.  For callers that REGENERATE the
+    parquet under an sf_dir within one process (test fixtures, bench
+    data rebuilds): the store keys on the path, not the data, so a
+    rebuild would otherwise serve stale centroids silently."""
+    _KM_CODEBOOK_STORE.clear()
+
+
 def _km_trained_centroids(
     spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
 ) -> DataFrame:
@@ -2754,7 +2780,11 @@ def _km_trained_centroids(
     stored rows instead of re-running identical training.  Pass
     ``vecs`` when the caller already holds the quantized corpus
     relation (avoids a second scoped persist on a store miss)."""
-    key = (str(sf_dir), KMEANS_K, KMEANS_ITERS, _KM_SCALE)
+    # normpath so 'dir/' and 'dir' share one entry (ADVICE r10).
+    # PER-PROCESS STALENESS: the store assumes the parquet under
+    # sf_dir is immutable for the process lifetime — a caller that
+    # regenerates test data in place must clear the store.
+    key = (os.path.normpath(str(sf_dir)), KMEANS_K, KMEANS_ITERS, _KM_SCALE)
     hit = _KM_CODEBOOK_STORE.get(key)
     if hit is None:
         if vecs is None:
@@ -3432,7 +3462,7 @@ q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id, d.dims,
-         (round({cos}, 4) + 0.0) AS cos_sim
+         {sk.round_sim_sql(cos)} AS cos_sim
   FROM ed e, q, (SELECT unnest([{all_dims}]) AS dims) d
   WHERE e.vec_id <> q.query_id
 ),

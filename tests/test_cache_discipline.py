@@ -114,3 +114,39 @@ def test_km_codebook_store_trains_once_and_serves_identical_rows(
     }
     assert again == first
     lp.release_caches()
+
+
+def test_escape_scope_survives_release(spark):
+    """escape_scope: a result derived from a scope-pooled checkpoint
+    must stay readable after release_caches() frees the pool's
+    blocks — the external-caller contract ADVICE r10 asked for
+    (the raw derived relation would die with the pool)."""
+    lp.release_caches()
+    ck = lp._scoped_checkpoint(
+        spark.range(500).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    )
+    derived = ck.groupBy("g").count()
+    kept = lp.escape_scope(derived)
+    lp.release_caches()  # pool blocks are gone now
+    assert kept.count() == 7  # still readable: owns its own blocks
+    kept.unpersist()
+
+
+def test_km_codebook_store_key_normalizes_path(spark):
+    """'dir' and 'dir/' must share one store entry (ADVICE r10: the
+    raw-path key created silent duplicates)."""
+    lp._KM_CODEBOOK_STORE.clear()
+    lp._km_trained_centroids(spark, SF_DIR).collect()
+    assert len(lp._KM_CODEBOOK_STORE) == 1
+
+    def _boom(vecs):
+        raise AssertionError("normpath miss: retraining ran for 'dir/'")
+
+    orig = lp._km_train
+    lp._km_train = _boom
+    try:
+        lp._km_trained_centroids(spark, SF_DIR + "/").collect()
+    finally:
+        lp._km_train = orig
+    assert len(lp._KM_CODEBOOK_STORE) == 1
+    lp.release_caches()
