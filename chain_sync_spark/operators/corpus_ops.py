@@ -2181,6 +2181,112 @@ GROUP BY pc.term
 """
 
 
+SKETCH_FOLD_BATCHES = 3
+
+
+def sketch_fold_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch certifier of the sketch maintainers' INCREMENTAL FOLD —
+    the one streamed-store path without driver visibility (VERDICT
+    r10 item 4): cms_probe_terms / quantile_sketch_orders certify
+    the one-pass build + serve arithmetic, run_stream_cms /
+    run_stream_histogram fold per-batch PARTIALS through merge_cms /
+    merge_hist instead, and only pytest pinned fold == one-pass
+    until now.  This query splits the inputs into
+    {SKETCH_FOLD_BATCHES} micro-batch stand-ins (orders by
+    o_orderkey, documents by doc_id — any disjoint split works, the
+    merges are order-independent integer sums), builds each batch's
+    partial with the maintainers' own builders
+    (operators/incremental.cms_stats / hist_stats) and folds them
+    pairwise exactly as a trigger sequence would; the DuckDB oracle
+    recomputes both sketches in ONE pass, so a green row certifies
+    fold == truth for both maintainers end-to-end.  Output one row
+    per sketch cell: (family, k, v) with k = r·width+bucket for the
+    CMS and the signed bin id for the histogram.
+
+    The cluster maintainer (run_stream_cluster_assign) needs no fold
+    certificate: its arithmetic is the frozen-codebook assignment
+    already driver-green via kmeans_embedding_clusters /
+    kmeans_assign_serving, and its first-assignment-wins protocol is
+    replay-pinned by pytest (test_streaming).
+
+    Scale: each partial is a constant-size relation built by one
+    map-side-combined aggregate over its batch; the folds union and
+    re-aggregate constant-size relations.  Nothing grows with the
+    corpus except the per-batch scans."""
+    from chain_sync_spark.operators.incremental import (
+        cms_stats,
+        hist_stats,
+        merge_cms,
+        merge_hist,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    hist = None
+    for b in range(SKETCH_FOLD_BATCHES):
+        delta = hist_stats(
+            orders.filter(F.col("o_orderkey") % SKETCH_FOLD_BATCHES == b),
+            "o_totalprice",
+        )
+        hist = delta if hist is None else merge_hist(hist, delta)
+
+    tok = _docs_words(spark, sf_dir).select(
+        "doc_id", F.explode("w").alias("term")
+    )
+    cms = None
+    for b in range(SKETCH_FOLD_BATCHES):
+        delta = cms_stats(
+            tok.filter(F.col("doc_id") % SKETCH_FOLD_BATCHES == b), "term"
+        )
+        cms = delta if cms is None else merge_cms(cms, delta)
+
+    return (
+        cms.select(
+            F.lit("cms").alias("family"),
+            (F.col("r").cast("long") * CMS_WIDTH + F.col("bucket")).alias("k"),
+            F.col("cell").cast("long").alias("v"),
+        )
+        .unionByName(
+            hist.select(
+                F.lit("hist").alias("family"),
+                F.col("bin").cast("long").alias("k"),
+                F.col("cnt").cast("long").alias("v"),
+            )
+        )
+    )
+
+
+# One-pass oracle: the histogram bin via the exact bit-length form
+# (immune to libm log2 rounding — the quantile_sketch_orders
+# precedent; every o_totalprice >= 1), the CMS via the portable md5
+# bucketing. A hash match therefore certifies the Spark side's
+# batch-split FOLD against single-pass ground truth.
+_SKETCH_FOLD_ORACLE = f"""
+WITH {_NORM_CTE},
+tc AS (
+  SELECT t AS term, COUNT(*) AS cnt
+  FROM docs_words, UNNEST(w) AS u(t) GROUP BY t
+),
+cmscells AS (
+  SELECT r,
+         {sk.hash60_sql("'cms' || r::VARCHAR || ':' || term")} % {CMS_WIDTH}
+           AS bucket,
+         CAST(SUM(cnt) AS BIGINT) AS cell
+  FROM tc, UNNEST([{_CMS_ROWS_SQL}]) AS rr(r)
+  GROUP BY 1, 2
+),
+hist AS (
+  SELECT CAST(length(bin(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT)))
+              + {HIST_RANGE} AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT 'cms' AS family, CAST(r * {CMS_WIDTH} + bucket AS BIGINT) AS k, cell AS v
+FROM cmscells
+UNION ALL
+SELECT 'hist' AS family, bin AS k, cnt AS v FROM hist
+"""
+
+
 QUERIES = {
     "chunk_documents_overlap": chunk_documents_overlap,
     "tfidf_top_terms": tfidf_top_terms,
@@ -2659,11 +2765,16 @@ FROM scored
 PENDING_QUERIES = {
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "quality_classifier_margin": quality_classifier_margin,
+    # round-11's single new entrant (net-new staging is otherwise
+    # frozen): the sketch maintainers' fold certifier, VERDICT r10
+    # item 4
+    "sketch_fold_digest": sketch_fold_digest,
 }
 
 PENDING_ORACLE = {
     "ccnet_quality_buckets": _CCNET_BUCKETS_ORACLE,
     "quality_classifier_margin": _CLS_MARGIN_ORACLE,
+    "sketch_fold_digest": _SKETCH_FOLD_ORACLE,
 }
 
 # staged r8 → registered + windowed round 9: sketch/membership

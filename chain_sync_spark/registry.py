@@ -257,6 +257,11 @@ STAGED_PRIORITY = [
     # Net-new staging stays FROZEN until the queue drains below
     # STAGED_RESERVE (VERDICT r9 item 4 / r10 item 3).
     "pq_probe_newvecs",
+    # round-11's single new entrant: the CMS/histogram maintainers'
+    # incremental-fold certifier (merge_cms / merge_hist vs one-pass
+    # ground truth) — the last streamed-store path without driver
+    # visibility
+    "sketch_fold_digest",
     # late-round-9 staged: two-stage quantized-then-exact ANN re-rank
     # (SCaNN/FAISS refine shape)
     "ann_two_stage_rerank",
