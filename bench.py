@@ -122,6 +122,12 @@ EXTENDED_SET = [
     # already benched above (prefix-filter and segment-rewrite are)
     "dedup_incremental_batch",     # keep-first swap (r10)
     "tfidf_top_terms",             # term-df swap (r10)
+    # round-11 hardening-swap visibility: the three global-top-k
+    # queries re-planned onto skew.global_topk_desc
+    "bm25_topk_documents",         # salted top-k + term-df swap (r11)
+    "vocab_coverage_oov",          # salted top-V cut (r11)
+    "heavy_hitters_cms",           # salted top-k + cell pre-filter (r11)
+    "sketch_fold_digest",          # staged r11 (fold certifier)
     # dedup_funnel_report is NOT benched: its wall-clock is the sum
     # of its component pipelines (each benched above) plus tiny id
     # joins — see its docstring (the exact-profile precedent)
@@ -131,14 +137,18 @@ EXTENDED_SET = [
 HEADLINE = BASELINE_SET + EXTENDED_SET
 
 # The sf-ladder (10x-down ratio check) runs the baseline set PLUS the
-# round-10 skew-hardened queries: the swaps trade local wall-clock for
+# skew-hardened queries: the swaps trade local wall-clock for
 # AQE-splittable plans, so their scale story must stay evidenced in
-# the ratio series, not just asserted (VERDICT r9 item 8).
+# the ratio series, not just asserted (VERDICT r9 item 8; r10 item 6
+# extends it to the round-11 global-top-k re-plans).
 SKEW_HARDENED = [
     "neardup_prefix_filter_pairs",
     "dedup_segment_rewrite",
     "dedup_incremental_batch",
     "tfidf_top_terms",
+    "bm25_topk_documents",
+    "vocab_coverage_oov",
+    "heavy_hitters_cms",
 ]
 LADDER_SET = BASELINE_SET + SKEW_HARDENED
 
@@ -184,7 +194,12 @@ def _compact_line(headline: dict) -> str:
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1500 and "queries" in headline:
         q = headline["queries"]
-        for cutoff in (0.3, 1.0):
+        # the 2.0 rung exists so the (hardened-set-bounded) sf_ratio
+        # dict survives registry growth: round 11's ladder additions
+        # pushed the pre-trim line past 1800 with every sub-1.0 query
+        # already shed, and the aux guard below silently dropped the
+        # scale-evidence rows the verdict reads
+        for cutoff in (0.3, 1.0, 2.0):
             for n in sorted(q, key=q.get):
                 if len(line) <= 1500 or q[n] >= cutoff:
                     break
@@ -384,7 +399,17 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "baseline_set_total_cold": cold_total,
         "extended_set_total": extended,
-        "sf_ratio": sf_ratio,
+        # compact line carries the HARDENED queries' ratios (the
+        # scale-evidence rows VERDICT r10 item 6 reads) plus any
+        # flagged entry; the full baseline-set series is bounded ONLY
+        # by ladder-set growth, which round 11 proved overflows the
+        # tail capture and sheds the whole dict — the full series
+        # stays in stderr + BENCH.md.
+        "sf_ratio": {
+            n: r
+            for n, r in sf_ratio.items()
+            if n in SKEW_HARDENED or r > 15
+        },
         "sf_flag": sorted(n for n, r in sf_ratio.items() if r > 15),
         # eager driver-side loops (CC, Lloyd) do their work at
         # DataFrame-construction time, invisible to the write timer;
