@@ -643,3 +643,51 @@ def test_attach_group_count_equals_count_window(spark, datasets):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(_SKEW_DATASETS, st.integers(min_value=1, max_value=30))
+def test_global_topk_desc_equals_window_rank(spark, datasets, k):
+    """global_topk_desc == ROW_NUMBER() OVER (ORDER BY m DESC, tb ASC)
+    <= k on arbitrary non-null data, for k below, at, and beyond the
+    row count (k > n returns every row ranked; the contract requires
+    non-null measure + unique tiebreak, so both are synthesized
+    unique per row)."""
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators.skew import global_topk_desc
+
+    rows = [
+        (ds, i, (p % 7) - 3, ds * 100 + i)
+        for ds, data in enumerate(datasets)
+        for i, (_, _, p) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, "ds int, i int, m int, tb long")
+    got = [
+        tuple(r)
+        for r in global_topk_desc(df, "m", "tb", k)
+        .select("ds", "i", "m", "tb", "rk")
+        .collect()
+    ]
+    w = Window.orderBy(F.desc("m"), F.asc("tb"))
+    want = [
+        tuple(r)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("ds", "i", "m", "tb", "rk")
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_global_topk_desc_empty_input(spark):
+    """Zero input rows yield zero output rows (the sort-slice
+    aggregate over an empty collect_list), schema intact."""
+    from chain_sync_spark.operators.skew import global_topk_desc
+
+    df = spark.range(0).select(
+        F.col("id").alias("m"), F.col("id").alias("tb")
+    )
+    out = global_topk_desc(df, "m", "tb", 5)
+    assert out.columns == ["m", "tb", "rk"]
+    assert out.count() == 0
