@@ -2212,14 +2212,23 @@ def sketch_fold_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each partial is a constant-size relation built by one
     map-side-combined aggregate over its batch; the folds union and
     re-aggregate constant-size relations.  Nothing grows with the
-    corpus except the per-batch scans."""
+    corpus except the per-batch scans — and the tokenized relation is
+    computed ONCE under a scoped persist (the three batch filters
+    read cached rows instead of re-tokenizing; a REAL maintainer
+    scans each trigger's batch exactly once, so the certifier should
+    not pay more than the one pass either)."""
     from chain_sync_spark.operators.incremental import (
         cms_stats,
         hist_stats,
         merge_cms,
         merge_hist,
     )
+    from chain_sync_spark.operators.llm_pipeline import (
+        _scoped_persist,
+        release_caches,
+    )
 
+    release_caches()  # previous query's scope ends here
     orders = table(spark, sf_dir, "orders")
     hist = None
     for b in range(SKETCH_FOLD_BATCHES):
@@ -2229,8 +2238,10 @@ def sketch_fold_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hist = delta if hist is None else merge_hist(hist, delta)
 
-    tok = _docs_words(spark, sf_dir).select(
-        "doc_id", F.explode("w").alias("term")
+    tok = _scoped_persist(
+        _docs_words(spark, sf_dir).select(
+            "doc_id", F.explode("w").alias("term")
+        )
     )
     cms = None
     for b in range(SKETCH_FOLD_BATCHES):
