@@ -119,6 +119,12 @@ def attach_group_count(
     return df.join(counts, cond).drop(*ren.values())
 
 
+# Fan-in of global_topk_desc's middle phase: the final sort-slice
+# aggregate never sees more than k x this many rows, however many
+# scan tasks phase 1 ran.
+_GTK_MID_BUCKETS = 64
+
+
 def global_topk_desc(
     df: DataFrame, measure: str, tiebreak: str, k: int, rank_col: str = "rk"
 ) -> DataFrame:
@@ -138,11 +144,18 @@ def global_topk_desc(
       task, and Spark's WindowGroupLimit prunes to k before the
       per-pid sort), keeping a local top-k: at most ``k x
       n_partitions`` survivors, independent of input size;
-    - phase 2 ranks the survivors with ONE sort-slice aggregate
-      (``array_sort`` + ``slice`` over a collected struct array) —
-      partial aggregation ships <= k structs per task and the final
-      merge handles <= k x n_partitions rows, so no WindowExec (and
-      no second shuffle-and-sort) appears anywhere in the plan.
+    - phase 1.5 re-salts the survivors into ``_GTK_MID_BUCKETS``
+      hash buckets and keeps a per-bucket top-k, so what reaches the
+      final aggregate is <= k x {buckets} rows REGARDLESS of cluster
+      size — without it, a 100k-task scan would hand the final merge
+      a k x 100k struct array (a multi-hundred-MB single-row value);
+      the extra shuffle moves only the <= k x n_partitions phase-1
+      survivors, which is noise;
+    - phase 2 ranks the bounded survivors with ONE sort-slice
+      aggregate (``array_sort`` + ``slice`` over a collected struct
+      array) — the final merge handles <= k x {buckets} rows, so no
+      WindowExec (and no full-relation shuffle-and-sort) appears
+      anywhere in the plan.
 
     Value-identical to ``ROW_NUMBER() OVER (ORDER BY measure DESC,
     tiebreak ASC) <= k`` PROVIDED ``tiebreak`` is unique within
@@ -164,6 +177,8 @@ def global_topk_desc(
 
     pid = _fresh("_gtk_pid")
     lrn = _fresh("_gtk_lrn")
+    mid = _fresh("_gtk_mid")
+    mrn = _fresh("_gtk_mrn")
     w_local = Window.partitionBy(pid).orderBy(
         F.desc(measure), F.asc(tiebreak)
     )
@@ -172,6 +187,18 @@ def global_topk_desc(
         .withColumn(lrn, F.row_number().over(w_local))
         .filter(F.col(lrn) <= k)
         .drop(pid, lrn)
+    )
+    # deterministic re-salt (hash of the unique tiebreak, never the
+    # partition id again — phase-1 output partitioning is pid-skewed)
+    w_mid = Window.partitionBy(mid).orderBy(F.desc(measure), F.asc(tiebreak))
+    survivors = (
+        survivors.withColumn(
+            mid,
+            F.pmod(F.xxhash64(F.col(tiebreak)), F.lit(_GTK_MID_BUCKETS)),
+        )
+        .withColumn(mrn, F.row_number().over(w_mid))
+        .filter(F.col(mrn) <= k)
+        .drop(mid, mrn)
     )
     top = survivors.agg(
         F.slice(

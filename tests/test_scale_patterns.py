@@ -477,11 +477,12 @@ def test_global_topk_swaps_leave_no_partitionless_window(spark):
     """Round-11 hardening (VERDICT r10 item 2): the last three
     vocabulary-sized global top-k sites — bm25's final top-k, the
     vocab top-V cut, the CMS heavy-hitter rank — must run the
-    two-phase salted plan.  Every window left in their plans is the
-    phase-1 per-scan-partition one (salted by _gtk_pid); the global
-    rank is a bounded sort-slice aggregate, so NO partition-less
-    WindowExec survives anywhere.  bm25's term-df window is also
-    gone (attach_group_count, the tfidf r10 class)."""
+    two-phase salted plan.  Every window left in their plans is a
+    salted bounded one (_gtk_pid phase 1 / _gtk_mid constant-fan-in
+    phase 1.5); the global rank is a bounded sort-slice aggregate,
+    so NO partition-less WindowExec survives anywhere.  bm25's
+    term-df window is also gone (attach_group_count, the tfidf r10
+    class)."""
     from chain_sync_spark.operators.corpus_ops import (
         bm25_topk_documents,
         heavy_hitters_cms,
@@ -493,7 +494,7 @@ def test_global_topk_swaps_leave_no_partitionless_window(spark):
         plan = _optimized(fn(spark, sf))
         wins = _window_lines(plan)
         assert wins, f"{fn.__name__}: phase-1 salted window missing"
-        bad = [w for w in wins if "_gtk_pid" not in w]
+        bad = [w for w in wins if "_gtk_pid" not in w and "_gtk_mid" not in w]
         assert not bad, f"{fn.__name__}: partition-less window left: {bad}"
 
 
