@@ -2399,11 +2399,17 @@ def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     task.  Phase 1 salts the window with the input partition id
     (every (lang, pid) group lives in exactly one scan task, so the
     shuffle spreads a hot language across the cluster) and keeps a
-    local top-{SAMPLE_K}; phase 2 ranks the <= k·partitions
-    survivors per language — a relation bounded by k × tasks,
-    independent of corpus size.  spark_partition_id never affects
-    the RESULT (any disjoint grouping yields the same global top-k);
-    it only shapes the plan."""
+    local top-{SAMPLE_K}; phase 1.5 re-salts the survivors into
+    (lang, 64 hash buckets of doc_id) and keeps a per-bucket top-k,
+    so the per-lang phase-2 group holds <= 64·k rows REGARDLESS of
+    cluster size (without it a 100k-task scan hands one phase-2 task
+    k × 100k rows per language — the r11 global_topk_desc fan-in
+    bound, applied to the grouped form); phase 2 ranks those bounded
+    survivors per language.  Neither salt ever affects the RESULT
+    (any disjoint grouping yields the same per-group top-k); they
+    only shape the plan."""
+    from chain_sync_spark.operators.skew import _GTK_MID_BUCKETS
+
     d = table(spark, sf_dir, "documents").select(
         "lang",
         "doc_id",
@@ -2417,6 +2423,15 @@ def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("lrn", F.row_number().over(w_local))
         .filter(F.col("lrn") <= SAMPLE_K)
         .drop("lrn", "pid")
+    )
+    w_mid = Window.partitionBy("lang", "mid").orderBy("skey", "doc_id")
+    survivors = (
+        survivors.withColumn(
+            "mid", F.pmod(F.xxhash64("doc_id"), F.lit(_GTK_MID_BUCKETS))
+        )
+        .withColumn("mrn", F.row_number().over(w_mid))
+        .filter(F.col("mrn") <= SAMPLE_K)
+        .drop("mrn", "mid")
     )
     w_global = Window.partitionBy("lang").orderBy("skey", "doc_id")
     return (

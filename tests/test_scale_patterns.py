@@ -146,7 +146,9 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
 def test_exact_k_sample_plan_is_two_phase_salted(spark):
     """The top-k-per-group scale pattern: phase 1 must window over
     (lang, spark_partition_id) — a hot language spreads across the
-    cluster instead of pinning one task — and only the k·partitions
+    cluster instead of pinning one task — phase 1.5 bounds the
+    per-lang fan-in at 64 hash buckets x k (the r11 global_topk_desc
+    bound applied to the grouped form), and only those bounded
     survivors reach the per-lang phase-2 window."""
     from chain_sync_spark.operators.llm_pipeline import (
         sample_exact_k_per_lang,
@@ -160,12 +162,12 @@ def test_exact_k_sample_plan_is_two_phase_salted(spark):
         ln for ln in plan.splitlines() if ln.lstrip().startswith("+- Window [")
         or ln.lstrip().startswith("Window [")
     ]
-    assert len(windows) == 2
+    assert len(windows) == 3
     # the inner (phase-1) window is salted by the scan partition id
     assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
     # Spark's rank-limit pushdown kicked in: each window phase prunes
     # to top-k via WindowGroupLimit before the full per-key sort
-    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("WindowGroupLimit") == 3
 
 
 def test_keep_first_by_key_equals_window_form(spark):
