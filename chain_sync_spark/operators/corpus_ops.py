@@ -2003,16 +2003,26 @@ def kmv_bottomk(dist: DataFrame) -> DataFrame:
     Two-phase salted top-k-per-group plan (see
     sample_exact_k_per_lang): phase 1 bounds each (source, input
     partition) locally so a giant source never pins one window task;
-    phase 2 ranks the <= k x tasks survivors.  Merging sketches is
-    just this function over their union — bottom-k is associative and
-    idempotent, which is what makes the streamed store exact."""
+    phase 1.5 re-salts the survivors into (source, 64 hash buckets)
+    so the per-source phase-2 group holds <= 64·k rows regardless of
+    cluster size (the r11 fan-in bound); phase 2 ranks those bounded
+    survivors.  Merging sketches is just this function over their
+    union — bottom-k is associative and idempotent, which is what
+    makes the streamed store exact."""
+    from chain_sync_spark.operators.skew import _GTK_MID_BUCKETS
+
     w_local = Window.partitionBy("source", "pid").orderBy("h")
+    w_mid = Window.partitionBy("source", "mid").orderBy("h")
     w_global = Window.partitionBy("source").orderBy("h")
     return (
         dist.withColumn("pid", F.spark_partition_id())
         .withColumn("lrn", F.row_number().over(w_local))
         .filter(F.col("lrn") <= K_KMV)
         .drop("lrn", "pid")
+        .withColumn("mid", F.pmod(F.xxhash64("h"), F.lit(_GTK_MID_BUCKETS)))
+        .withColumn("mrn", F.row_number().over(w_mid))
+        .filter(F.col("mrn") <= K_KMV)
+        .drop("mrn", "mid")
         .withColumn("rk", F.row_number().over(w_global))
         .filter(F.col("rk") <= K_KMV)
         .select("source", "h")
