@@ -204,21 +204,38 @@ def ngram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``p(w2|w1) = cnt(w1,w2) / cnt(w1,·)`` is emitted as BIGINT
     micro-units from pure integer arithmetic (sketches.ratio_micros —
     the round-5 boundary contract, VERDICT r4 item 1); the head total
-    is a window sum over the already-aggregated bigram relation,
-    computed BEFORE top-K filtering.
+    is computed over the already-aggregated bigram relation BEFORE
+    top-K filtering.
 
     Plan: per-row bigram generation (transform over the token array,
     no join) → one hash aggregation on (w1, w2) [map-side
-    combinable] → per-head window.  The aggregated relation is
-    vocabulary²-bounded, far smaller than the corpus."""
+    combinable] → head totals as a groupBy-sum joined back on w1
+    (hash join, AQE-splittable) → per-head top-K through a
+    (w1, hash-bucket) phase-1 window + bounded per-head phase 2
+    (r11 hardening: the relation is vocabulary²-bounded, but a hot
+    HEAD's continuation list is vocabulary-sized — 'the' pairs with
+    everything — so the old single per-head window pinned it in one
+    task; both swaps are value-identical, w2 is the unique
+    tiebreak)."""
+    from chain_sync_spark.operators.skew import _GTK_MID_BUCKETS
+
     pairs = _bigram_pairs(_docs_words(spark, sf_dir))
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    w_head = Window.partitionBy("w1")
+    heads = counts.groupBy("w1").agg(F.sum("cnt").alias("head_total"))
+    w_mid = Window.partitionBy("w1", "mid").orderBy(
+        F.desc("cnt"), F.asc("w2")
+    )
     w_rank = Window.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
     return (
-        counts.withColumn("head_total", F.sum("cnt").over(w_head))
+        counts.withColumn(
+            "mid", F.pmod(F.xxhash64("w2"), F.lit(_GTK_MID_BUCKETS))
+        )
+        .withColumn("mrn", F.row_number().over(w_mid))
+        .filter(F.col("mrn") <= LM_TOP_K)
+        .drop("mid", "mrn")
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= LM_TOP_K)
+        .join(heads, "w1")
         .select(
             "w1",
             "w2",

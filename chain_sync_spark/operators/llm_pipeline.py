@@ -696,11 +696,16 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
     labels = connected_components(edges)
-    w = Window.partitionBy("cluster_id")
-    return (
-        labels.select("doc_id", F.col("label").alias("cluster_id"))
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
-        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    # cluster_size via attach_group_count, not COUNT OVER (PARTITION
+    # BY cluster_id): a boilerplate dup-cluster is corpus-sized, and
+    # the window would pin its whole member list in one task (the
+    # r10 hot-key class; the count + join-back is map-side
+    # combinable and AQE-splittable)
+    from chain_sync_spark.operators.skew import attach_group_count
+
+    base = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return attach_group_count(base, ["cluster_id"], "cluster_size").withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
     )
 
 

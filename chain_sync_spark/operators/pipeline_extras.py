@@ -619,15 +619,19 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = text_quality_score(spark, sf_dir).select(
         "doc_id", "quality_score"
     )
-    w_c = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
+    # rank > 1 as members MINUS the keep-first winner (r11 hardening:
+    # the rank window pinned a corpus-sized boilerplate cluster in
+    # one task; the MIN(struct) winner is map-side combinable and
+    # the complement is a hash anti-join on doc_id)
+    from chain_sync_spark.operators.skew import keep_first_by_key
+
+    members = clusters.join(quality, "doc_id").withColumn(
+        "negq", -F.col("quality_score")
     )
-    noncanon = (
-        clusters.join(quality, "doc_id")
-        .withColumn("rk", F.row_number().over(w_c))
-        .filter(F.col("rk") > 1)
-        .select("doc_id")
-    )
+    winners = keep_first_by_key(
+        members, ["cluster_id"], ["negq", "doc_id"]
+    ).select("doc_id")
+    noncanon = members.select("doc_id").join(winners, "doc_id", "left_anti")
     keepq = (
         quality_composite_filter(spark, sf_dir)
         .filter(F.col("keep"))
@@ -1150,33 +1154,33 @@ def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline ships instead of min-id, which can keep the worst copy.
 
     Scale: clusters ⋈ quality is a join on doc_id restricted to
-    cluster members (a tiny fraction of the corpus), then a per-cluster
-    top-1 window over cluster-sized groups.
+    cluster members (a tiny fraction of the corpus), then a
+    keep-first MIN(struct) aggregate per cluster (r11 hardening:
+    a boilerplate dup-cluster is corpus-sized, so the per-cluster
+    top-1 window this replaced would pin its whole member list in
+    one task; the aggregate is map-side combinable — quality DESC
+    encoded by negation, score is non-null by construction).
     """
-    from pyspark.sql import Window
-
     from chain_sync_spark.operators.llm_pipeline import (
         neardup_clusters,
         text_quality_score,
     )
+    from chain_sync_spark.operators.skew import keep_first_by_key
 
     clusters = neardup_clusters(spark, sf_dir).select(
         "doc_id", "cluster_id", "cluster_size"
     )
     quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
+    members = clusters.join(quality, "doc_id").withColumn(
+        "negq", -F.col("quality_score")
     )
-    return (
-        clusters.join(quality, "doc_id")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("canonical_doc"),
-            "cluster_size",
-            F.col("quality_score").alias("best_quality"),
-        )
+    return keep_first_by_key(
+        members, ["cluster_id"], ["negq", "doc_id"]
+    ).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc"),
+        "cluster_size",
+        F.col("quality_score").alias("best_quality"),
     )
 
 
@@ -1848,11 +1852,14 @@ def winnow_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
     labels = connected_components(edges)
-    w = Window.partitionBy("cluster_id")
-    return (
-        labels.select("doc_id", F.col("label").alias("cluster_id"))
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
-        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    # cluster_size via attach_group_count (the r10 hot-key class):
+    # a boilerplate dup-cluster is corpus-sized and the count window
+    # would pin it in one task
+    from chain_sync_spark.operators.skew import attach_group_count
+
+    base = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return attach_group_count(base, ["cluster_id"], "cluster_size").withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
     )
 
 
