@@ -128,6 +128,11 @@ EXTENDED_SET = [
     "vocab_coverage_oov",          # salted top-V cut (r11)
     "heavy_hitters_cms",           # salted top-k + cell pre-filter (r11)
     "sketch_fold_digest",          # staged r11 (fold certifier)
+    # late-r11 hot-head swap; the other late swaps are either benched
+    # already (winnow/neardup clusters) or component sums
+    # (neardup_cluster_canonical, dedup_funnel_report — the
+    # exact-profile precedent)
+    "ngram_lm_topk",               # head-total join-back + bucketed top-K (r11)
     # dedup_funnel_report is NOT benched: its wall-clock is the sum
     # of its component pipelines (each benched above) plus tiny id
     # joins — see its docstring (the exact-profile precedent)
