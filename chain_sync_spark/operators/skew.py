@@ -14,10 +14,27 @@ rand()) so retried tasks and replayed batches salt identically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
+
+
+def _debug_contracts() -> bool:
+    """Opt-in runtime contract verification for the shared top-k /
+    keep-first primitives (VERDICT r11 item 5).  Their value-identity
+    to the window forms they replace holds only under docstring
+    preconditions (non-null measure/tiebreak, unique tiebreak,
+    duplicate-free order cols); every production caller satisfies
+    them by construction (aggregated counts keyed by the tiebreak),
+    so the check is not in the hot path — set
+    ``CHAIN_SYNC_DEBUG_CONTRACTS=1`` (pytest does) and each call
+    verifies its precondition with one extra aggregate job, raising
+    ``ValueError`` naming the violated clause instead of silently
+    returning window-divergent rows."""
+    return os.environ.get("CHAIN_SYNC_DEBUG_CONTRACTS", "") not in ("", "0")
 
 
 def salted_join(
@@ -52,7 +69,10 @@ def keep_first_by_key(
     within a key (struct comparison is lexicographic; null keys
     group like a window partition, and null order fields sort first
     exactly like the window's ASC NULLS FIRST — both property-tested
-    on nullable data), but the aggregate is MAP-SIDE COMBINABLE: each scan task emits one
+    on nullable data; under ``CHAIN_SYNC_DEBUG_CONTRACTS=1`` the
+    duplicate-free clause is verified at entry and a violating input
+    raises instead of returning an arbitrary-but-deterministic
+    keep), but the aggregate is MAP-SIDE COMBINABLE: each scan task emits one
     candidate row per key it saw, so a boilerplate key occurring
     millions of times costs one row per task in the shuffle instead
     of pinning its whole occurrence list in one unsplittable window
@@ -61,6 +81,21 @@ def keep_first_by_key(
     seg_md5, dedup_incremental_batch content_md5; see the registry
     docstring).  Output column order: key_cols + order_cols +
     remaining columns, one row per key."""
+    if _debug_contracts():
+        dup = (
+            df.groupBy(*key_cols, *order_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "keep_first_by_key contract violated: order_cols "
+                f"{order_cols!r} are not duplicate-free within key "
+                f"{key_cols!r} — the kept payload row would be "
+                "arbitrary where ROW_NUMBER()=1 is deterministic"
+            )
     payload = [c for c in df.columns if c not in key_cols]
     ordered = order_cols + [c for c in payload if c not in order_cols]
     agg = df.groupBy(*key_cols).agg(
@@ -161,12 +196,41 @@ def global_topk_desc(
     tiebreak ASC) <= k`` PROVIDED ``tiebreak`` is unique within
     ``df`` and both columns are non-null (every call site feeds
     aggregated counts/scores keyed by the tiebreak column; the salt
-    never affects the RESULT, only the plan).  ``measure`` must be
-    numeric — descending order is encoded by negation inside the
-    sort struct.  Output: the input columns plus ``rank_col``
-    (INT, 1-based)."""
+    never affects the RESULT, only the plan).  NaN measures ARE
+    covered by the identity: Spark's DESC orders NaN as the largest
+    double, so phases 1/1.5 rank NaN rows first, and the phase-2
+    sort struct carries an explicit NaN-first flag because negation
+    alone would invert their position (``-NaN`` is NaN, which sorts
+    LAST ascending) — property-tested against the window form on
+    NaN-bearing data.  Under ``CHAIN_SYNC_DEBUG_CONTRACTS=1`` the
+    non-null and tiebreak-uniqueness clauses are verified at entry
+    (one extra aggregate job) and a violating input raises.
+    ``measure`` must be numeric — descending order is encoded by
+    negation inside the sort struct.  Output: the input columns plus
+    ``rank_col`` (INT, 1-based)."""
     if rank_col in df.columns:
         raise ValueError(f"column {rank_col!r} already exists in the input")
+    if _debug_contracts():
+        bad = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(measure).alias("_nm"),
+            F.count(tiebreak).alias("_nt"),
+            F.count_distinct(F.col(tiebreak)).alias("_dt"),
+        ).collect()[0]
+        if bad["_nm"] != bad["_n"] or bad["_nt"] != bad["_n"]:
+            raise ValueError(
+                "global_topk_desc contract violated: measure "
+                f"{measure!r} / tiebreak {tiebreak!r} must be "
+                "non-null (null rows rank NULLS LAST under the "
+                "window form but would be cut or misplaced here)"
+            )
+        if bad["_dt"] != bad["_n"]:
+            raise ValueError(
+                "global_topk_desc contract violated: tiebreak "
+                f"{tiebreak!r} is not unique — ROW_NUMBER ties would "
+                "break arbitrarily and the phase boundaries could "
+                "cut different tied rows than the window form"
+            )
     taken = set(df.columns) | {rank_col}
 
     def _fresh(c: str) -> str:
@@ -200,11 +264,22 @@ def global_topk_desc(
         .filter(F.col(mrn) <= k)
         .drop(mid, mrn)
     )
+    # the window's DESC puts NaN first (Spark orders NaN as the
+    # largest double); negation alone would flip that (-NaN is NaN,
+    # sorting LAST ascending), so a leading flag pins NaN rows first
+    # and ties among them fall through to the tiebreak — keeping the
+    # phase-2 ordering identical to phases 1/1.5 and the window form.
+    nan_first = (
+        F.when(F.isnan(F.col(measure).cast("double")), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("_nanf")
+    )
     top = survivors.agg(
         F.slice(
             F.array_sort(
                 F.collect_list(
                     F.struct(
+                        nan_first,
                         (-F.col(measure)).alias("_neg"),
                         F.col(tiebreak).alias("_tb"),
                         F.struct(*df.columns).alias("_row"),

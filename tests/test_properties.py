@@ -7,6 +7,7 @@ handful of Spark jobs, not one per example."""
 
 import json
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -691,3 +692,94 @@ def test_global_topk_desc_empty_input(spark):
     out = global_topk_desc(df, "m", "tb", 5)
     assert out.columns == ["m", "tb", "rk"]
     assert out.count() == 0
+
+
+def _nan_canon(v):
+    # NaN != NaN in Python; canonicalize for tuple comparison
+    return "NaN" if isinstance(v, float) and v != v else v
+
+
+@pytest.mark.parametrize("k", [1, 3, 50])
+def test_global_topk_desc_nan_measure_matches_window(spark, k):
+    """NaN measures rank FIRST under the window's DESC (Spark orders
+    NaN as the largest double); the phase-2 sort struct's NaN flag
+    keeps the primitive identical — without it, -NaN (= NaN) would
+    sort LAST ascending and NaN rows would be cut or misranked (the
+    r11 ADVICE finding; bm25 feeds a computed double score)."""
+    from pyspark.sql import Window
+
+    from chain_sync_spark.operators.skew import global_topk_desc
+
+    nan = float("nan")
+    rows = [
+        (0, nan), (1, 2.5), (2, nan), (3, -1.0), (4, 2.5),
+        (5, 7.0), (6, nan), (7, 0.0), (8, -3.25), (9, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "tb int, m double")
+    got = sorted(
+        tuple(_nan_canon(v) for v in r)
+        for r in global_topk_desc(df, "m", "tb", k)
+        .select("tb", "m", "rk")
+        .collect()
+    )
+    w = Window.orderBy(F.desc("m"), F.asc("tb"))
+    want = sorted(
+        tuple(_nan_canon(v) for v in r)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("tb", "m", "rk")
+        .collect()
+    )
+    assert got == want
+    # the identity's crux: every NaN row outranks every finite row
+    if k >= len(rows):
+        by_tb = {tb: rk for tb, _, rk in got}
+        assert {by_tb[0], by_tb[2], by_tb[6]} == {1, 2, 3}
+
+
+def test_skew_contract_guards_debug_mode(spark, monkeypatch):
+    """CHAIN_SYNC_DEBUG_CONTRACTS=1 turns the docstring preconditions
+    of the shared primitives into entry-time ValueErrors (VERDICT r11
+    item 5): null measure/tiebreak and duplicate tiebreaks for
+    global_topk_desc, duplicate order keys for keep_first_by_key.
+    Clean inputs pass through with identical results, and with the
+    flag unset the violating inputs do NOT raise (zero behavior
+    change at existing call sites)."""
+    from chain_sync_spark.operators.skew import (
+        global_topk_desc,
+        keep_first_by_key,
+    )
+
+    null_m = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "tb int, m double"
+    )
+    dup_tb = spark.createDataFrame(
+        [(1, 5.0), (1, 4.0), (3, 1.0)], "tb int, m double"
+    )
+    dup_order = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (2, 7, "c")], "key int, o int, p string"
+    )
+    clean = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 1.0)], "tb int, m double"
+    )
+
+    monkeypatch.delenv("CHAIN_SYNC_DEBUG_CONTRACTS", raising=False)
+    assert global_topk_desc(null_m, "m", "tb", 2).count() == 2
+    assert global_topk_desc(dup_tb, "m", "tb", 2).count() == 2
+    assert keep_first_by_key(dup_order, ["key"], ["o"]).count() == 2
+
+    monkeypatch.setenv("CHAIN_SYNC_DEBUG_CONTRACTS", "1")
+    with pytest.raises(ValueError, match="non-null"):
+        global_topk_desc(null_m, "m", "tb", 2)
+    with pytest.raises(ValueError, match="not unique"):
+        global_topk_desc(dup_tb, "m", "tb", 2)
+    with pytest.raises(ValueError, match="duplicate-free"):
+        keep_first_by_key(dup_order, ["key"], ["o"])
+    got = sorted(
+        tuple(r)
+        for r in global_topk_desc(clean, "m", "tb", 2)
+        .select("tb", "m", "rk")
+        .collect()
+    )
+    assert got == [(1, 5.0, 1), (2, 4.0, 2)]
+    assert keep_first_by_key(dup_order, ["key"], ["o", "p"]).count() == 2
