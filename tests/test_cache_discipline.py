@@ -129,7 +129,19 @@ def test_escape_scope_survives_release(spark):
     kept = lp.escape_scope(derived)
     lp.release_caches()  # pool blocks are gone now
     assert kept.count() == 7  # still readable: owns its own blocks
-    kept.unpersist()
+    # end-of-life is release_escaped, NOT unpersist() — that one is a
+    # silent CacheManager no-op for checkpoint blocks (ADVICE r11);
+    # verify the helper actually drops them from the block manager
+    rdd_id = kept._jdf.queryExecution().analyzed().rdd().id()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo()  # the escaped blocks are live
+    assert any(
+        i.id() == rdd_id for i in jsc.getRDDStorageInfo()
+    ), "escaped result should hold registered blocks before release"
+    lp.release_escaped(kept)
+    assert all(
+        i.id() != rdd_id for i in jsc.getRDDStorageInfo()
+    ), "release_escaped must drop the checkpoint blocks deterministically"
 
 
 def test_km_codebook_store_key_normalizes_path(spark):
