@@ -20,6 +20,43 @@ _IMG_SRC_RE = r'<img[^>]*src\s*=\s*["\']([^"\']+)["\']'
 # Markdown image/link syntax: ![alt](url) and [text](url)
 _MD_IMG_RE = r"!\[[^\]]*\]\(([^)\s]+)[^)]*\)"
 
+# Markdown LINK syntax [text](url ...), excluding the image form
+# ![alt](url): RE2 (the DuckDB oracle engine) has no lookbehind, so
+# the exclusion is a leading (start-or-non-'!') group — groups are
+# therefore 2 = anchor text, 3 = url.  Kept inside the Java/RE2
+# shared subset like every oracle-visible pattern in this module.
+MD_LINK_RE = r"(^|[^!])\[([^\]]*)\]\(([^)\s]+)[^)]*\)"
+# ATX headings: 1-6 '#' at line start, then whitespace, then text.
+# (?m) is the inline multiline flag — supported by Java regex AND
+# RE2, so both engines see identical line anchoring.
+MD_HEADING_RE = r"(?m)^(#{1,6})[ \t]+(.+)$"
+
+
+def extract_links(body: Column) -> Column:
+    """Markdown links as an array of (text, url) structs — the
+    links slice of the reference's markdown parse
+    (handlers/comments.js:43-55) that is regex-expressible in both
+    engines (images excluded; they are F4's extract_image_srcs)."""
+    texts = F.regexp_extract_all(body, F.lit(MD_LINK_RE), 2)
+    urls = F.regexp_extract_all(body, F.lit(MD_LINK_RE), 3)
+    return F.zip_with(
+        texts, urls, lambda t, u: F.struct(t.alias("text"), u.alias("url"))
+    )
+
+
+def extract_headings(body: Column) -> Column:
+    """ATX headings as an array of (level, title) structs, document
+    order — the headings slice of the markdown parse."""
+    marks = F.regexp_extract_all(body, F.lit(MD_HEADING_RE), 1)
+    titles = F.regexp_extract_all(body, F.lit(MD_HEADING_RE), 2)
+    return F.zip_with(
+        marks,
+        titles,
+        lambda m, t: F.struct(
+            F.length(m).cast("int").alias("level"), t.alias("title")
+        ),
+    )
+
 
 def extract_image_srcs(body: Column) -> Column:
     """F4: all image URLs in a post body — HTML <img src> plus

@@ -22,7 +22,9 @@ from chain_sync_spark.functions.hashing import surrogate_id_md5
 from chain_sync_spark.functions.json_utils import double_decode_json
 from chain_sync_spark.functions.text_funcs import (
     extract_hashtags,
+    extract_headings,
     extract_image_srcs,
+    extract_links,
     markdown_to_text,
 )
 from chain_sync_spark.tables import table
@@ -194,6 +196,117 @@ def markdown_extract_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(imgs), " ").alias("img_srcs"),
         F.substring(markdown_to_text(aug), 1, 80).alias("plain_head"),
     )
+
+
+def markdown_links_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3–F5 oracle-slice extension (VERDICT r11 item 3): markdown
+    LINKS ([text](url), images excluded) and ATX HEADINGS extracted
+    as pure column expressions over a deterministically
+    markdown-augmented documents corpus — the remaining
+    regex-expressible slice of the reference's markdown parse
+    (handlers/comments.js:43-55) after markdown_extract_builtin's
+    img-src + double-strip; rendering fidelity itself stays with the
+    rows-only sync_markdown_parse.  Arrays are emitted sorted+joined
+    (driver canon rejects complex columns); heading structure is
+    certified by count, top level, and the level-prefixed title list.
+
+    Scale: per-row regexp projection, whole-stage codegen, zero
+    shuffles — same shape as markdown_extract_builtin."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("\n# Title A"), i,
+                F.lit("\n## Sub B"), i,
+                F.lit("\nsee [ref](http://l/r"), i,
+                F.lit(") and ![pic](http://img/p"), i, F.lit(".png)"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit(" [one](http://l/o"), i,
+                F.lit(') [two](http://l/t'), i, F.lit(' "titled")'),
+            ),
+        )
+        .when(m == 2, F.concat(F.lit("\n### Deep C"), i, F.lit(" ###")))
+        .otherwise(F.lit("")),
+    )
+    links = extract_links(aug)
+    heads = extract_headings(aug)
+    return d.select(
+        "doc_id",
+        F.size(links).alias("n_links"),
+        F.array_join(
+            F.array_sort(F.transform(links, lambda s: s.getField("url"))), " "
+        ).alias("link_urls"),
+        F.array_join(
+            F.array_sort(F.transform(links, lambda s: s.getField("text"))), " "
+        ).alias("link_texts"),
+        F.size(heads).alias("n_headings"),
+        F.coalesce(
+            F.array_min(F.transform(heads, lambda s: s.getField("level"))),
+            F.lit(0),
+        ).cast("int").alias("top_level"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    heads,
+                    lambda s: F.concat(
+                        s.getField("level").cast("string"),
+                        F.lit(":"),
+                        s.getField("title"),
+                    ),
+                )
+            ),
+            " | ",
+        ).alias("headings"),
+    )
+
+
+# DuckDB (RE2) rendering of the identical augmentation + patterns:
+# RE2 has no lookbehind, so the link pattern's image exclusion is the
+# same leading (start-or-non-'!') group both engines use; (?m) is the
+# shared inline multiline flag for the heading anchors.
+_MD_LINKS_HEADINGS_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN chr(10) || '# Title A' || doc_id::VARCHAR
+                || chr(10) || '## Sub B' || doc_id::VARCHAR
+                || chr(10) || 'see [ref](http://l/r' || doc_id::VARCHAR
+                || ') and ![pic](http://img/p' || doc_id::VARCHAR || '.png)'
+           WHEN 1 THEN ' [one](http://l/o' || doc_id::VARCHAR
+                || ') [two](http://l/t' || doc_id::VARCHAR || ' "titled")'
+           WHEN 2 THEN chr(10) || '### Deep C' || doc_id::VARCHAR || ' ###'
+           ELSE '' END AS b
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         regexp_extract_all(b, '(^|[^!])\[([^\]]*)\]\(([^)\s]+)[^)]*\)', 3) AS urls,
+         regexp_extract_all(b, '(^|[^!])\[([^\]]*)\]\(([^)\s]+)[^)]*\)', 2) AS txts,
+         regexp_extract_all(b, '(?m)^(#{1,6})[ \t]+(.+)$', 1) AS marks,
+         regexp_extract_all(b, '(?m)^(#{1,6})[ \t]+(.+)$', 2) AS titles
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(urls) AS INT) AS n_links,
+       COALESCE(array_to_string(list_sort(urls), ' '), '') AS link_urls,
+       COALESCE(array_to_string(list_sort(txts), ' '), '') AS link_texts,
+       CAST(len(marks) AS INT) AS n_headings,
+       CAST(COALESCE(list_min(list_transform(marks, m -> len(m))), 0) AS INT)
+         AS top_level,
+       COALESCE(array_to_string(list_sort(
+         list_transform(range(1, len(marks) + 1),
+                        j -> len(marks[j])::VARCHAR || ':' || titles[j])
+       ), ' | '), '') AS headings
+FROM ex
+"""
 
 
 # the same augmentation + regex chains, rendered for DuckDB (RE2):
@@ -508,9 +621,15 @@ FROM last_active LEFT JOIN profiles USING (name)
 """
 
 
-PENDING_QUERIES: dict = {}
+# round-12's single sanctioned new entrant (VERDICT r11 items 3/6):
+# the markdown links+headings oracle slice, queued for r13.
+PENDING_QUERIES: dict = {
+    "markdown_links_headings": markdown_links_headings,
+}
 
-PENDING_ORACLE: dict = {}
+PENDING_ORACLE: dict = {
+    "markdown_links_headings": _MD_LINKS_HEADINGS_ORACLE,
+}
 
 
 QUERIES = {
