@@ -2803,16 +2803,11 @@ FROM scored
 PENDING_QUERIES = {
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "quality_classifier_margin": quality_classifier_margin,
-    # round-11's single new entrant (net-new staging is otherwise
-    # frozen): the sketch maintainers' fold certifier, VERDICT r10
-    # item 4
-    "sketch_fold_digest": sketch_fold_digest,
 }
 
 PENDING_ORACLE = {
     "ccnet_quality_buckets": _CCNET_BUCKETS_ORACLE,
     "quality_classifier_margin": _CLS_MARGIN_ORACLE,
-    "sketch_fold_digest": _SKETCH_FOLD_ORACLE,
 }
 
 # staged r8 → registered + windowed round 9: sketch/membership
@@ -2821,6 +2816,9 @@ PENDING_ORACLE = {
 # report and the streamed-LM serving certifier (VERDICT r8 item 4).
 # staged r9 → registered + windowed round 11: the Stupid Backoff LM
 # probe scorer and the KMV bottom-k cardinality audit.
+# staged r11 → registered + windowed round 12: the CMS/histogram
+# maintainers' incremental-fold certifier (the last streamed-store
+# path without driver visibility — VERDICT r10 item 4 closed).
 QUERIES.update(
     {
         "cms_probe_terms": cms_probe_terms,
@@ -2830,6 +2828,7 @@ QUERIES.update(
         "lm_probe_newdocs": lm_probe_newdocs,
         "lm_stupid_backoff_newdocs": lm_stupid_backoff_newdocs,
         "kmv_distinct_shingles": kmv_distinct_shingles,
+        "sketch_fold_digest": sketch_fold_digest,
     }
 )
 
@@ -2842,5 +2841,6 @@ ORACLE.update(
         "lm_probe_newdocs": _LM_PROBE_ORACLE,
         "lm_stupid_backoff_newdocs": _SB_ORACLE,
         "kmv_distinct_shingles": _KMV_ORACLE,
+        "sketch_fold_digest": _SKETCH_FOLD_ORACLE,
     }
 )

@@ -1970,16 +1970,12 @@ FROM shared s JOIN tot t ON s.src_a = t.source
 
 
 PENDING_QUERIES = {
-    "mixture_temperature_weights": mixture_temperature_weights,
-    "quality_composite_filter": quality_composite_filter,
     "dedup_funnel_report": dedup_funnel_report,
     "ngram_novelty_score": ngram_novelty_score,
     "length_percentile_by_lang": length_percentile_by_lang,
 }
 
 PENDING_ORACLE = {
-    "mixture_temperature_weights": _TEMP_MIX_ORACLE,
-    "quality_composite_filter": _composite_oracle(),
     "dedup_funnel_report": _funnel_oracle(),
     "ngram_novelty_score": _novelty_oracle(),
     "length_percentile_by_lang": _PCT_RANK_ORACLE,
@@ -2010,6 +2006,11 @@ QUERIES = {
     # staged r9 → registered + windowed round 11: the Gopher
     # duplicate-n-gram char-fraction repetition screen
     "gopher_dup_ngram_profile": gopher_dup_ngram_profile,
+    # staged r9 → registered + windowed round 12: the mT5
+    # temperature-scaled mixture weights and the FineWeb-style
+    # composed quality verdict
+    "mixture_temperature_weights": mixture_temperature_weights,
+    "quality_composite_filter": quality_composite_filter,
 }
 
 ORACLE = {
@@ -2029,4 +2030,6 @@ ORACLE = {
     "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
     "winnow_probe_newdocs": _WINNOW_PROBE_ORACLE,
     "gopher_dup_ngram_profile": _GOPHER_ORACLE,
+    "mixture_temperature_weights": _TEMP_MIX_ORACLE,
+    "quality_composite_filter": _composite_oracle(),
 }

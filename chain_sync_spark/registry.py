@@ -9,34 +9,30 @@ contract, and the explicit ``WINDOW`` list below IS the round's
 certification window: those names are emitted first (in that order),
 then every remaining query in module order.
 
-Rotation ledger (round 11)
+Rotation ledger (round 12)
 --------------------------
 The ledger of record is "every query holds a green row in a recent
-CORRECTNESS_r* artifact".  End-of-round-10 state (recomputed from
-the raw r01-r10 artifacts): 50 latest-green r10, 50 latest-green
-r9, 50 latest-green r8, 5 latest-green r7 (the r10 deferral tail),
-1 rows-only by design (sync_markdown_parse).
-Round-11 window composition (exactly 50, produced verbatim by
-tools/next_window.py --check after the r10 artifact landed):
+CORRECTNESS_r* artifact".  End-of-round-11 state (recomputed from
+the raw r01-r11 artifacts, confirmed by the r11 VERDICT's
+independent recount): 50 latest-green r11, 50 r10, 50 r9, 10 r8 —
+nothing older than the 4-round backstop; 1 rows-only by design
+(sync_markdown_parse).
+Round-12 window composition (exactly 50, produced verbatim by
+tools/next_window.py --check after the r11 artifact landed):
 
-  - the 5 r10-deferred r7-latest names FIRST
-    (try_funcs_safe_division + the four window_* events queries —
-    they re-certify at exactly the 4-round backstop, never past it)
-  - 40 of the r8-latest cohort (its alphabetical tail — 6 tpch_q*,
-    url_extract_normalize, vocab_coverage_oov, window_rank_variants,
-    window_trailing_7d_revenue — defers to r12 as the oldest debt
-    cohort, landing at gap 4 exactly: the steady state)
+  - the 10 r11-deferred r8-latest names FIRST (6 tpch_q*,
+    url_extract_normalize, vocab_coverage_oov — re-certifying its
+    r11-salted global-top-k plan — window_rank_variants,
+    window_trailing_7d_revenue; they land at exactly the 4-round
+    pytest backstop, never past it)
+  - 35 of the r9-latest cohort (its alphabetical tail — 15 names
+    from scalar_subquery_above_avg through winnow_dup_clusters —
+    defers to r13 as the oldest debt cohort: the steady state)
   - the first 5 staged entrants in STAGED_PRIORITY order, now
-    registered: sync_round_digest (the sync engine's first
-    driver-visible end-to-end certificate — VERDICT r9 item 6 /
-    r10 item 1 closed), sample_exact_k_per_lang,
-    gopher_dup_ngram_profile, lm_stupid_backoff_newdocs,
-    kmv_distinct_shingles
-
-The three r10-hardened r8-latest names (dedup_segment_rewrite,
-dedup_incremental_batch, tfidf_top_terms) hold slots and re-certify
-on their new skew-primitive plans, completing the changed-impl
-covenant for the round-10 hardening pass.
+    registered: pq_probe_newvecs + sketch_fold_digest (with these
+    two, EVERY streamed store is driver-certified — VERDICT r10
+    item 4 closed a round early), ann_two_stage_rerank,
+    mixture_temperature_weights, quality_composite_filter
 
 ``rotation_debt()`` is COMPUTED from the CORRECTNESS_r*.json
 artifacts: it returns the registered oracled names whose latest
@@ -52,13 +48,14 @@ A deferral is therefore the steady state of a >150-name registry,
 NOT a covenant break; --check now distinguishes the two and hard-
 fails on a true break (a deferred name already at the backstop age).
 
-Round-12 recomposition recipe: ``tools/next_window.py --check``
-prints the window ONLY AFTER CORRECTNESS_r11.json lands — expect
-the 10 r11-deferred r8 names first, then the r9-latest cohort fill,
-then up to STAGED_RESERVE of STAGED_PRIORITY (pq_probe_newvecs and
-the remaining streamed-store certifiers fronted per VERDICT r10
-item 4).  Pre-flight the exact WINDOW with tools/oracle_check.py at
-sf0.01, both transports, before the round submits.
+Round-13 recomposition recipe: ``tools/next_window.py --check``
+prints the window ONLY AFTER CORRECTNESS_r12.json lands — expect
+the 15 r12-deferred r9 names first (scalar_subquery_above_avg …
+winnow_dup_clusters), then the r10-latest cohort fill, then up to
+STAGED_RESERVE of STAGED_PRIORITY (markdown_links_headings — the
+r12 sanctioned entrant — fronts, then dedup_funnel_report).
+Pre-flight the exact WINDOW with tools/oracle_check.py at sf0.01,
+both transports, before the round submits.
 
 Staging protocol (unchanged since round 4): a NEW query or one whose
 implementation/oracle changed mid-round ships behind the module-level
@@ -95,68 +92,68 @@ _MODULES = [
 # Size of the driver's correctness-artifact window (observed, r01-r06).
 DRIVER_WINDOW = 50
 
-# Round-11 certification window — exactly DRIVER_WINDOW names, emitted
+# Round-12 certification window — exactly DRIVER_WINDOW names, emitted
 # first, produced verbatim by tools/next_window.py --check after the
-# r10 artifact landed.  See the rotation ledger in the module docstring.
+# r11 artifact landed.  See the rotation ledger in the module docstring.
 WINDOW = [
-    # -- the 5 r10-deferred r7-latest names (oldest debt, sorts
-    #    first; lands at exactly the 4-round pytest backstop) --
-    "try_funcs_safe_division",
-    "window_session_events",
-    "window_sliding_events",
-    "window_topk_orders_per_customer",
-    "window_tumbling_events",
-    # -- rotation debt: 40 of the 50 r8-latest greens (alphabetical
-    #    tail defers to r12; includes the three r10-hardened names
-    #    re-certifying on their skew-primitive plans) --
-    "array_funcs_documents",
-    "bpe_encode_frozen",
-    "chunk_documents_overlap",
-    "collect_sorted_event_types",
-    "dedup_incremental_batch",
-    "dedup_segment_rewrite",
-    "embed_hashing_fixedpoint",
-    "embedding_ann_multiprobe",
-    "embedding_pq_adc_topk",
-    "embedding_pq_assign",
-    "embedding_quantize_int8",
-    "embedding_quantized_topk",
-    "flagship_sync_digest",
-    "heavy_hitters_cms",
-    "join_asof_purchase_prior_view",
-    "kmeans_assign_serving",
-    "kmeans_balanced_sample",
-    "markdown_extract_builtin",
-    "mixture_resample_documents",
-    "neardup_cluster_canonical",
-    "neardup_clusters",
-    "neardup_minhash_bands",
-    "pack_training_sequences",
-    "pii_scrub_documents",
-    "profile_column_stats",
-    "profile_drift_events",
-    "quantile_sketch_orders",
-    "retention_cohort_weeks",
-    "tfidf_top_terms",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_ship_class_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    # -- round-11 staged entrants, first driver rows (STAGED_PRIORITY
-    #    order; sync_round_digest is the sync engine's first
-    #    driver-visible end-to-end certificate) --
-    "sync_round_digest",
-    "sample_exact_k_per_lang",
-    "gopher_dup_ngram_profile",
-    "lm_stupid_backoff_newdocs",
-    "kmv_distinct_shingles",
+    # -- the 10 r11-deferred r8-latest names (oldest debt, sorts
+    #    first; lands at exactly the 4-round pytest backstop;
+    #    vocab_coverage_oov re-certifies its r11-salted plan) --
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "url_extract_normalize",
+    "vocab_coverage_oov",
+    "window_rank_variants",
+    "window_trailing_7d_revenue",
+    # -- rotation debt: 35 of the 50 r9-latest greens (alphabetical
+    #    tail of 15 defers to r13 as the oldest cohort) --
+    "agg_argmax_conditional",
+    "ann_recall_audit",
+    "bloom_probe_fingerprints",
+    "bpe_fertility_frozen",
+    "case_when_sign_branch",
+    "cms_probe_terms",
+    "contamination_ngram_overlap",
+    "cube_status_priority",
+    "date_partition_buckets",
+    "dedup_incremental_spans",
+    "dedup_span_cut",
+    "dedup_token_spans",
+    "distinct_users_per_type",
+    "doc_fingerprint_bottomk",
+    "domain_mixture_weights",
+    "filter_project_events",
+    "grouping_sets_status_priority",
+    "higher_order_token_filter",
+    "isin_allowlist_filter",
+    "join_anti_customers_without_orders",
+    "join_broadcast_dims",
+    "join_null_safe_segments",
+    "join_range_value_bands",
+    "join_salted_status_dim",
+    "join_semi_customers_with_orders",
+    "json_extract_events_props",
+    "kmeans_centroids_fixedpoint",
+    "lm_known_bigram_score",
+    "neardup_incremental_minhash",
+    "neardup_ngram_jaccard",
+    "neardup_winnow_pairs",
+    "ngram_lm_topk",
+    "pivot_events_by_type",
+    "quality_repetition_filter",
+    "rollup_nation_segment",
+    # -- round-12 staged entrants, first driver rows (STAGED_PRIORITY
+    #    order; pq_probe_newvecs + sketch_fold_digest complete driver
+    #    certification of every streamed store) --
+    "pq_probe_newvecs",
+    "sketch_fold_digest",
+    "ann_two_stage_rerank",
+    "mixture_temperature_weights",
+    "quality_composite_filter",
 ]
 
 
@@ -250,27 +247,17 @@ def pending_queries() -> tuple[
 HARDENING_QUEUE: dict[str, str] = {}
 
 STAGED_PRIORITY = [
-    # Round-11 order per VERDICT r10 item 4: the streamed-store batch
-    # certifiers front the queue so every streamed store earns a
-    # driver row by r13 (pq_probe_newvecs is the PQ index's append +
-    # ADC read certifier, the last uncertified streamed store).
-    # Net-new staging stays FROZEN until the queue drains below
-    # STAGED_RESERVE (VERDICT r9 item 4 / r10 item 3).
-    "pq_probe_newvecs",
-    # round-11's single new entrant: the CMS/histogram maintainers'
-    # incremental-fold certifier (merge_cms / merge_hist vs one-pass
-    # ground truth) — the last streamed-store path without driver
-    # visibility
-    "sketch_fold_digest",
-    # late-round-9 staged: two-stage quantized-then-exact ANN re-rank
-    # (SCaNN/FAISS refine shape)
-    "ann_two_stage_rerank",
-    # late-round-9 staged: mT5-style temperature-scaled language
-    # sampling weights at alpha = 1/2 (Xue et al. 2021)
-    "mixture_temperature_weights",
-    # late-round-9 staged: FineWeb-style composed quality verdict
-    # with per-rule attribution
-    "quality_composite_filter",
+    # Round-12 drained the streamed-store certifiers (pq_probe_newvecs,
+    # sketch_fold_digest) plus the three late-r9 entrants into the
+    # WINDOW — every streamed store is now driver-certified (VERDICT
+    # r10 item 4 closed).  Net-new staging stays FROZEN until the
+    # queue drains below STAGED_RESERVE (VERDICT r9 item 4 / r10
+    # item 3 / r11 item 6); the sanctioned r12 exception is the
+    # markdown links/headings oracle slice (VERDICT r11 item 3).
+    # round-12's single new entrant, fronted for r13 registration:
+    # the markdown links+headings slice — more of F3-F5
+    # (handlers/comments.js:43-55) earns hash rows
+    "markdown_links_headings",
     # late-round-9 staged: sequential dedup+quality funnel counts
     "dedup_funnel_report",
     # late-round-9 staged: inter-document n-gram novelty summary
