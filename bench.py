@@ -287,11 +287,40 @@ def _cpu_probe_multicore(n: int | None = None) -> float:
         return -1.0
 
 
+def _await_idle_probes(
+    max_waits: int = 4, wait_s: float = 45.0
+) -> tuple[float, float, int]:
+    """Probe the host and, if it reads contended, WAIT briefly and
+    re-probe (bounded) before letting the timed section start — the
+    r11 fix for the artifact-of-record problem: the official
+    BENCH_r11.json was captured under a named contention band
+    (mc/sc 1.36) and read as a 47% regression while four documented
+    runs of the same tree sat at 0.59x on an idle host.  Contended =
+    mc/sc > 1.2 (cross-tenant core pressure the 32 local threads
+    will inherit) or sc > 1.5 (outright throttle).  If the host
+    never idles within the budget, proceed anyway — the probe pair
+    is recorded either way, so the reading stays attributable.
+    Returns (sc, mc, waits_used)."""
+    waits = 0
+    while True:
+        sc = _cpu_probe()
+        mc = _cpu_probe_multicore()
+        contended = (mc > 0 and mc / sc > 1.2) or sc > 1.5
+        if not contended or waits >= max_waits:
+            return sc, mc, waits
+        waits += 1
+        print(
+            f"host contended (sc {sc} mc {mc}); wait {waits}/{max_waits} "
+            f"({wait_s:.0f}s) before the recorded run",
+            file=sys.stderr,
+        )
+        time.sleep(wait_s)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    probe = _cpu_probe()
-    probe_mc = _cpu_probe_multicore()
+    probe, probe_mc, probe_waits = _await_idle_probes()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
@@ -378,6 +407,12 @@ def main() -> None:
     extended = round(sum(t for n, t in timings.items() if n in EXTENDED_SET), 3)
     cold_total = round(sum(t for n, t in cold.items() if n in BASELINE_SET), 3)
 
+    # closing probe pair — no gate here, just the record: a clean
+    # opening pair with a contended closing pair names mid-run
+    # contention instead of leaving the inflation unattributed
+    close_sc = _cpu_probe()
+    close_mc = _cpu_probe_multicore()
+
     from tools.oracle_check import engine_versions
 
     ver = engine_versions()
@@ -429,6 +464,11 @@ def main() -> None:
         ),
         "cpu_probe_sec": probe,
         "cpu_probe_mc_sec": probe_mc,
+        # closing pair: contention that ARRIVED mid-run is visible as
+        # open-vs-close divergence; waits = how long the idle gate
+        # held the recorded run at the door (0 = host was idle)
+        "cpu_probe_close": [close_sc, close_mc],
+        "probe_waits": probe_waits,
         "v": {k: ver[k] for k in ("pyspark", "duckdb", "pandas")},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
