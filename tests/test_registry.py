@@ -159,6 +159,47 @@ def test_bench_line_stays_inside_driver_capture():
         )
 
 
+def test_bench_idle_gate_waits_then_proceeds(monkeypatch):
+    """_await_idle_probes (the r12 artifact-of-record fix): contended
+    probe pairs hold the recorded run at the door and re-probe; an
+    idle pair releases it immediately; a never-idle host exhausts the
+    bounded budget and proceeds with the last pair recorded rather
+    than spinning forever."""
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    # contended twice (mc/sc > 1.2), then idle
+    seq = iter([(1.0, 1.5), (1.0, 1.4), (0.8, 0.82)])
+    cur = {}
+
+    def fake_sc():
+        cur["pair"] = next(seq)
+        return cur["pair"][0]
+
+    monkeypatch.setattr(bench, "_cpu_probe", fake_sc)
+    monkeypatch.setattr(
+        bench, "_cpu_probe_multicore", lambda n=None: cur["pair"][1]
+    )
+    sc, mc, waits = bench._await_idle_probes(max_waits=4, wait_s=0)
+    assert (sc, mc, waits) == (0.8, 0.82, 2)
+
+    # idle immediately: zero waits
+    seq = iter([(0.75, 0.78)])
+    sc, mc, waits = bench._await_idle_probes(max_waits=4, wait_s=0)
+    assert waits == 0 and sc == 0.75
+
+    # never idles: budget exhausted, proceeds anyway
+    seq = iter([(2.0, 2.1)] * 10)
+    sc, mc, waits = bench._await_idle_probes(max_waits=3, wait_s=0)
+    assert waits == 3 and sc == 2.0
+
+    # single-core throttle alone (mc/sc fine, sc > 1.5) also gates
+    seq = iter([(1.8, 1.9), (0.9, 0.95)])
+    sc, mc, waits = bench._await_idle_probes(max_waits=4, wait_s=0)
+    assert (sc, waits) == (0.9, 1)
+
+
 def test_staged_priority_is_a_permutation_of_pending():
     """STAGED_PRIORITY is the executable displacement rule: every
     pending name has an explicit priority and nothing stale lingers
