@@ -717,7 +717,14 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= CLUSTER_MIN_JACCARD
     )
     half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = _scoped_persist(
+    # CHECKPOINTED, not just persisted: the CC loop joins edges every
+    # round, and a persisted relation still carries the whole minhash
+    # chain's nested plan — each round's query re-plans that tree
+    # driver-side (~1 s/round at sf0.1; the same pathology the final
+    # labels checkpoint fixed).  Lineage truncation costs the same
+    # one materialization the first loop action paid anyway, and the
+    # blocks free at scope end like every pool entry.
+    edges = _scoped_checkpoint(
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
     labels = connected_components(edges)

@@ -1836,7 +1836,7 @@ def winnow_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage checkpointed. The oracle replays the fixpoint with a
     recursive CTE."""
     from chain_sync_spark.operators.llm_pipeline import (
-        _scoped_persist,
+        _scoped_checkpoint,
         connected_components,
         release_caches,
     )
@@ -1844,11 +1844,14 @@ def winnow_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_caches()  # previous query's scope ends here
     pairs = neardup_winnow_pairs(spark, sf_dir)
     half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # persisted: the CC loop consumes edges every round (neighbor join
-    # + convergence count) — unpinned, each round re-ran the whole
-    # winnow-pairs chain (measured 13.4 s construct at sf0.1, vs ~3 s
-    # pinned; neardup_clusters always pinned its edges)
-    edges = _scoped_persist(
+    # CHECKPOINTED: the CC loop consumes edges every round (neighbor
+    # join + convergence count) — unpinned, each round re-ran the
+    # whole winnow-pairs chain (13.4 s construct at sf0.1); merely
+    # PERSISTED, each round still re-planned the chain's nested tree
+    # driver-side (7.9 s warm construct vs 4.4 s with the flat
+    # checkpoint, interleaved A/B) — same blocks either way, freed at
+    # scope end.
+    edges = _scoped_checkpoint(
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
     labels = connected_components(edges)
