@@ -146,3 +146,27 @@ def test_star_on_real_neardup_graph(spark):
     release_caches()
     edges.unpersist()
     assert prop == star and prop
+
+
+def test_cc_output_plan_is_flat(spark):
+    """connected_components must hand out a lineage-truncated labels
+    relation (LogicalRDD scan, no nested join tree): a merely
+    persisted result re-plans up to checkpoint_every rounds of
+    adaptive joins on EVERY downstream query — measured ~1.1 s per
+    scan of a 560-row cached relation at sf0.1 (the r11 winnow warm
+    regression's actual cause). Guards the r12 flatten for both the
+    converged-naturally and final-round-checkpointed paths."""
+    edges = _sym_edges(spark, GRAPHS["cliques"])
+    labels = connected_components(edges)
+    plan = labels._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan, "labels must be checkpoint-backed"
+    assert "Join" not in plan, f"nested plan leaked through:\n{plan[:500]}"
+    release_caches()
+    # a path that ends ON an in-loop checkpoint round (a short chain
+    # needs ~diameter rounds, crossing checkpoint_every) exercises the
+    # already-checkpointed branch — same contract
+    chain = _sym_edges(spark, [(i, i + 1) for i in range(8)])
+    labels = connected_components(chain)
+    plan = labels._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan and "Join" not in plan
+    release_caches()
