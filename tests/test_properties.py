@@ -783,3 +783,63 @@ def test_skew_contract_guards_debug_mode(spark, monkeypatch):
     )
     assert got == [(1, 5.0, 1), (2, 4.0, 2)]
     assert keep_first_by_key(dup_order, ["key"], ["o", "p"]).count() == 2
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x10FFFF,
+                                   exclude_categories=("Cs",)),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_xxh64_matches_spark_jvm_at_seed_42(spark, strings):
+    """The pure-Python XXH64 core equals Spark's JVM implementation
+    (F.xxhash64, seed fixed at 42) on arbitrary unicode — every
+    length class (empty, <4, <8, <32, >=32 stripes, tails) and
+    multibyte UTF-8. With the core pinned, the reference-compat key
+    (seed 0xCAFEBABE) differs only by the seed parameter."""
+    from chain_sync_spark.functions.hashing import xxh64
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        mine = xxh64(r["s"].encode("utf-8"), 42)
+        signed = mine - (1 << 64) if mine >= (1 << 63) else mine
+        assert signed == r["h"], repr(r["s"])
+
+
+def test_surrogate_id_compat_reference_key_shape(spark):
+    """surrogate_id_compat == base64(XXH64(author + '/' + permlink,
+    0xCAFEBABE)) little-endian — the reference's getCommentID
+    (handlers/comments.js:14-17), computed two independent ways (the
+    pandas_udf column vs the python core directly)."""
+    import base64
+
+    from chain_sync_spark.functions.hashing import (
+        REFERENCE_KEY_SEED,
+        surrogate_id_compat,
+        xxh64,
+    )
+
+    rows = [("alice", "my-post"), ("bob", "über-pöst"), ("", "x")]
+    df = spark.createDataFrame(rows, "author string, permlink string")
+    got = {
+        (r["author"], r["permlink"]): r["k"]
+        for r in df.select(
+            "author",
+            "permlink",
+            surrogate_id_compat("author", "permlink").alias("k"),
+        ).collect()
+    }
+    for a, p in rows:
+        h = xxh64(f"{a}/{p}".encode("utf-8"), REFERENCE_KEY_SEED)
+        want = base64.b64encode(h.to_bytes(8, "little")).decode()
+        assert got[(a, p)] == want
+    # stable across runs and distinct across keys (a surrogate key's
+    # two load-bearing properties)
+    assert len(set(got.values())) == len(rows)
