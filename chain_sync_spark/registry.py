@@ -254,6 +254,13 @@ STAGED_PRIORITY = [
     # queue drains below STAGED_RESERVE (VERDICT r9 item 4 / r10
     # item 3 / r11 item 6); the sanctioned r12 exception is the
     # markdown links/headings oracle slice (VERDICT r11 item 3).
+    # First candidate WHEN the freeze lifts (~r14, queue below
+    # reserve): a sync_mutings_digest — DuckDB upsert-replay oracle
+    # over the mutings side-job (sync/mutings.py), converting the four
+    # pytest-only coverage rows (S10 update-by-query, J4 two-key
+    # update join, P9 muted-role filter, the periodic side-job) into
+    # driver-green certificates the way sync_round_digest did for the
+    # main loop.
     # round-12's single new entrant, fronted for r13 registration:
     # the markdown links+headings slice — more of F3-F5
     # (handlers/comments.js:43-55) earns hash rows
