@@ -20,35 +20,57 @@ _IMG_SRC_RE = r'<img[^>]*src\s*=\s*["\']([^"\']+)["\']'
 # Markdown image/link syntax: ![alt](url) and [text](url)
 _MD_IMG_RE = r"!\[[^\]]*\]\(([^)\s]+)[^)]*\)"
 
-# Markdown LINK syntax [text](url ...), excluding the image form
-# ![alt](url): RE2 (the DuckDB oracle engine) has no lookbehind, so
-# the exclusion is a leading (start-or-non-'!') group — groups are
-# therefore 2 = anchor text, 3 = url.  Kept inside the Java/RE2
-# shared subset like every oracle-visible pattern in this module.
-MD_LINK_RE = r"(^|[^!])\[([^\]]*)\]\(([^)\s]+)[^)]*\)"
+# Markdown LINK syntax [text](url ...): an optional leading '!' is
+# CAPTURED (group 1) and image matches are filtered out afterwards —
+# RE2 (the DuckDB oracle engine) has no lookbehind, and the earlier
+# consumed-prefix form (^|[^!]) silently dropped the second of two
+# immediately adjacent links (the first match consumed the character
+# the second needed as its prefix).  Groups: 1 = ''|'!', 2 = anchor
+# text, 3 = url.  Kept inside the Java/RE2 shared subset like every
+# oracle-visible pattern in this module.
+MD_LINK_RE = r"(!?)\[([^\]]*)\]\(([^)\s]+)[^)]*\)"
 # ATX headings: 1-6 '#' at line start, then whitespace, then text.
-# (?m) is the inline multiline flag — supported by Java regex AND
-# RE2, so both engines see identical line anchoring.
-MD_HEADING_RE = r"(?m)^(#{1,6})[ \t]+(.+)$"
+# Anchoring is EXPLICIT ((^|\n) + [^\n]) instead of (?m)^/.+$: Java's
+# multiline mode also treats CR, U+0085 and U+2028/U+2029 as line
+# terminators while RE2 only knows \n, so the inline-flag form
+# silently diverges between Spark and the DuckDB oracle on any
+# non-LF line ending.  Groups: 2 = marks, 3 = title (which keeps a
+# trailing \r on CRLF input — in BOTH engines identically).
+MD_HEADING_RE = r"(^|\n)(#{1,6})[ \t]+([^\n]+)"
 
 
 def extract_links(body: Column) -> Column:
     """Markdown links as an array of (text, url) structs — the
     links slice of the reference's markdown parse
     (handlers/comments.js:43-55) that is regex-expressible in both
-    engines (images excluded; they are F4's extract_image_srcs)."""
+    engines (images excluded via the captured-'!' filter; they are
+    F4's extract_image_srcs)."""
+    flags = F.regexp_extract_all(body, F.lit(MD_LINK_RE), 1)
     texts = F.regexp_extract_all(body, F.lit(MD_LINK_RE), 2)
     urls = F.regexp_extract_all(body, F.lit(MD_LINK_RE), 3)
-    return F.zip_with(
-        texts, urls, lambda t, u: F.struct(t.alias("text"), u.alias("url"))
+    zipped = F.zip_with(
+        F.zip_with(flags, texts, lambda f, t: F.struct(f.alias("f"), t.alias("t"))),
+        urls,
+        lambda ft, u: F.struct(
+            ft.getField("f").alias("f"),
+            ft.getField("t").alias("text"),
+            u.alias("url"),
+        ),
+    )
+    kept = F.filter(zipped, lambda s: s.getField("f") == "")
+    return F.transform(
+        kept,
+        lambda s: F.struct(
+            s.getField("text").alias("text"), s.getField("url").alias("url")
+        ),
     )
 
 
 def extract_headings(body: Column) -> Column:
     """ATX headings as an array of (level, title) structs, document
     order — the headings slice of the markdown parse."""
-    marks = F.regexp_extract_all(body, F.lit(MD_HEADING_RE), 1)
-    titles = F.regexp_extract_all(body, F.lit(MD_HEADING_RE), 2)
+    marks = F.regexp_extract_all(body, F.lit(MD_HEADING_RE), 2)
+    titles = F.regexp_extract_all(body, F.lit(MD_HEADING_RE), 3)
     return F.zip_with(
         marks,
         titles,

@@ -580,7 +580,14 @@ def connected_components(
     if any(labels is c for c in _SCOPED_CACHES):
         # final round checkpointed: already flat and pool-registered
         return labels.select("doc_id", "label")
-    out = _scoped_checkpoint(labels.select("doc_id", "label"))
+    try:
+        out = _scoped_checkpoint(labels.select("doc_id", "label"))
+    except BaseException:
+        # the eager checkpoint job itself failed: without this the
+        # persisted labels are neither pool-registered nor released
+        # and leak until driver GC (r12 review finding)
+        labels.unpersist()
+        raise
     labels.unpersist()
     return out
 

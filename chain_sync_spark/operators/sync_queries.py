@@ -170,8 +170,11 @@ def markdown_extract_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     i = F.col("doc_id").cast("string")
     m = F.pmod(F.col("doc_id"), F.lit(4))
+    # text coalesced to '' like the oracle's COALESCE(text, ''): a
+    # NULL text would yield NULL img_srcs/plain_head on the Spark
+    # side but '' on the oracle side (r12 review finding)
     aug = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(
             m == 0,
             F.concat(
@@ -215,8 +218,15 @@ def markdown_links_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     i = F.col("doc_id").cast("string")
     m = F.pmod(F.col("doc_id"), F.lit(4))
+    # text coalesced to '' on BOTH sides (oracle does the same): a
+    # NULL text would otherwise propagate NULL through concat →
+    # regexp_extract_all and diverge from the oracle's
+    # COALESCE(array_to_string(...), '') on the string columns.
+    # m == 1 appends ADJACENT links ([one](..)[two](..), no separator)
+    # so the flag-filter link pattern's fix for the consumed-prefix
+    # adjacency bug stays exercised by the certified query itself.
     aug = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(
             m == 0,
             F.concat(
@@ -230,7 +240,7 @@ def markdown_links_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
             m == 1,
             F.concat(
                 F.lit(" [one](http://l/o"), i,
-                F.lit(') [two](http://l/t'), i, F.lit(' "titled")'),
+                F.lit(')[two](http://l/t'), i, F.lit(' "titled")'),
             ),
         )
         .when(m == 2, F.concat(F.lit("\n### Deep C"), i, F.lit(" ###")))
@@ -269,30 +279,43 @@ def markdown_links_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB (RE2) rendering of the identical augmentation + patterns:
-# RE2 has no lookbehind, so the link pattern's image exclusion is the
-# same leading (start-or-non-'!') group both engines use; (?m) is the
-# shared inline multiline flag for the heading anchors.
+# the link pattern CAPTURES an optional '!' and image matches are
+# index-filtered out (RE2 has no lookbehind, and a consumed-prefix
+# exclusion drops the second of two adjacent links in BOTH engines);
+# heading anchors are the explicit (^|\n)+[^\n] form because Java's
+# (?m) recognizes more line terminators than RE2.
 _MD_LINKS_HEADINGS_ORACLE = r"""
 WITH aug AS (
   SELECT doc_id,
-         text || CASE CAST(doc_id % 4 AS INT)
+         COALESCE(text, '') || CASE CAST(doc_id % 4 AS INT)
            WHEN 0 THEN chr(10) || '# Title A' || doc_id::VARCHAR
                 || chr(10) || '## Sub B' || doc_id::VARCHAR
                 || chr(10) || 'see [ref](http://l/r' || doc_id::VARCHAR
                 || ') and ![pic](http://img/p' || doc_id::VARCHAR || '.png)'
            WHEN 1 THEN ' [one](http://l/o' || doc_id::VARCHAR
-                || ') [two](http://l/t' || doc_id::VARCHAR || ' "titled")'
+                || ')[two](http://l/t' || doc_id::VARCHAR || ' "titled")'
            WHEN 2 THEN chr(10) || '### Deep C' || doc_id::VARCHAR || ' ###'
            ELSE '' END AS b
   FROM documents
 ),
 ex AS (
   SELECT doc_id,
-         regexp_extract_all(b, '(^|[^!])\[([^\]]*)\]\(([^)\s]+)[^)]*\)', 3) AS urls,
-         regexp_extract_all(b, '(^|[^!])\[([^\]]*)\]\(([^)\s]+)[^)]*\)', 2) AS txts,
-         regexp_extract_all(b, '(?m)^(#{1,6})[ \t]+(.+)$', 1) AS marks,
-         regexp_extract_all(b, '(?m)^(#{1,6})[ \t]+(.+)$', 2) AS titles
+         regexp_extract_all(b, '(!?)\[([^\]]*)\]\(([^)\s]+)[^)]*\)', 1) AS lflags,
+         regexp_extract_all(b, '(!?)\[([^\]]*)\]\(([^)\s]+)[^)]*\)', 3) AS urls0,
+         regexp_extract_all(b, '(!?)\[([^\]]*)\]\(([^)\s]+)[^)]*\)', 2) AS txts0,
+         regexp_extract_all(b, '(^|\n)(#{1,6})[ \t]+([^\n]+)', 2) AS marks,
+         regexp_extract_all(b, '(^|\n)(#{1,6})[ \t]+([^\n]+)', 3) AS titles
   FROM aug
+),
+fx AS (
+  SELECT doc_id, marks, titles,
+         list_transform(
+           list_filter(range(1, len(lflags) + 1), j -> lflags[j] = ''),
+           j -> urls0[j]) AS urls,
+         list_transform(
+           list_filter(range(1, len(lflags) + 1), j -> lflags[j] = ''),
+           j -> txts0[j]) AS txts
+  FROM ex
 )
 SELECT doc_id,
        CAST(len(urls) AS INT) AS n_links,
@@ -305,7 +328,7 @@ SELECT doc_id,
          list_transform(range(1, len(marks) + 1),
                         j -> len(marks[j])::VARCHAR || ':' || titles[j])
        ), ' | '), '') AS headings
-FROM ex
+FROM fx
 """
 
 
@@ -315,7 +338,7 @@ FROM ex
 _MD_BUILTIN_ORACLE = r"""
 WITH aug AS (
   SELECT doc_id,
-         text || CASE CAST(doc_id % 4 AS INT)
+         COALESCE(text, '') || CASE CAST(doc_id % 4 AS INT)
            WHEN 0 THEN ' ![a](http://img/a' || doc_id::VARCHAR
                 || '.png) dup ![a](http://img/a' || doc_id::VARCHAR
                 || '.png) <img src="http://img/b' || doc_id::VARCHAR

@@ -162,10 +162,11 @@ def test_cc_output_plan_is_flat(spark):
     assert "LogicalRDD" in plan, "labels must be checkpoint-backed"
     assert "Join" not in plan, f"nested plan leaked through:\n{plan[:500]}"
     release_caches()
-    # a path that ends ON an in-loop checkpoint round (a short chain
-    # needs ~diameter rounds, crossing checkpoint_every) exercises the
-    # already-checkpointed branch — same contract
-    chain = _sym_edges(spark, [(i, i + 1) for i in range(8)])
+    # a path that ends ON an in-loop checkpoint round exercises the
+    # already-checkpointed branch — range(7) converges exactly on a
+    # checkpoint round (range(8) lands one past it and takes the same
+    # final-flatten branch as the cliques case; instrumented)
+    chain = _sym_edges(spark, [(i, i + 1) for i in range(7)])
     labels = connected_components(chain)
     plan = labels._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" in plan and "Join" not in plan

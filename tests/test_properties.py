@@ -843,3 +843,55 @@ def test_surrogate_id_compat_reference_key_shape(spark):
     # stable across runs and distinct across keys (a surrogate key's
     # two load-bearing properties)
     assert len(set(got.values())) == len(rows)
+
+
+def test_markdown_links_adjacent_and_headings_crlf_parity(spark):
+    """The two r12 review findings on the markdown slice, pinned:
+    (1) immediately adjacent links ([a](u)[b](v)) BOTH extract — the
+    old consumed-prefix image exclusion dropped the second; (2) the
+    heading pattern's explicit (^|\\n) anchoring behaves identically
+    in Spark (Java regex) and DuckDB (RE2) on CRLF and lone-CR input,
+    where Java's (?m) would have diverged."""
+    import duckdb
+
+    from chain_sync_spark.functions.text_funcs import (
+        MD_HEADING_RE,
+        extract_headings,
+        extract_links,
+    )
+
+    bodies = [
+        (1, "[a](u)[b](v)"),                    # adjacency
+        (2, "![i](p)[a](u)"),                    # image then link, adjacent
+        (3, "x![i](p) mid [a](u v) end"),        # image excluded, title junk
+        (4, "# Foo\r\nbody"),                    # CRLF heading
+        (5, "pre\r# Bar\nafter"),                # lone CR is NOT a line start
+        (6, "# A\n## B\n### C"),                 # consecutive headings
+    ]
+    df = spark.createDataFrame(bodies, "id int, b string")
+    got = {
+        r["id"]: (
+            [(s["text"], s["url"]) for s in r["links"]],
+            [(s["level"], s["title"]) for s in r["heads"]],
+        )
+        for r in df.select(
+            "id",
+            extract_links(F.col("b")).alias("links"),
+            extract_headings(F.col("b")).alias("heads"),
+        ).collect()
+    }
+    assert got[1][0] == [("a", "u"), ("b", "v")]      # both adjacent links
+    assert got[2][0] == [("a", "u")]                  # image excluded
+    assert got[3][0] == [("a", "u")]
+    assert got[4][1] == [(1, "Foo\r")]                # CRLF keeps the \r
+    assert got[5][1] == []                            # lone CR: no heading
+    assert got[6][1] == [(1, "A"), (2, "B"), (3, "C")]
+    # engine parity on the heading pattern: DuckDB (RE2) extracts the
+    # exact same (marks, titles) for every fixture body
+    con = duckdb.connect()
+    for _id, b in bodies:
+        marks, titles = con.execute(
+            "SELECT regexp_extract_all(?, ?, 2), regexp_extract_all(?, ?, 3)",
+            [b, MD_HEADING_RE, b, MD_HEADING_RE],
+        ).fetchone()
+        assert [(len(m), t) for m, t in zip(marks, titles)] == got[_id][1], b
