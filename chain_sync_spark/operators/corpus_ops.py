@@ -2801,12 +2801,10 @@ FROM scored
 
 
 PENDING_QUERIES = {
-    "ccnet_quality_buckets": ccnet_quality_buckets,
     "quality_classifier_margin": quality_classifier_margin,
 }
 
 PENDING_ORACLE = {
-    "ccnet_quality_buckets": _CCNET_BUCKETS_ORACLE,
     "quality_classifier_margin": _CLS_MARGIN_ORACLE,
 }
 
@@ -2829,6 +2827,9 @@ QUERIES.update(
         "lm_stupid_backoff_newdocs": lm_stupid_backoff_newdocs,
         "kmv_distinct_shingles": kmv_distinct_shingles,
         "sketch_fold_digest": sketch_fold_digest,
+        # staged r9 → registered + windowed round 13: the CCNet
+        # head/middle/tail fluency buckets (Wenzek et al. 2020)
+        "ccnet_quality_buckets": ccnet_quality_buckets,
     }
 )
 
@@ -2842,5 +2843,6 @@ ORACLE.update(
         "lm_stupid_backoff_newdocs": _SB_ORACLE,
         "kmv_distinct_shingles": _KMV_ORACLE,
         "sketch_fold_digest": _SKETCH_FOLD_ORACLE,
+        "ccnet_quality_buckets": _CCNET_BUCKETS_ORACLE,
     }
 )

@@ -1972,17 +1972,9 @@ FROM shared s JOIN tot t ON s.src_a = t.source
 """
 
 
-PENDING_QUERIES = {
-    "dedup_funnel_report": dedup_funnel_report,
-    "ngram_novelty_score": ngram_novelty_score,
-    "length_percentile_by_lang": length_percentile_by_lang,
-}
+PENDING_QUERIES: dict = {}
 
-PENDING_ORACLE = {
-    "dedup_funnel_report": _funnel_oracle(),
-    "ngram_novelty_score": _novelty_oracle(),
-    "length_percentile_by_lang": _PCT_RANK_ORACLE,
-}
+PENDING_ORACLE: dict = {}
 
 
 QUERIES = {
@@ -2014,6 +2006,12 @@ QUERIES = {
     # composed quality verdict
     "mixture_temperature_weights": mixture_temperature_weights,
     "quality_composite_filter": quality_composite_filter,
+    # staged r9 → registered + windowed round 13: the sequential
+    # dedup+quality funnel report, the inter-document n-gram novelty
+    # summary, and the windowless exact percent_rank (CDF join)
+    "dedup_funnel_report": dedup_funnel_report,
+    "ngram_novelty_score": ngram_novelty_score,
+    "length_percentile_by_lang": length_percentile_by_lang,
 }
 
 ORACLE = {
@@ -2035,4 +2033,7 @@ ORACLE = {
     "gopher_dup_ngram_profile": _GOPHER_ORACLE,
     "mixture_temperature_weights": _TEMP_MIX_ORACLE,
     "quality_composite_filter": _composite_oracle(),
+    "dedup_funnel_report": _funnel_oracle(),
+    "ngram_novelty_score": _novelty_oracle(),
+    "length_percentile_by_lang": _PCT_RANK_ORACLE,
 }

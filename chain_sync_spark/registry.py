@@ -9,30 +9,29 @@ contract, and the explicit ``WINDOW`` list below IS the round's
 certification window: those names are emitted first (in that order),
 then every remaining query in module order.
 
-Rotation ledger (round 12)
+Rotation ledger (round 13)
 --------------------------
 The ledger of record is "every query holds a green row in a recent
-CORRECTNESS_r* artifact".  End-of-round-11 state (recomputed from
-the raw r01-r11 artifacts, confirmed by the r11 VERDICT's
-independent recount): 50 latest-green r11, 50 r10, 50 r9, 10 r8 —
+CORRECTNESS_r* artifact".  End-of-round-12 state (recomputed from
+the raw r01-r12 artifacts, confirmed by the r12 VERDICT's
+independent recount): 50 latest-green r12, 50 r11, 50 r10, 15 r9 —
 nothing older than the 4-round backstop; 1 rows-only by design
 (sync_markdown_parse).
-Round-12 window composition (exactly 50, produced verbatim by
-tools/next_window.py --check after the r11 artifact landed):
+Round-13 window composition (exactly 50, produced verbatim by
+tools/next_window.py --check after the r12 artifact landed):
 
-  - the 10 r11-deferred r8-latest names FIRST (6 tpch_q*,
-    url_extract_normalize, vocab_coverage_oov — re-certifying its
-    r11-salted global-top-k plan — window_rank_variants,
-    window_trailing_7d_revenue; they land at exactly the 4-round
-    pytest backstop, never past it)
-  - 35 of the r9-latest cohort (its alphabetical tail — 15 names
-    from scalar_subquery_above_avg through winnow_dup_clusters —
-    defers to r13 as the oldest debt cohort: the steady state)
+  - the 15 r12-deferred r9-latest names FIRST
+    (scalar_subquery_above_avg … winnow_dup_clusters — the latter
+    re-certifying the r12 checkpointed-edges CC plan on a driver
+    row; they land at exactly the 4-round pytest backstop)
+  - 30 of the r10-latest cohort (its alphabetical tail — 20 names
+    from quality_by_source through winnow_probe_newdocs — defers
+    to r14 as the oldest debt cohort: the steady state)
   - the first 5 staged entrants in STAGED_PRIORITY order, now
-    registered: pq_probe_newvecs + sketch_fold_digest (with these
-    two, EVERY streamed store is driver-certified — VERDICT r10
-    item 4 closed a round early), ann_two_stage_rerank,
-    mixture_temperature_weights, quality_composite_filter
+    registered: markdown_links_headings (the r12 sanctioned
+    entrant — more of F3-F5 earns hash rows), dedup_funnel_report,
+    ngram_novelty_score, length_percentile_by_lang,
+    ccnet_quality_buckets
 
 ``rotation_debt()`` is COMPUTED from the CORRECTNESS_r*.json
 artifacts: it returns the registered oracled names whose latest
@@ -40,20 +39,24 @@ green row would fall below the 3-round target if left out of the
 next window.  Staged entrants register through
 tools/next_window.py, which reserves STAGED_RESERVE (= 5) slots for
 staged names before the debt fill; the matching number of freshest
-debt names defer one round.  Capacity arithmetic (asserted by
---check): the registry holds 174 oracled names against 45 x 4 = 180
-four-round capacity, so every deferred name re-enters as the oldest
-cohort and lands at a gap of exactly 4 — the pytest-backstop bound.
-A deferral is therefore the steady state of a >150-name registry,
-NOT a covenant break; --check now distinguishes the two and hard-
-fails on a true break (a deferred name already at the backstop age).
+debt names defer one round.  Capacity arithmetic is COMPUTED and
+asserted by ``tools/next_window.py --check`` (which prints the live
+registered/staged/capacity counts — cite the tool, not a number
+here; ``tests/test_registry.py`` pins the printed arithmetic
+against the registry), so every deferred name re-enters as the
+oldest cohort and lands at a gap of exactly 4 — the pytest-backstop
+bound.  A deferral is therefore the steady state of a >150-name
+registry, NOT a covenant break; --check distinguishes the two and
+hard-fails on a true break (a deferred name already at the backstop
+age).
 
-Round-13 recomposition recipe: ``tools/next_window.py --check``
-prints the window ONLY AFTER CORRECTNESS_r12.json lands — expect
-the 15 r12-deferred r9 names first (scalar_subquery_above_avg …
-winnow_dup_clusters), then the r10-latest cohort fill, then up to
-STAGED_RESERVE of STAGED_PRIORITY (markdown_links_headings — the
-r12 sanctioned entrant — fronts, then dedup_funnel_report).
+Round-14 recomposition recipe: ``tools/next_window.py --check``
+prints the window ONLY AFTER CORRECTNESS_r13.json lands — expect
+the 20 r13-deferred r10 names first (quality_by_source …
+winnow_probe_newdocs), then the r11-latest cohort fill, then the
+remaining 5 of STAGED_PRIORITY (quality_classifier_margin fronts) —
+draining the queue to 0 and lifting the net-new freeze with
+sync_mutings_digest as the sanctioned first post-freeze entrant.
 Pre-flight the exact WINDOW with tools/oracle_check.py at sf0.01,
 both transports, before the round submits.
 
@@ -92,68 +95,69 @@ _MODULES = [
 # Size of the driver's correctness-artifact window (observed, r01-r06).
 DRIVER_WINDOW = 50
 
-# Round-12 certification window — exactly DRIVER_WINDOW names, emitted
+# Round-13 certification window — exactly DRIVER_WINDOW names, emitted
 # first, produced verbatim by tools/next_window.py --check after the
-# r11 artifact landed.  See the rotation ledger in the module docstring.
+# r12 artifact landed.  See the rotation ledger in the module docstring.
 WINDOW = [
-    # -- the 10 r11-deferred r8-latest names (oldest debt, sorts
+    # -- the 15 r12-deferred r9-latest names (oldest debt, sorts
     #    first; lands at exactly the 4-round pytest backstop;
-    #    vocab_coverage_oov re-certifies its r11-salted plan) --
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "url_extract_normalize",
-    "vocab_coverage_oov",
-    "window_rank_variants",
-    "window_trailing_7d_revenue",
-    # -- rotation debt: 35 of the 50 r9-latest greens (alphabetical
-    #    tail of 15 defers to r13 as the oldest cohort) --
-    "agg_argmax_conditional",
-    "ann_recall_audit",
-    "bloom_probe_fingerprints",
-    "bpe_fertility_frozen",
-    "case_when_sign_branch",
-    "cms_probe_terms",
-    "contamination_ngram_overlap",
-    "cube_status_priority",
-    "date_partition_buckets",
-    "dedup_incremental_spans",
-    "dedup_span_cut",
-    "dedup_token_spans",
-    "distinct_users_per_type",
-    "doc_fingerprint_bottomk",
-    "domain_mixture_weights",
-    "filter_project_events",
-    "grouping_sets_status_priority",
-    "higher_order_token_filter",
-    "isin_allowlist_filter",
-    "join_anti_customers_without_orders",
-    "join_broadcast_dims",
-    "join_null_safe_segments",
-    "join_range_value_bands",
-    "join_salted_status_dim",
-    "join_semi_customers_with_orders",
-    "json_extract_events_props",
-    "kmeans_centroids_fixedpoint",
-    "lm_known_bigram_score",
-    "neardup_incremental_minhash",
-    "neardup_ngram_jaccard",
-    "neardup_winnow_pairs",
-    "ngram_lm_topk",
-    "pivot_events_by_type",
-    "quality_repetition_filter",
-    "rollup_nation_segment",
-    # -- round-12 staged entrants, first driver rows (STAGED_PRIORITY
-    #    order; pq_probe_newvecs + sketch_fold_digest complete driver
-    #    certification of every streamed store) --
-    "pq_probe_newvecs",
-    "sketch_fold_digest",
-    "ann_two_stage_rerank",
-    "mixture_temperature_weights",
-    "quality_composite_filter",
+    #    winnow_dup_clusters re-certifies the r12 checkpointed-edges
+    #    CC plan on a driver row) --
+    "scalar_subquery_above_avg",
+    "segment_dedup_ratio",
+    "set_ops_all_multiset",
+    "set_ops_segments",
+    "sort_limit_top_orders",
+    "stats_corr_lineitem",
+    "string_funcs_projection",
+    "surrogate_key_md5",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q5_local_supplier_volume",
+    "unpivot_customer_metrics",
+    "window_lag_event_gap",
+    "window_running_revenue",
+    "winnow_dup_clusters",
+    # -- rotation debt: 30 of the 50 r10-latest greens (alphabetical
+    #    tail of 20 defers to r14 as the oldest debt cohort) --
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "bm25_topk_documents",
+    "bpe_pair_merges",
+    "date_math_orders",
+    "dedup_embedding_semantic",
+    "dedup_exact_documents",
+    "embedding_ann_lsh_pairs",
+    "embedding_cosine_topk",
+    "embedding_ivf_assign",
+    "embedding_ivf_topk",
+    "embedding_label_centroids",
+    "explode_outer_rare_tokens",
+    "explode_token_frequency",
+    "funnel_session_conversion",
+    "histogram_order_prices",
+    "join_multiway_revenue",
+    "kmeans_embedding_clusters",
+    "lang_id_confusion",
+    "lm_probe_newdocs",
+    "map_funcs_events",
+    "math_funcs_lineitem",
+    "minhash_estimate_error_audit",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "multimodal_media_features",
+    "neardup_levenshtein_names",
+    "neardup_prefix_filter_pairs",
+    "neardup_simhash_pairs",
+    "percentile_order_prices",
+    # -- round-13 staged entrants, first driver rows (STAGED_PRIORITY
+    #    order; markdown_links_headings extends the F3-F5 oracle
+    #    surface — VERDICT r11 item 3 / r12 item 1) --
+    "markdown_links_headings",
+    "dedup_funnel_report",
+    "ngram_novelty_score",
+    "length_percentile_by_lang",
+    "ccnet_quality_buckets",
 ]
 
 
@@ -247,34 +251,23 @@ def pending_queries() -> tuple[
 HARDENING_QUEUE: dict[str, str] = {}
 
 STAGED_PRIORITY = [
-    # Round-12 drained the streamed-store certifiers (pq_probe_newvecs,
-    # sketch_fold_digest) plus the three late-r9 entrants into the
-    # WINDOW — every streamed store is now driver-certified (VERDICT
-    # r10 item 4 closed).  Net-new staging stays FROZEN until the
-    # queue drains below STAGED_RESERVE (VERDICT r9 item 4 / r10
-    # item 3 / r11 item 6); the sanctioned r12 exception is the
-    # markdown links/headings oracle slice (VERDICT r11 item 3).
-    # First candidate WHEN the freeze lifts (~r14, queue below
-    # reserve): a sync_mutings_digest — DuckDB upsert-replay oracle
-    # over the mutings side-job (sync/mutings.py), converting the four
+    # Round-13 registered the markdown links+headings slice plus the
+    # four remaining late-r9 entrants (dedup_funnel_report,
+    # ngram_novelty_score, length_percentile_by_lang,
+    # ccnet_quality_buckets) — the queue is now exactly at the
+    # 5-slot reserve.  Net-new staging stays FROZEN until the queue
+    # drains below STAGED_RESERVE (VERDICT r9 item 4 / r10 item 3 /
+    # r11 item 6); r14 drains it to 0 and lifts the freeze.
+    # First candidate WHEN the freeze lifts (r14, queue at 0): a
+    # sync_mutings_digest — DuckDB upsert-replay oracle over the
+    # mutings side-job (sync/mutings.py), converting the four
     # pytest-only coverage rows (S10 update-by-query, J4 two-key
     # update join, P9 muted-role filter, the periodic side-job) into
     # driver-green certificates the way sync_round_digest did for the
-    # main loop.
-    # round-12's single new entrant, fronted for r13 registration:
-    # the markdown links+headings slice — more of F3-F5
-    # (handlers/comments.js:43-55) earns hash rows
-    "markdown_links_headings",
-    # late-round-9 staged: sequential dedup+quality funnel counts
-    "dedup_funnel_report",
-    # late-round-9 staged: inter-document n-gram novelty summary
-    "ngram_novelty_score",
-    # late-round-9 staged: windowless exact percent_rank (CDF join)
-    "length_percentile_by_lang",
-    # round-9 wave 4: CCNet head/middle/tail fluency buckets per
-    # language (Wenzek et al. 2020) via the windowless CDF join over
-    # the micros-bounded distinct-score relation
-    "ccnet_quality_buckets",
+    # main loop.  Second sanctioned candidate (VERDICT r12 item 6):
+    # the markdown lists+blockquotes+fenced-code slice, extending
+    # markdown_links_headings' corpus under the same Java/RE2
+    # shared-subset regex discipline.
     # round-9 wave 4: distilled linear quality classifier margin
     # (fastText/DCLM serving shape, integer class-odds weights)
     "quality_classifier_margin",

@@ -119,6 +119,37 @@ def test_window_and_staged_sets_are_disjoint():
     assert not overlap, f"staged names inside the WINDOW: {overlap}"
 
 
+def test_capacity_arithmetic_is_computed_and_printed(capsys, monkeypatch):
+    """The registry's capacity covenant is COMPUTED, never prose
+    (VERDICT r12 finding 3: a hand-written '174 oracled names' in the
+    docstring went stale the day the markdown slice staged).  This
+    pins both halves: (a) the arithmetic itself — every oracled name,
+    registered or staged, fits the four-round debt capacity — and
+    (b) that `tools/next_window.py --check` PRINTS those same live
+    numbers, so the covenant argument in any round's docs can cite
+    the tool instead of a number."""
+    import sys
+
+    from chain_sync_spark.registry import pending_queries
+    from tools import next_window
+
+    pq = pending_queries()[0]
+    oracled = (set(all_queries()) & set(all_oracles())) | set(pq)
+    capacity = (
+        DRIVER_WINDOW - next_window.STAGED_RESERVE
+    ) * next_window.FRESHNESS_BACKSTOP
+    assert len(oracled) <= capacity
+
+    monkeypatch.setattr(sys, "argv", ["next_window.py", "--check"])
+    assert next_window.main() == 0
+    err = capsys.readouterr().err
+    expected = (
+        f"# invariants ok: {len(rotation_debt())} debt + {len(pq)} staged; "
+        f"{len(oracled)}/{capacity} of four-round capacity"
+    )
+    assert expected in err, f"--check printed arithmetic drifted:\n{err}"
+
+
 def test_bench_line_stays_inside_driver_capture():
     """Projected driver stdout line with every current HEADLINE entry
     present stays parseable inside the ~2000-char tail capture, and
