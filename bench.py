@@ -287,6 +287,71 @@ def _cpu_probe_multicore(n: int | None = None) -> float:
         return -1.0
 
 
+def _io_probe_mbps(sf_dir: str, budget_bytes: int = 128 * 1024 * 1024) -> float:
+    """Sequential-read throughput over the largest parquet file the
+    timed section will scan — the page-cache signal the CPU probes
+    cannot see.  Round 12's puzzle: the idle gate's CPU probes read
+    near-idle yet every per-query time was uniformly ~1.5x the
+    same-tree idle band; one invisible-to-CPU-probe cause is the
+    driver's 166-query correctness sweep evicting the sf0.1 parquet
+    from the page cache right before bench starts.  Cache-warm reads
+    land in the GB/s band; cache-cold reads land at disk speed —
+    recording the number next to the probe pair lets the artifact
+    attribute (or exonerate) that cause by itself."""
+    try:
+        files = sorted(
+            Path(sf_dir).glob("**/*.parquet"),
+            key=lambda p: p.stat().st_size,
+            reverse=True,
+        )
+        if not files:
+            return -1.0
+        t0 = time.perf_counter()
+        read = 0
+        with files[0].open("rb") as fh:
+            while read < budget_bytes:
+                chunk = fh.read(8 * 1024 * 1024)
+                if not chunk:
+                    break
+                read += len(chunk)
+        dt = time.perf_counter() - t0
+        return round(read / max(dt, 1e-6) / 1e6, 1)
+    except Exception as exc:  # diagnostics must never take the bench down
+        print(f"io_probe failed: {exc!r}", file=sys.stderr)
+        return -1.0
+
+
+def _mem_available_gb() -> float:
+    """MemAvailable from /proc/meminfo (GiB) — memory pressure at
+    bench start.  A low reading alongside a slow io-probe names
+    page-cache eviction; a high reading with a slow run points the
+    finger elsewhere (CPU frequency/thermal, cgroup throttle)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return round(int(line.split()[1]) / (1024 * 1024), 1)
+    except Exception:
+        pass
+    return -1.0
+
+
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative GC time (ms) across all collectors of the local
+    JVM, via the management MX beans — sampled before/after each
+    timed section so the artifact carries the GC delta, not a guess
+    about it."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return int(sum(b.getCollectionTime() for b in beans))
+    except Exception as exc:
+        print(f"gc_probe failed: {exc!r}", file=sys.stderr)
+        return -1
+
+
 def _await_idle_probes(
     max_waits: int = 4, wait_s: float = 45.0
 ) -> tuple[float, float, int]:
@@ -321,6 +386,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     probe, probe_mc, probe_waits = _await_idle_probes()
+    # execution-context diagnostics the CPU probes cannot see
+    # (VERDICT r12 finding 1: idle gate passed, artifact still 1.5x
+    # the same-tree idle band with uniform inflation) — recorded in
+    # the compact line so the artifact attributes its own gap:
+    #   load1   residual 1-min load (a just-finished driver sweep
+    #           decays over ~a minute even when the probes read idle)
+    #   mem_gb  MemAvailable — page-cache / memory pressure
+    #   io_mbps sequential-read throughput over the largest benched
+    #           parquet — cache-warm is GB/s, cache-cold is disk speed
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = -1.0
+    mem_gb = _mem_available_gb()
+    io_mbps = _io_probe_mbps(sf_dir)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
@@ -349,6 +429,7 @@ def main() -> None:
     # construction-inside-the-timer protocol was measured and
     # rejected: it inflates the lazy baseline set ~40% uniformly,
     # which would read as a fake regression against the anchor.
+    gc_open = _jvm_gc_ms(spark)
     cold: dict[str, float] = {}
     construct_cold: dict[str, float] = {}
     for n in names:
@@ -359,6 +440,7 @@ def main() -> None:
         construct_cold[n] = round(t1 - t0, 3)
         cold[n] = round(time.perf_counter() - t1, 3)
 
+    gc_after_cold = _jvm_gc_ms(spark)
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
     for n in names:
@@ -369,6 +451,7 @@ def main() -> None:
         construct[n] = round(t1 - t0, 3)
         timings[n] = round(time.perf_counter() - t1, 3)
 
+    gc_after_warm = _jvm_gc_ms(spark)
     # engine round: cold = fresh store first run, warm = second run
     # into another fresh store (session/JIT warm, storage cold both
     # times — the engine's real per-round profile)
@@ -450,7 +533,15 @@ def main() -> None:
             for n, r in sf_ratio.items()
             if n in SKEW_HARDENED or r > 15
         },
-        "sf_flag": sorted(n for n, r in sf_ratio.items() if r > 15),
+        # the flag fires at >15 anywhere, and at >10 for the hardened
+        # set — r12's prefix-filter reading of 13.4 sailed under the
+        # single threshold and the record never flagged itself
+        # (VERDICT r12 finding 2)
+        "sf_flag": sorted(
+            n
+            for n, r in sf_ratio.items()
+            if r > 15 or (n in SKEW_HARDENED and r > 10)
+        ),
         # eager driver-side loops (CC, Lloyd) do their work at
         # DataFrame-construction time, invisible to the write timer;
         # honest e2e for these = queries[n] + construct_hot[n].
@@ -469,6 +560,19 @@ def main() -> None:
         # held the recorded run at the door (0 = host was idle)
         "cpu_probe_close": [close_sc, close_mc],
         "probe_waits": probe_waits,
+        # context diagnostics the CPU probes can't see (VERDICT r12
+        # finding 1): residual 1-min load, MemAvailable GiB, parquet
+        # sequential-read MB/s (page-cache warm = GB/s band), and the
+        # JVM GC-time delta (ms) across [cold, warm] timed sections
+        "diag": {
+            "load1": load1,
+            "mem_gb": mem_gb,
+            "io_mbps": io_mbps,
+            "gc_ms": [
+                gc_after_cold - gc_open if gc_open >= 0 else -1,
+                gc_after_warm - gc_after_cold if gc_after_cold >= 0 else -1,
+            ],
+        },
         "v": {k: ver[k] for k in ("pyspark", "duckdb", "pandas")},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -123,11 +123,26 @@ def surrogate_id_compat(
     bytes are base64'd in the order node-xxhash 0.3.0 emits them (the
     raw in-memory uint64, i.e. LITTLE-endian on every platform the
     reference deploys on); the XXH64 VALUE itself is pinned against
-    Spark's JVM implementation, so byte order is the only encoding
-    assumption and it is isolated here. NULL parts behave like
-    concat_ws (skipped). Arrow-batched pandas_udf, Python per row:
-    use for one-time store migration / backfill joins, never in the
-    per-round hot path (surrogate_id stays the engine key)."""
+    Spark's JVM implementation at seed 42 AND against the upstream
+    xxHash project's published sanity vectors (tests/
+    test_properties.py::test_xxh64_upstream_golden_vectors), so byte
+    order is the only encoding assumption and it is isolated here.
+
+    NULL semantics — a DOCUMENTED DIVERGENCE (ADVICE r12): NULL parts
+    behave like concat_ws (skipped), but the reference's JS template
+    literal ``${author}/${permlink}`` stringifies null/undefined as
+    the literal text "null"/"undefined", so a degenerate reference
+    row (null author or permlink) would carry a key this function
+    does not reproduce.  Such rows are malformed in the reference's
+    own data model (both fields come from required operation fields,
+    handlers/comments.js:14-17) and none can exist in a well-formed
+    store; if a migration encounters one, pre-substitute the literal
+    strings (F.coalesce(col, F.lit("null"))) before keying.  See
+    DEPLOY.md's migration section.
+
+    Arrow-batched pandas_udf, Python per row: use for one-time store
+    migration / backfill joins, never in the per-round hot path
+    (surrogate_id stays the engine key)."""
 
     @F.pandas_udf("string")
     def _enc(s: pd.Series) -> pd.Series:

@@ -845,6 +845,25 @@ def test_surrogate_id_compat_reference_key_shape(spark):
     assert len(set(got.values())) == len(rows)
 
 
+def test_xxh64_upstream_golden_vectors():
+    """Hard-coded known-answer vectors from the upstream xxHash
+    project's own sanity checks (github.com/Cyan4973/xxHash,
+    xsum_sanity_check.c) — an independent pin of the XXH64 core that
+    is NOT derived from this repo's code or from Spark's JVM (ADVICE
+    r12: the byte-compat test recomputed its expected values with the
+    code under test).  node-xxhash 0.3.0 wraps this same canonical C
+    core, so the VALUE is pinned end-to-end; the one remaining
+    encoding assumption — the npm package returns the raw in-memory
+    uint64, little-endian on the reference's deploy platforms — is
+    isolated and documented in hashing.py (a true reference-produced
+    golden key needs the npm package, absent from this container)."""
+    from chain_sync_spark.functions.hashing import xxh64
+
+    prime32 = 2654435761  # XXH PRIME32_1, the spec's alternate seed
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+    assert xxh64(b"", prime32) == 0xAC75FDA2929B17EF
+
+
 def test_markdown_links_adjacent_and_headings_crlf_parity(spark):
     """The two r12 review findings on the markdown slice, pinned:
     (1) immediately adjacent links ([a](u)[b](v)) BOTH extract — the
