@@ -329,6 +329,45 @@ def test_markdown_lists_blocks_fence_semantics(spark):
     assert got[1] == ["real one"]
 
 
+def test_prepared_sync_mutings_digest_parity_dual_transport(spark):
+    """The r14 PREPARED post-freeze entrant (registry STAGED_PRIORITY
+    comment): the real community-mutings side-job run end-to-end
+    against a deterministic posts store — P9 role filter, J4 two-key
+    update join, S10 update-by-query MERGE, and the periodic-job
+    replay (third application is a verbatim repeat whose no-op-ness
+    the oracle certifies, since it derives final state from single
+    applications).  Dual-transport certified here until it takes a
+    PENDING slot at the r14 recomposition."""
+    from chain_sync_spark.operators.sync_queries import (
+        _MUTINGS_DIGEST_ORACLE,
+        sync_mutings_digest,
+    )
+
+    _dual_transport_parity(
+        spark, "sync_mutings_digest", sync_mutings_digest, _MUTINGS_DIGEST_ORACLE
+    )
+
+
+def test_sync_mutings_digest_flags_expected_posts(spark):
+    """Known-answer pin: exactly the cat1 posts by idx%3 accounts and
+    cat2 posts by idx%4 accounts are muted, nothing else — and the
+    muted set is non-empty (an all-False store would vacuously pass
+    parity if the oracle regressed the same way)."""
+    from chain_sync_spark.operators.sync_queries import sync_mutings_digest
+
+    rows = sync_mutings_digest(spark, SF).collect()
+    assert rows, "digest emitted no posts"
+    n_muted = 0
+    for r in rows:
+        idx = int(r.author.removeprefix("acct"))
+        want = (r.community == "cat1" and idx % 3 == 0) or (
+            r.community == "cat2" and idx % 4 == 0
+        )
+        assert bool(r.muted) == want, (r.post_id, r.author, r.community)
+        n_muted += bool(r.muted)
+    assert n_muted > 0
+
+
 def test_staged_names_not_yet_registered():
     from chain_sync_spark.registry import all_oracles, all_queries, pending_queries
 
