@@ -914,3 +914,67 @@ def test_markdown_links_adjacent_and_headings_crlf_parity(spark):
             [b, MD_HEADING_RE, b, MD_HEADING_RE],
         ).fetchone()
         assert [(len(m), t) for m, t in zip(marks, titles)] == got[_id][1], b
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            # the characters the block patterns and the engines'
+            # line-terminator models actually fight over: markers,
+            # fences, every terminator Java multiline knows that RE2
+            # does not (\r, NEL, U+2028/9), whitespace, and a little
+            # word material
+            alphabet=list("-*+>`#.)0159 \tab[]()\n\r  "),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_block_element_regexes_cross_engine_fuzz(spark, bodies):
+    """Property pin for the r13 block-element slice: on ARBITRARY
+    marker/terminator soup, Spark (Java regex) and DuckDB (RE2)
+    extract IDENTICAL fence counts, bullet items, ordered items, and
+    blockquote lines — the shared-subset discipline (explicit (^|\\n),
+    no (?m), no lookbehind) holds under fuzz, not just on the
+    certified corpus.  One DataFrame per example batch keeps the
+    Spark round-trips bounded."""
+    import duckdb
+
+    from chain_sync_spark.functions.text_funcs import (
+        count_fenced_blocks,
+        extract_blockquotes,
+        extract_bullet_items,
+        extract_ordered_items,
+        strip_fenced_code,
+    )
+
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bodies)], "id int, b string"
+    )
+    s = strip_fenced_code(F.col("b"))
+    got = {
+        r["id"]: (r["nf"], r["bu"], r["od"], r["qu"])
+        for r in df.select(
+            "id",
+            count_fenced_blocks(F.col("b")).alias("nf"),
+            extract_bullet_items(s).alias("bu"),
+            extract_ordered_items(s).alias("od"),
+            extract_blockquotes(s).alias("qu"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, b in enumerate(bodies):
+        nf, bu, od, qu = con.execute(
+            "SELECT len(regexp_extract_all(?, '```[^`]*```')),"
+            " regexp_extract_all(regexp_replace(?, '```[^`]*```', ' ', 'g'),"
+            "   '(^|\\n)[ \\t]*([-*+])[ \\t]+([^\\n]+)', 3),"
+            " regexp_extract_all(regexp_replace(?, '```[^`]*```', ' ', 'g'),"
+            "   '(^|\\n)[ \\t]*(\\d{1,3})[.)][ \\t]+([^\\n]+)', 3),"
+            " regexp_extract_all(regexp_replace(?, '```[^`]*```', ' ', 'g'),"
+            "   '(^|\\n)[ \\t]*>[ \\t]?([^\\n]+)', 2)",
+            [b, b, b, b],
+        ).fetchone()
+        assert got[i] == (nf, bu, od, qu), repr(b)
