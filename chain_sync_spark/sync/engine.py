@@ -190,7 +190,9 @@ class SyncEngine:
             return self.spark.read.parquet(self.posts_index_dir)
         return self.spark.createDataFrame([], INDEX_SCHEMA)
 
-    def process_batch(self, ops: DataFrame) -> None:
+    def process_batch(
+        self, ops: DataFrame, type_counts: dict[str, int] | None = None
+    ) -> None:
         """One sync round over an op-stream micro-batch.
 
         The accounts merge runs CONCURRENTLY with the posts/index/
@@ -201,7 +203,16 @@ class SyncEngine:
         unchanged — the cursor advances only after BOTH paths commit,
         and every merge is idempotent. The posts chain itself is
         order-dependent (posts → index → vote set-add on the same
-        tables) and stays sequential."""
+        tables) and stays sequential.
+
+        ``type_counts``: optional exact per-op_type row counts for
+        this batch (keys matching classify's types). When provided —
+        run() folds them into the batch-stats aggregate it already
+        pays — the posts chain's two emptiness probes come from the
+        dict instead of one Spark job each (classify filters on
+        exactly ``op_type == <type>``, so the counts are the probe,
+        r13 action census). Direct callers may omit it; the probes
+        then run as before."""
         from concurrent.futures import ThreadPoolExecutor
 
         if not self._migrated:
@@ -212,7 +223,7 @@ class SyncEngine:
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             acct_future = pool.submit(self._merge_accounts, comments, votes, accounts)
-            self._process_posts_chain(comments, votes)
+            self._process_posts_chain(comments, votes, type_counts)
             acct_future.result()  # re-raises merge errors before commit
 
     def _merge_accounts(self, comments, votes, accounts) -> None:
@@ -231,7 +242,12 @@ class SyncEngine:
             partition_stable=True,
         )
 
-    def _process_posts_chain(self, comments: DataFrame, votes: DataFrame) -> None:
+    def _process_posts_chain(
+        self,
+        comments: DataFrame,
+        votes: DataFrame,
+        type_counts: dict[str, int] | None = None,
+    ) -> None:
         idx = self.posts_index()
         slim_idx = idx.select("post_id", "year", "month")
 
@@ -248,7 +264,11 @@ class SyncEngine:
             )
             auth = self.authoritative.join(batch_ids, "post_id", "left_semi")
         post_upserts = comments_to_post_upserts(comments, authoritative=auth)
-        have_comments = not comments.isEmpty()
+        have_comments = (
+            type_counts["comment"] > 0
+            if type_counts is not None
+            else not comments.isEmpty()
+        )
         if have_comments:
             # DELIBERATELY SEQUENTIAL: a round-9 experiment ran this
             # merge concurrently with the index merge below (the
@@ -312,7 +332,12 @@ class SyncEngine:
         # so probe cost is O(touched buckets), not O(index). (On a
         # warehouse with dynamic partition pruning / Delta this filter
         # is derived automatically from the join.)
-        if not votes.isEmpty():
+        have_votes = (
+            type_counts["vote"] > 0
+            if type_counts is not None
+            else not votes.isEmpty()
+        )
+        if have_votes:
             vote_buckets = [
                 r["b"]
                 for r in votes.select(
@@ -361,12 +386,17 @@ class SyncEngine:
             batch = source.filter(
                 (F.col("block_num") >= cursor) & (F.col("block_num") < hi)
             )
-            # P3/P4 guards in one pass: count rows + malformed rows.
+            # P3/P4 guards in one pass: count rows + malformed rows —
+            # plus the per-type counts the posts chain's emptiness
+            # probes need, so the same single job replaces the two
+            # isEmpty() jobs process_batch used to run (r13).
             stats = batch.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(
                     F.when(F.col("op").isNull() | F.col("op_type").isNull(), 1).otherwise(0)
                 ).alias("bad"),
+                F.count(F.when(F.col("op_type") == "comment", 1)).alias("n_comment"),
+                F.count(F.when(F.col("op_type") == "vote", 1)).alias("n_vote"),
             ).first()
             if stats["bad"]:
                 # reference exits hard on failed blocks (listener.js:128-132)
@@ -391,7 +421,13 @@ class SyncEngine:
                         }
                     )
                 continue
-            self.process_batch(batch)
+            self.process_batch(
+                batch,
+                type_counts={
+                    "comment": int(stats["n_comment"]),
+                    "vote": int(stats["n_vote"]),
+                },
+            )
             lo, cursor = cursor, hi
             write_cursor(self.spark, self.cursor_path, cursor, dry_run=self.dry_run)
             if self.heartbeat is not None:

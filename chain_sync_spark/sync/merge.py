@@ -206,15 +206,26 @@ def merge_parquet(
     recover_table(target_dir, len(partition_cols) or None)
 
     if not os.path.exists(target_dir):
-        if updates.isEmpty():
-            # Never materialize a zero-row table: a partitioned
-            # overwrite of 0 rows writes only _SUCCESS and later
-            # reads fail with UNABLE_TO_INFER_SCHEMA.
-            return
+        # First write runs ONCE through staging + rename instead of an
+        # isEmpty() probe followed by the real write: the probe
+        # evaluated the whole handler pipeline a second time just to
+        # decide emptiness (r13 action census: 3 first-writes per
+        # fresh store, each paying the pipeline twice). Emptiness is
+        # now read off the STAGED OUTPUT on the driver — and a
+        # zero-row table is still never materialized: a partitioned
+        # overwrite of 0 rows writes only _SUCCESS and later reads
+        # fail with UNABLE_TO_INFER_SCHEMA. A crash between write and
+        # rename leaves only a staging dir, which recover_table
+        # already discards.
+        staging = target_dir.rstrip("/") + STAGING_SUFFIX
         writer = _sorted(updates, partition_cols, key_cols).write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(target_dir)
+        writer.parquet(staging)
+        if _staged_has_rows(staging, partition_cols):
+            os.rename(staging, target_dir)
+        else:
+            shutil.rmtree(staging)
         return
 
     target = spark.read.parquet(target_dir)
@@ -292,6 +303,23 @@ def merge_parquet(
     finally:
         if cached is not None:
             cached.unpersist()
+
+
+def _staged_has_rows(staging: str, partition_cols: list[str]) -> bool:
+    """Did a staged first write produce any rows?  Partitioned: zero
+    rows leave no `col=value` dirs at all.  Unpartitioned: part files
+    exist either way, so read row counts from the parquet footers
+    (driver-side, a handful of files — no Spark job)."""
+    if partition_cols:
+        prefix = f"{partition_cols[0]}="
+        return any(e.startswith(prefix) for e in os.listdir(staging))
+    import pyarrow.parquet as pq
+
+    return any(
+        pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows > 0
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
 
 
 def _sorted(df: DataFrame, partition_cols: list[str], key_cols: list[str]) -> DataFrame:

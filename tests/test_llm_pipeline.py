@@ -1363,3 +1363,36 @@ def test_resample_audio_decimates_and_passes_through(spark):
 
     with _pytest.raises(ValueError):
         mm.resample_audio(media, 0)
+
+
+def test_lsh_bucket_expr_matches_column_chain(spark):
+    """r13: lsh_bucket renders the hyperplane bucket as ONE SQL
+    expression (construct cost); it must stay value-identical to the
+    per-plane Column chain it replaced (the documented old form,
+    reproduced verbatim here) on real embedding data."""
+    from pyspark.sql import functions as F
+
+    from chain_sync_spark.functions import sketches as sk
+    from chain_sync_spark.operators.llm_pipeline import (
+        HYPERPLANES,
+        LSH_PLANES,
+        lsh_bucket,
+    )
+    from chain_sync_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", sk.vec_double(F.col("embedding")).alias("e")
+    )
+    old = F.lit(0)
+    for h in range(LSH_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[h]])
+        old = old + F.when(sk.dot(F.col("e"), plane) > 0, F.lit(1 << h)).otherwise(
+            F.lit(0)
+        )
+    diff = emb.select(
+        F.sum(
+            F.when(old != lsh_bucket("e"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_diff"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert diff["n"] > 0 and diff["n_diff"] == 0

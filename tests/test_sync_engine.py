@@ -562,3 +562,74 @@ def test_accounts_merge_failure_aborts_round(spark, tmp_path, ops_batch1, monkey
     assert cur == 1
     accounts = {r["name"] for r in _accounts(spark, tmp_path).collect()}
     assert "alice" in accounts
+
+
+def test_cursor_format_cross_compat(spark, tmp_path):
+    """r13: cursor I/O moved from Spark jobs to driver-side pyarrow.
+    The on-disk contract is unchanged — a directory holding one
+    parquet file — so a store written by either revision must read
+    back under the other."""
+    import os
+
+    from chain_sync_spark.sources.checkpoint import read_cursor, write_cursor
+
+    # new writer → Spark reader (the old read path)
+    p1 = f"{tmp_path}/ck_new"
+    write_cursor(spark, p1, 42)
+    assert spark.read.parquet(p1).first()["block_num"] == 42
+    # Spark writer (the old write path, reproduced verbatim) → new reader
+    p2 = f"{tmp_path}/ck_old"
+    tmp = p2 + ".tmp"
+    spark.createDataFrame([(7,)], "block_num long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.rename(tmp, p2)
+    assert read_cursor(spark, p2) == 7
+    # overwrite via the new writer stays atomic + re-readable
+    write_cursor(spark, p2, 9)
+    assert read_cursor(spark, p2) == 9
+    assert read_cursor(spark, f"{tmp_path}/absent", default=3) == 3
+
+
+def test_first_write_empty_updates_materializes_no_table(spark, tmp_path):
+    """r13: the first-write path stages once instead of probing
+    isEmpty() first — but a zero-row update batch must STILL leave no
+    table behind (partitioned zero-row dirs would later fail reads
+    with UNABLE_TO_INFER_SCHEMA), and no staging turd either."""
+    import os
+
+    from chain_sync_spark.sync.merge import merge_parquet
+
+    empty = spark.createDataFrame([], "k long, v string, part int")
+    tgt_part = f"{tmp_path}/t_part"
+    merge_parquet(spark, tgt_part, empty, key_cols=["k"], partition_cols=["part"])
+    assert not os.path.exists(tgt_part)
+    tgt_flat = f"{tmp_path}/t_flat"
+    merge_parquet(spark, tgt_flat, empty.drop("part"), key_cols=["k"])
+    assert not os.path.exists(tgt_flat)
+    assert not [e for e in os.listdir(tmp_path) if "__staging__" in e]
+    # and a NON-empty first write lands with rows intact
+    rows = spark.createDataFrame([(1, "a", 3), (2, "b", 4)], "k long, v string, part int")
+    merge_parquet(spark, tgt_part, rows, key_cols=["k"], partition_cols=["part"])
+    assert spark.read.parquet(tgt_part).count() == 2
+
+
+def test_process_batch_type_counts_matches_probe(spark, tmp_path, ops_batch1):
+    """r13: run() folds per-type counts into the batch-stats job and
+    process_batch skips its two isEmpty() probes when given them.
+    Both paths must produce byte-identical stores."""
+    a = SyncEngine(spark, str(tmp_path / "a"))
+    a.process_batch(ops_batch1)  # probe path (no counts)
+    b = SyncEngine(spark, str(tmp_path / "b"))
+    b.process_batch(
+        ops_batch1,
+        type_counts={"comment": 4, "vote": 4},  # exact counts in ops_batch1
+    )
+    def rows(store, sub):
+        df = spark.read.parquet(f"{tmp_path}/{store}/{sub}")
+        return sorted(repr(r) for r in df.select(sorted(df.columns)).collect())
+
+    for sub in ("posts", "accounts"):
+        assert rows("a", sub) == rows("b", sub), (
+            f"{sub} diverged between probe and type_counts paths"
+        )
