@@ -383,12 +383,16 @@ def neardup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     release_caches()
     is_new = F.col("doc_id") % NEARDUP_NEW_MOD == 0
+    # signed pin — the probe/index band self-join consumes the
+    # signature fold on both sides, so with the pin below the fold it
+    # ran twice (the neardup_minhash_bands duplication; see that
+    # docstring's measurement and plan evidence)
     shingled = _scoped_persist(
-        _docs_shingled(spark, sf_dir).withColumn("is_new", is_new)
+        _docs_shingled(spark, sf_dir)
+        .withColumn("is_new", is_new)
+        .withColumn("sig", sk.minhash_sigs(F.col("sh"), N_MINHASH))
     )
-    sigs = shingled.select(
-        "doc_id", "is_new", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
-    )
+    sigs = shingled
     band_cols = [
         F.md5(
             F.concat_ws(

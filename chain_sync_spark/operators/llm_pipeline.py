@@ -359,12 +359,24 @@ def neardup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     only for candidate ids (a semi-join-sized input at scale).
     """
     release_caches()  # previous query's scope ends here
-    # persisted: feeds the signature pipeline and both verify sides
-    shingled = _scoped_persist(_docs_shingled(spark, sf_dir))
-    sigs = shingled.select(
-        "doc_id", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
+    # Pinned at the SIGNED grain (doc_id, sh, sig), not the shingle
+    # grain: the banding self-join consumes the {N_MINHASH}-hash
+    # signature fold on BOTH sides, and with the pin below the fold
+    # the executed plan ran the fold TWICE over the full corpus
+    # (plans/r13/neardup_minhash_bands_before.txt nodes 8+13) — the
+    # exact duplication minhash_estimate_error_audit's signed pin
+    # already measured away (4.05 → 2.9 s, its docstring).  The pin
+    # grows by one {N_MINHASH}-int array per doc (~128 B — noise next
+    # to the shingle array it sits beside), and the verify sides read
+    # `sh` from the same cache, column-pruned.
+    shingled = _scoped_persist(
+        _docs_shingled(spark, sf_dir).select(
+            "doc_id",
+            "sh",
+            sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig"),
+        )
     )
-    cand = _band_collisions(sigs)
+    cand = _band_collisions(shingled)
     sa, sb = shingled.alias("sa"), shingled.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
@@ -420,11 +432,12 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair.  Output (doc_a, doc_b, est_micros, true_micros,
     err_micros), integer-only per the round-5 boundary contract.
 
-    Unlike neardup_minhash_bands (which persists the shingle
-    relation), the pin sits on the SIGNED relation: three consumers
-    (band keys + both verify sides) need the signatures, so pinning
-    below the fold would run the {N_MINHASH}-way aggregate three
-    times — measured 4.05 → 2.9 s at sf0.1 from moving the pin."""
+    The pin sits on the SIGNED relation: three consumers (band keys +
+    both verify sides) need the signatures, so pinning below the fold
+    would run the {N_MINHASH}-way aggregate three times — measured
+    4.05 → 2.9 s at sf0.1 from moving the pin (r13-opt extended the
+    same signed pin to neardup_minhash_bands / containment /
+    incremental, whose band self-joins paid the fold twice)."""
     release_caches()  # previous query's scope ends here
     sigs = _scoped_persist(
         _docs_shingled(spark, sf_dir).select(
@@ -3906,11 +3919,17 @@ def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only for candidate ids.  The directional micros are
     ratio_micros over set sizes — pure integers."""
     release_caches()  # previous query's scope ends here
-    shingled = _scoped_persist(_docs_shingled(spark, sf_dir))
-    sigs = shingled.select(
-        "doc_id", sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig")
+    # signed pin — same duplication and same fix as
+    # neardup_minhash_bands (the fold ran once per band self-join
+    # side with the pin below it; see that docstring's measurement)
+    shingled = _scoped_persist(
+        _docs_shingled(spark, sf_dir).select(
+            "doc_id",
+            "sh",
+            sk.minhash_sigs(F.col("sh"), N_MINHASH).alias("sig"),
+        )
     )
-    cand = _band_collisions(sigs)
+    cand = _band_collisions(shingled)
     sa, sb = shingled.alias("sa"), shingled.alias("sb")
     verified = (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))

@@ -1396,3 +1396,50 @@ def test_lsh_bucket_expr_matches_column_chain(spark):
         F.count(F.lit(1)).alias("n"),
     ).first()
     assert diff["n"] > 0 and diff["n_diff"] == 0
+
+
+def test_minhash_band_family_pins_signed_relation(spark):
+    """r13-opt: the banded-MinHash family must pin the SIGNED relation
+    (doc_id, sh, sig) — with the pin below the signature fold, the
+    band self-join's two sides each re-ran the {N_MINHASH}-hash fold
+    over the full corpus (measured ~30-40% of each query's warm time;
+    plans/r13/*_{before,after}.txt).  Pinning placement is invisible
+    to the value oracles, so this asserts it structurally: after
+    construction, the scope pool's pinned relation carries the sig
+    column, and the optimized plan computes the fold only inside the
+    cached relation's build plan (exactly one fold site)."""
+    from chain_sync_spark.operators import corpus_ops
+    from chain_sync_spark.operators.llm_pipeline import (
+        _SCOPED_CACHES,
+        neardup_containment_pairs,
+        neardup_minhash_bands,
+        release_caches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        neardup_minhash_bands,
+        neardup_containment_pairs,
+        corpus_ops.neardup_incremental_minhash,
+    ):
+        df = fn(spark, sf)
+        assert _SCOPED_CACHES, f"{fn.__name__}: no scoped pin taken"
+        assert "sig" in _SCOPED_CACHES[-1].columns, (
+            f"{fn.__name__}: pin sits below the signature fold"
+        )
+        # formatted mode prints each physical node's detail ONCE
+        # (cache-subtree echoes share their details), so the fold
+        # count is the number of distinct fold-computing nodes: 1 =
+        # the cache build only; 2 = a consumer recomputes it outside
+        # (the before shape, plans/r13/*_before.txt)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        n_folds = plan.count("aggregate(transform(sh")
+        assert n_folds <= 1, (
+            f"{fn.__name__}: signature fold planned {n_folds}x outside"
+            " the cache"
+        )
+    release_caches()
