@@ -1706,7 +1706,7 @@ def bpe_apply_merges(
     standard word-cache trick, so the per-merge pass is
     vocabulary-sized at any corpus scale.
 
-    SCOPE CONTRACT: with >= {BPE_CHECKPOINT_EVERY} merges the
+    SCOPE CONTRACT: with >= 2*{BPE_CHECKPOINT_EVERY} merges the
     returned relation is built on scope-pooled checkpoint blocks —
     consume it before the next release_caches() (the next query's
     start), the same lifetime every scoped persist in this package
@@ -1717,7 +1717,15 @@ def bpe_apply_merges(
     syms = words.withColumn("s", _word_chars(F.col(word_col)))
     for i, (l, r) in enumerate(merges):
         syms = syms.withColumn("s", _apply_merge(F.col("s"), l, r))
-        if (i + 1) % BPE_CHECKPOINT_EVERY == 0 and i + 1 < len(merges):
+        # checkpoint only when at least another CHECKPOINT_EVERY folds
+        # REMAIN: an eager mid-loop checkpoint is a full vocabulary
+        # materialization at DataFrame-CONSTRUCTION time, and for the
+        # frozen 12-merge path the old `i + 1 < len(merges)` condition
+        # paid one (construct_hot 7.3 s in the r14 baseline) to save a
+        # 4-fold tail — the whole 12-fold chain evaluates fine in one
+        # lazy plan (r14 A/B; the bounded-depth guarantee stays:
+        # plan depth <= 2*BPE_CHECKPOINT_EVERY - 1 folds).
+        if (i + 1) % BPE_CHECKPOINT_EVERY == 0 and len(merges) - (i + 1) >= BPE_CHECKPOINT_EVERY:
             # scope-pooled: blocks free at the next release_caches
             syms = _scoped_checkpoint(syms)
     return syms

@@ -555,16 +555,31 @@ def connected_components(
 
     All intermediate persists are released inside the loop; the final
     labels relation is materialized before the intermediates are freed.
+
+    The FIRST propagation round is folded into the initialization
+    (r14 action census): from identity labels, round 1 computes
+    label(v) = min(v, min N(v)) — which is one groupBy over the
+    symmetric edge list, no label relation needed yet.  The old shape
+    paid a distinct + a two-join propagation round for the identical
+    relation; rounds 2+ and the convergence protocol are unchanged,
+    so the fixpoint (and every label) is the same by construction.
     """
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("nlabel"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.col("nlabel")).alias("label"),
+            (F.col("nlabel") < F.col("doc_id")).alias("changed"),
+        )
         .persist()
     )
-    converged = False
     try:
-        for i in range(max_iters):
+        # materializes the init AND reads round 1's convergence signal
+        converged = labels.filter("changed").count() == 0
+        for i in range(1, max_iters):
+            if converged:
+                break
             neigh = (
                 edges.join(labels, edges.dst == labels.doc_id)
                 .groupBy("src")

@@ -1353,6 +1353,19 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # straggler at scale. (Hardened from the window form in round 9 —
     # value-identity re-verified against the unchanged oracle; the
     # A/B is recorded in BENCH.md.)
+    # r14 re-audit (VERDICT r13 item 4): sharing the shingle pass
+    # through ONE explicit repartition("h") exchange (guide §2.4) was
+    # implemented and REJECTED on plan evidence
+    # (plans/r14/experiments/): ColumnPruning pushes a Project[h]
+    # below the aggregate side's copy of the exchange while the probe
+    # side keeps (doc_id, pos, h), so the two exchanges never
+    # canonicalize equal (no ReusedExchange), and
+    # PushDownLeftSemiAntiJoin hoists the probe-side repartition
+    # ABOVE the semi join where it is immediately re-shuffled by
+    # doc_id — net effect is two ADDED exchanges plus a lost map-side
+    # combine, strictly worse than the recompute.  The only true
+    # sharing mechanisms Spark has are cache/checkpoint, i.e. the
+    # corpus-sized pin this docstring already rejects.
     dup_h = (
         pos.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1477,8 +1490,9 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew of a hot boilerplate shingle lands in a join AQE can split
     # instead of a window task it can't. The aggregate side re-derives
     # the shingle pass (see the dedup_token_spans comment for the
-    # measured trade). (Hardened from the window form in round 9 —
-    # value-identity re-verified.)
+    # measured trade AND the r14 shared-exchange rejection — the same
+    # plan evidence applies here). (Hardened from the window form in
+    # round 9 — value-identity re-verified.)
     firsts = (
         coded.groupBy("h")
         .agg(

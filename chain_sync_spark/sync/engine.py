@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chain_sync_spark.sources.checkpoint import read_cursor, write_cursor
-from chain_sync_spark.sync.classify import classify
+from chain_sync_spark.sync.classify import VOTE_SCHEMA, classify
 from chain_sync_spark.functions.hashing import surrogate_id
 from chain_sync_spark.sync.handlers import (
     account_activity_upserts,
@@ -191,7 +191,10 @@ class SyncEngine:
         return self.spark.createDataFrame([], INDEX_SCHEMA)
 
     def process_batch(
-        self, ops: DataFrame, type_counts: dict[str, int] | None = None
+        self,
+        ops: DataFrame,
+        type_counts: dict[str, int] | None = None,
+        vote_buckets: list[int] | None = None,
     ) -> None:
         """One sync round over an op-stream micro-batch.
 
@@ -212,7 +215,15 @@ class SyncEngine:
         dict instead of one Spark job each (classify filters on
         exactly ``op_type == <type>``, so the counts are the probe,
         r13 action census). Direct callers may omit it; the probes
-        then run as before."""
+        then run as before.
+
+        ``vote_buckets``: optional distinct posts_index bucket ids of
+        this batch's vote keys (bounded by N_INDEX_BUCKETS).  When
+        provided — run() folds the collect_set into the same stats
+        aggregate (identical key arithmetic: from_json op → surrogate
+        author/permlink hash → pmod, r14 action census) — the vote
+        path's per-round distinct+collect job is skipped.  Direct
+        callers may omit it; the collect then runs as before."""
         from concurrent.futures import ThreadPoolExecutor
 
         if not self._migrated:
@@ -223,7 +234,7 @@ class SyncEngine:
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             acct_future = pool.submit(self._merge_accounts, comments, votes, accounts)
-            self._process_posts_chain(comments, votes, type_counts)
+            self._process_posts_chain(comments, votes, type_counts, vote_buckets)
             acct_future.result()  # re-raises merge errors before commit
 
     def _merge_accounts(self, comments, votes, accounts) -> None:
@@ -247,6 +258,7 @@ class SyncEngine:
         comments: DataFrame,
         votes: DataFrame,
         type_counts: dict[str, int] | None = None,
+        vote_buckets: list[int] | None = None,
     ) -> None:
         idx = self.posts_index()
         slim_idx = idx.select("post_id", "year", "month")
@@ -338,17 +350,18 @@ class SyncEngine:
             else not votes.isEmpty()
         )
         if have_votes:
-            vote_buckets = [
-                r["b"]
-                for r in votes.select(
-                    F.pmod(
-                        F.xxhash64(surrogate_id("author", "permlink")),
-                        F.lit(N_INDEX_BUCKETS),
-                    ).cast("int").alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
+            if vote_buckets is None:
+                vote_buckets = [
+                    r["b"]
+                    for r in votes.select(
+                        F.pmod(
+                            F.xxhash64(surrogate_id("author", "permlink")),
+                            F.lit(N_INDEX_BUCKETS),
+                        ).cast("int").alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
             probe_idx = idx.filter(F.col("bucket").isin(vote_buckets)).select(
                 "post_id", "year", "month"
             )
@@ -389,7 +402,19 @@ class SyncEngine:
             # P3/P4 guards in one pass: count rows + malformed rows —
             # plus the per-type counts the posts chain's emptiness
             # probes need, so the same single job replaces the two
-            # isEmpty() jobs process_batch used to run (r13).
+            # isEmpty() jobs process_batch used to run (r13) — plus
+            # the distinct vote-key index buckets (bounded by
+            # N_INDEX_BUCKETS), so the vote path's per-round
+            # distinct+collect job folds in here too (r14).  The
+            # bucket arithmetic is byte-identical to the probe path:
+            # from_json(op) → surrogate author/permlink key →
+            # xxhash64 → pmod (classify extracts the same fields from
+            # the same payload; a test pins the equivalence).
+            vp = F.from_json("op", VOTE_SCHEMA)
+            vbucket = F.pmod(
+                F.xxhash64(surrogate_id(vp["author"], vp["permlink"])),
+                F.lit(N_INDEX_BUCKETS),
+            ).cast("int")
             stats = batch.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(
@@ -397,6 +422,9 @@ class SyncEngine:
                 ).alias("bad"),
                 F.count(F.when(F.col("op_type") == "comment", 1)).alias("n_comment"),
                 F.count(F.when(F.col("op_type") == "vote", 1)).alias("n_vote"),
+                F.collect_set(
+                    F.when(F.col("op_type") == "vote", vbucket)
+                ).alias("vote_buckets"),
             ).first()
             if stats["bad"]:
                 # reference exits hard on failed blocks (listener.js:128-132)
@@ -427,6 +455,7 @@ class SyncEngine:
                     "comment": int(stats["n_comment"]),
                     "vote": int(stats["n_vote"]),
                 },
+                vote_buckets=[int(b) for b in stats["vote_buckets"]],
             )
             lo, cursor = cursor, hi
             write_cursor(self.spark, self.cursor_path, cursor, dry_run=self.dry_run)

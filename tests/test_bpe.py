@@ -6,6 +6,7 @@ apply. The merge table is data-dependent state (no closed-form SQL
 oracle), so the replica IS the certification, the k-means precedent.
 """
 
+import pytest
 import re
 
 import pyarrow.parquet as pq
@@ -60,6 +61,7 @@ def _sf_word_counts() -> dict[str, int]:
     return counts
 
 
+@pytest.mark.slow
 def test_bpe_train_matches_python_replica_at_sf0001(spark):
     want, _ = _py_bpe_train(_sf_word_counts(), N)
     got = [

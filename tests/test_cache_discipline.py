@@ -43,6 +43,7 @@ def test_connected_components_raises_past_max_iters(spark):
     lp.release_caches()
 
 
+@pytest.mark.slow
 def test_registry_sweep_leaves_no_cached_relations(spark):
     """Run every registered query end-to-end; assert the cache pool
     stays bounded at one query's working set during the sweep and is

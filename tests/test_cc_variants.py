@@ -62,6 +62,7 @@ GRAPHS = {
 }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_star_equals_propagation_on_fixtures(spark, name):
     pairs = GRAPHS[name]
@@ -83,6 +84,7 @@ def test_star_equals_propagation_on_fixtures(spark, name):
     assert star == want
 
 
+@pytest.mark.slow
 def test_star_equals_propagation_on_random_graphs(spark):
     rng = random.Random(20260815)
     for trial in range(5):
@@ -104,6 +106,7 @@ def test_star_equals_propagation_on_random_graphs(spark):
         assert star == want, f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_star_converges_on_long_chain_in_log_rounds(spark):
     """The reason the variant exists: a 200-node chain converges for
     the star algorithm within a log-scale round budget where label
@@ -123,6 +126,7 @@ def test_star_converges_on_long_chain_in_log_rounds(spark):
     release_caches()
 
 
+@pytest.mark.slow
 def test_star_on_real_neardup_graph(spark):
     """Both engines agree on the real MinHash near-dup pair graph at
     sf0.001 — the production input shape."""
@@ -171,3 +175,22 @@ def test_cc_output_plan_is_flat(spark):
     plan = labels._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" in plan and "Join" not in plan
     release_caches()
+
+
+def test_propagation_labels_match_union_find_fast(spark):
+    """FAST-TIER ground truth for connected_components (the slow tier
+    re-proves star parity on the same fixtures + random graphs): every
+    small fixture's labels must equal the union-find component minimum.
+    Covers the r14 init fold (round 1 computed as one groupBy over the
+    symmetric edges) — the 'star' fixture converges AT the init (no
+    loop round runs), 'inverted_star'/'parallel'/'cliques' need the
+    loop, so both the folded round and the loop protocol are pinned."""
+    for name in ("star", "inverted_star", "parallel", "cliques"):
+        pairs = GRAPHS[name]
+        edges = _sym_edges(spark, pairs)
+        got = {
+            r.doc_id: r.label
+            for r in connected_components(edges).collect()
+        }
+        release_caches()
+        assert got == _py_components(pairs), name

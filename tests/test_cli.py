@@ -1,6 +1,7 @@
 """CLI entry point (python -m chain_sync_spark) — the analog of the
 reference's `node listener.js` command line (config.js:31-40)."""
 
+import pytest
 from chain_sync_spark.__main__ import main
 
 
@@ -29,6 +30,7 @@ def test_cli_sql(spark, capsys):
     assert "n" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_cli_sync_runs_engine_round(spark, tmp_path, capsys):
     store = str(tmp_path / "store")
     assert main(["sync", "--store", store, "--blocks", "12", "--batch", "12"]) == 0

@@ -297,6 +297,7 @@ def test_decode_media_stub_contract():
     assert f1 == f2 and len(f1) == mm.FEATURE_DIM
 
 
+@pytest.mark.slow
 def test_null_and_empty_payloads_are_in_contract(spark):
     """Null/empty payloads flow through every media stage without a
     task-side crash: decode_media falls back to the md5 stand-in,

@@ -1,47 +1,62 @@
-"""Whole-registry plan sweep: no query may plan a CartesianProduct.
+"""Whole-registry plan sweeps (fast tier).
 
-Broadcast nested-loop joins against bounded sides (query sets,
-centroids, 1-row aggregates) are legitimate; an unbounded-by-unbounded
-cartesian is the one join shape that can never survive a 100× scale-up,
-so every registered query is screened for it. Plans are inspected
-without executing (executedPlan is the pre-execution AQE plan)."""
+Three screens over every registered + staged query's PLAN — inspected
+without executing (the pre-execution AQE plan), so the whole sweep is
+one DataFrame-construction pass shared by a module fixture:
 
-from chain_sync_spark.plans.audit import executed_plan
-from chain_sync_spark.registry import all_queries
+* no CartesianProduct: an unbounded-by-unbounded cartesian is the one
+  join shape that can never survive a 100x scale-up.
+* no unbounded partition-less window: a rank/running-sum window with
+  no partition key pins its whole input in one task.
+* no NEW duplicated expensive subtree (r14, VERDICT r13 item 8): the
+  round-13 optimization class — the same long generation/fold/regex
+  expression planned at more than one node — must not regrow
+  silently.  Known, dispositioned recompute trades are allow-listed
+  below with their reasons; a new query (or a new duplicate in an
+  existing one) fails until it is either fixed or dispositioned here.
+"""
+
+import pytest
+
+from chain_sync_spark.plans.audit import (
+    duplicate_expensive_details,
+    executed_plan,
+    formatted_plan,
+)
+from chain_sync_spark.registry import all_queries, pending_queries
 
 SF_DIR = "/root/testdata/sf0.001"
 
 # Driver-loop operators execute jobs at construction time; they are
 # covered by their own tests and skipped here to keep the sweep fast.
+# (Their FINAL plans are checkpoint-backed LogicalRDD scans anyway —
+# the loop-internal plans never appear in the handed-out relation.)
 SKIP = {"neardup_clusters"}
 
 
-def test_no_query_plans_a_cartesian_product(spark):
-    offenders = []
-    for name, fn in all_queries().items():
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    """name -> (executed, formatted, optimized) plan strings for every
+    registered + staged query, constructed ONCE for all three sweeps
+    (the two r13-era sweeps each paid their own full construction
+    pass — ~200 s of the old suite's budget)."""
+    qs = dict(all_queries())
+    qs.update(pending_queries()[0])
+    out = {}
+    for name, fn in qs.items():
         if name in SKIP:
             continue
-        plan = executed_plan(fn(spark, SF_DIR))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, f"cartesian product planned by: {offenders}"
+        df = fn(spark, SF_DIR)
+        out[name] = (
+            executed_plan(df),
+            formatted_plan(df),
+            df._jdf.queryExecution().optimizedPlan().toString(),
+        )
+    return out
 
 
-# The round-5 entrants (vocab_coverage_oov, heavy_hitters_cms) joined
-# the registry in round 5, so the main sweep above now covers them.
-
-
-def test_no_staged_query_plans_a_cartesian_product(spark):
-    """Round-6 staged queries get the same screen before they ever
-    reach the registry (k-means' broadcast-nested-loop against the
-    K-row centroid frame is the legitimate bounded shape)."""
-    from chain_sync_spark.registry import pending_queries
-
-    offenders = []
-    for name, fn in pending_queries()[0].items():
-        plan = executed_plan(fn(spark, SF_DIR))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+def test_no_query_plans_a_cartesian_product(all_plans):
+    offenders = [n for n, (ex, _, _) in all_plans.items() if "CartesianProduct" in ex]
     assert not offenders, f"cartesian product planned by: {offenders}"
 
 
@@ -61,25 +76,19 @@ PARTITIONLESS_OK = {
 }
 
 
-def test_no_unbounded_partitionless_window(spark):
-    """Whole-registry screen (registered + staged): a ROW_NUMBER /
-    rank / running-sum window with NO partition columns pins its
-    whole input in one task, which only survives scale-up when the
-    input is constant-bounded — every such window must be on the
-    audited allowlist above.  Detection: the first
+def test_no_unbounded_partitionless_window(all_plans):
+    """A ROW_NUMBER / rank / running-sum window with NO partition
+    columns pins its whole input in one task, which only survives
+    scale-up when the input is constant-bounded — every such window
+    must be on the audited allowlist above.  Detection: the first
     windowspecdefinition argument is an ORDER entry (ASC/DESC) iff
-    the partition-column list is empty."""
+    the partition-column list is empty.  (Runs on the optimized
+    logical plan like the r10-r13 sweeps did, from the shared
+    fixture's one construction pass.)"""
     import re
 
-    from chain_sync_spark.registry import pending_queries
-
-    qs = dict(all_queries())
-    qs.update(pending_queries()[0])
     offenders = {}
-    for name, fn in qs.items():
-        if name in SKIP:
-            continue
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+    for name, (_, _, plan) in all_plans.items():
         hits = sorted(
             {
                 m.group(1).strip()
@@ -91,4 +100,76 @@ def test_no_unbounded_partitionless_window(spark):
             offenders[name] = hits
     assert not offenders, (
         f"unbounded partition-less window planned by: {offenders}"
+    )
+
+
+# Dispositioned duplicated-expensive-subtree survivors (the r13
+# continuation sweep's findings, re-swept r14) as name -> max allowed
+# duplicate GROUPS.  A query absent from this map must plan ZERO
+# >1-node expensive duplicates; raising a cap (or adding a name)
+# requires recording the disposition here, which is exactly the
+# review the r13 VERDICT (item 8) asked this test to force.
+# Dispositions, by family (details in OPTIMIZATION_r13.md):
+#  * banded-MinHash (bands/containment/estimate_audit/semantic):
+#    band-key posexplode over the CACHED sig — N_BANDS md5s/doc per
+#    side, deliberately recomputed (pinning band rows caches rows for
+#    pennies of compute).
+#  * LSH trio (ann_lsh_pairs/multiprobe/semantic): bucket + norm per
+#    self-join side — pin A/B'd warm-mixed r13, left (revisit on a
+#    real cluster where the duplicated parquet SCAN costs I/O).
+#  * PQ/IVF/kmeans (adc_topk/pq_assign/pq_probe/ivf_topk/kmeans_*):
+#    the CONSTANT-FOLDED codebook literal inlined per consumer site /
+#    the K-bounded argmin chain — bounded rows, not corpus work.
+#  * token/gram-grain recomputes (span family, segment_dedup_ratio,
+#    tfidf/vocab/kmv/cms/backoff/ngram_lm/ccnet/classifier_margin,
+#    winnow_probe, source_overlap [3 ReusedExchange fire at runtime],
+#    heavy_hitters): the corpus-sized-pin trades, each with a
+#    measured flat-to-worse persist A/B on record; the r14
+#    shared-exchange restructure was rejected on plan evidence
+#    (plans/r14/experiments/).
+DUP_ALLOWED: dict[str, int] = {
+    "ccnet_quality_buckets": 4,
+    "dedup_embedding_semantic": 1,
+    "dedup_incremental_spans": 2,
+    "dedup_span_cut": 1,
+    "embedding_ann_lsh_pairs": 1,
+    "embedding_ann_multiprobe": 1,
+    "embedding_ivf_topk": 1,
+    "embedding_pq_adc_topk": 1,
+    "embedding_pq_assign": 1,
+    "heavy_hitters_cms": 2,
+    "kmeans_balanced_sample": 1,
+    "kmeans_embedding_clusters": 1,
+    "kmv_distinct_shingles": 2,
+    "lm_stupid_backoff_newdocs": 2,
+    "minhash_estimate_error_audit": 1,
+    "neardup_containment_pairs": 1,
+    "neardup_minhash_bands": 1,
+    "ngram_lm_topk": 2,
+    "pq_probe_newvecs": 1,
+    "quality_classifier_margin": 1,
+    "segment_dedup_ratio": 1,
+    "source_overlap_matrix": 1,
+    "tfidf_top_terms": 2,
+    "vocab_coverage_oov": 1,
+    "winnow_probe_newdocs": 1,
+}
+
+
+def test_no_new_duplicated_expensive_subtree(all_plans):
+    """r14 (VERDICT r13 item 8): the duplicate-subtree detector in CI
+    form.  Counts expr-id-normalized expensive detail strings (>160
+    chars of aggregate/transform/explode/regexp work) appearing at
+    more than one node of each query's formatted plan; every surviving
+    duplicate group must fit the allow-listed cap for that query."""
+    over = {}
+    for name, (_, fmt, _) in all_plans.items():
+        dups = duplicate_expensive_details(fmt)
+        if len(dups) > DUP_ALLOWED.get(name, 0):
+            over[name] = {d[:100]: c for d, c in dups.items()}
+    assert not over, (
+        "NEW duplicated expensive subtree(s) — optimize (share the "
+        "relation) or record the recompute disposition in DUP_ALLOWED: "
+        f"{sorted(over)}\nfirst offender detail heads: "
+        f"{dict(list(over.items())[:2])}"
     )

@@ -813,6 +813,7 @@ def test_xxh64_matches_spark_jvm_at_seed_42(spark, strings):
         assert signed == r["h"], repr(r["s"])
 
 
+@pytest.mark.slow
 def test_surrogate_id_compat_reference_key_shape(spark):
     """surrogate_id_compat == base64(XXH64(author + '/' + permlink,
     0xCAFEBABE)) little-endian — the reference's getCommentID

@@ -71,6 +71,7 @@ def test_node_pool_failover_and_exhaustion():
         pool2.fetch(flaky, [])
 
 
+@pytest.mark.slow
 def test_ops_from_rpc_feeds_engine(spark, tmp_path):
     from chain_sync_spark.sync.engine import SyncEngine
     ops = ops_from_rpc(spark, 1000, _responses(1000))

@@ -79,6 +79,7 @@ def test_kmeans_matches_python_replica_at_sf0001(spark):
     assert {r.cluster_id: r.cluster_size for r in rows} == sizes
 
 
+@pytest.mark.slow
 def test_kmeans_tiny_blobs_converge(spark, tmp_path):
     """8 spread seeds + satellites around seeds 0 and 3: the
     satellites join their seed's cluster and sizes add up."""
@@ -208,6 +209,7 @@ def _dual_transport_parity(spark, name, fn, oracle):
     assert oc._canon(spdf_pd) == oc._canon(dpdf_pd), "pandas path"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,fn,oracle", list(_pending()))
 def test_staged_oracle_parity_dual_transport(spark, name, fn, oracle):
     """The stand-in for the driver row staged queries cannot earn
@@ -262,6 +264,7 @@ R10_REGISTRATIONS = [
     "name",
     R7_REGISTRATIONS + R8_REGISTRATIONS + R9_REGISTRATIONS + R10_REGISTRATIONS,
 )
+@pytest.mark.slow
 def test_registration_oracle_parity_dual_transport(spark, name):
     """Parity pin on the QUERIES/ORACLE entries registered in rounds
     7-9 (staged→registered promotions plus direct registrations)

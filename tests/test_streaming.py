@@ -121,6 +121,7 @@ def test_stateful_running_activity_survives_restart(spark, tmp_path):
     assert [r["n_ops"] for r in rows if r["name"] == "bob"] == [1]
 
 
+@pytest.mark.slow
 def test_stream_stream_join_within_lag(spark, tmp_path):
     """Stream-stream join: a vote within the lag window matches its
     comment; a vote on a different post does not; a vote far past
@@ -239,6 +240,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted(r["block_num"] for r in rows) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_windowed_stream_drops_late_rows(spark, tmp_path):
     """Watermark semantics across restarts: the watermark persists in
     the streaming checkpoint, so a row arriving in a later run that is
@@ -355,6 +357,7 @@ def test_stream_rollup_matches_full_recompute_and_replay_contract(spark, tmp_pat
     assert _canon(finalize_rollup(spark.read.parquet(store))) == _canon(exp)
 
 
+@pytest.mark.slow
 def test_stream_rollup_replay_mark_skips_redelivered_batch(spark, tmp_path):
     """foreachBatch at-least-once redelivery: a batch id at-or-below
     the committed high-water mark under the SAME checkpoint must be a
@@ -425,6 +428,7 @@ def test_stream_rollup_crash_recovery_windows(spark, tmp_path):
     assert os.path.isdir(store) and not os.path.exists(store + ".old")
 
 
+@pytest.mark.slow
 def test_stream_neardup_index_maintains_and_flags(spark, tmp_path):
     """Streaming near-dup index maintenance: batch 1's docs seed the
     index; batch 2's near-copy of doc 0 is flagged against the STORED
@@ -661,6 +665,7 @@ def test_stream_pq_index_rejects_seedless_first_batch(spark, tmp_path):
     assert not os.path.isdir(str(tmp_path / "store" / "codes"))
 
 
+@pytest.mark.slow
 def test_search_pq_index_matches_batch_adc(spark, tmp_path):
     """The streamed PQ store must serve queries identically to the
     batch operator: index the whole embeddings table in one batch
@@ -711,6 +716,7 @@ def test_search_pq_index_matches_batch_adc(spark, tmp_path):
     lp.release_caches()  # the batch ADC comparator scope-persists
 
 
+@pytest.mark.slow
 def test_probe_neardup_index_readonly_parity(spark, tmp_path):
     """The read-only probe must (1) agree with the maintenance
     stream's decisions for a batch with no in-batch duplicates and
@@ -783,6 +789,7 @@ def test_probe_neardup_index_readonly_parity(spark, tmp_path):
     assert (dec[3].is_dup, dec[3].dup_of) == (False, None)
 
 
+@pytest.mark.slow
 def test_append_store_commit_is_o_batch_and_crash_safe(spark, tmp_path):
     """The append-only store contract (the r4-ADVICE scale fix):
     (1) committing a later batch leaves every earlier delta dir
@@ -868,6 +875,7 @@ def test_append_store_commit_is_o_batch_and_crash_safe(spark, tmp_path):
     assert _delta0_state() == state0  # recovery touches only the orphan
 
 
+@pytest.mark.slow
 def test_append_store_rejects_foreign_checkpoint(spark, tmp_path):
     """A stream started on a FRESH checkpoint against an existing
     append store fails fast instead of corrupting it: delta dirs are
@@ -920,6 +928,7 @@ def test_append_store_rejects_foreign_checkpoint(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_compact_store_folds_deltas_and_stream_resumes(spark, tmp_path):
     """compact_store (the lakehouse-OPTIMIZE analogue): folds all
     committed deltas into one compact base per table, serves the SAME
@@ -1124,6 +1133,7 @@ def test_stream_histogram_matches_one_pass_and_serves_quantiles(spark, tmp_path)
         assert est[q] * exact > 0 and 0.75 <= abs(est[q]) / abs(exact) <= 1.5
 
 
+@pytest.mark.slow
 def test_stream_cluster_assign_frozen_centroids_and_replay(spark, tmp_path):
     """Streaming k-means index: batch 0 trains (full Lloyd loop on the
     first batch) and freezes the centroids; batch 1 assigns against
@@ -1304,6 +1314,7 @@ def test_stream_bloom_matches_one_pass_and_serves_probes(spark, tmp_path):
         assert hit >= present  # no false negatives, row by row
 
 
+@pytest.mark.slow
 def test_stream_shingle_index_matches_batch_incremental(spark, tmp_path):
     """Streamed shingle index: history docs ingested first (empty
     store — nothing cut), then the new batch cut against the stored
@@ -1413,6 +1424,7 @@ def test_stream_shingle_index_matches_batch_incremental(spark, tmp_path):
     assert post == want
 
 
+@pytest.mark.slow
 def test_stream_winnow_index_serves_and_records_pairs(spark, tmp_path):
     """Streamed winnowing index (the MOSS service shape): batch 2's
     recorded pairs against the stored batch-1 fingerprints equal a
@@ -1983,6 +1995,7 @@ def test_stream_winnow_index_in_batch_duplicate_doc(spark, tmp_path):
             assert r.df == 1
 
 
+@pytest.mark.slow
 def test_stream_cluster_assign_in_batch_duplicate_row(spark, tmp_path):
     """In-batch redelivery for the cluster store: a vec_id repeated
     inside one micro-batch must yield exactly ONE assignment row."""

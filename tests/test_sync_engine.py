@@ -163,6 +163,7 @@ def test_cross_partition_edit_keeps_single_row(spark, tmp_path, ops_batch1):
     assert p1[0]["upvotes"] == ["v1"]
 
 
+@pytest.mark.slow
 def test_crash_recovery_restores_backup(spark, tmp_path, ops_batch1):
     """A crash between the two renames of _atomic_overwrite leaves
     only the backup; the next round must restore and proceed."""
@@ -216,6 +217,7 @@ def _file_states(root):
     return out
 
 
+@pytest.mark.slow
 def test_bounded_rewrite_touched_partitions_only(spark, tmp_path, ops_batch1):
     """The 100 TB contract: a merge rewrites only the partition
     directories its batch touches — posts in other months and account
@@ -261,6 +263,7 @@ def test_bounded_rewrite_touched_partitions_only(spark, tmp_path, ops_batch1):
         )
 
 
+@pytest.mark.slow
 def test_reply_tag_update_allowlist(spark, tmp_path):
     """Intended handleReply semantics (P7/J5): an allow-listed reply
     with the command updates the parent's stockimage_tags; replies
@@ -313,6 +316,7 @@ def test_stock_post_tags_without_command(spark, tmp_path):
     assert posts["n1"]["stockimage_tags"] is None
 
 
+@pytest.mark.slow
 def test_stream_guards_and_stop_block(spark, tmp_path):
     """P3 empty batches advance the cursor without work; P4 malformed
     ops abort before any merge; stop_block bounds the replay."""
@@ -362,6 +366,7 @@ def test_row_order_invariance(spark, tmp_path, ops_batch1):
         assert a == b, tbl
 
 
+@pytest.mark.slow
 def test_compaction_bounds_file_counts(spark, tmp_path, ops_batch1):
     """Merge-heavy partitions accumulate files; compact_partitions
     rewrites crowded partitions only, preserving every row."""
@@ -467,6 +472,7 @@ def test_authoritative_snapshot_wins(spark, tmp_path):
     assert posts["p2"]["text_title"] == "Bob title"             # not in snapshot
 
 
+@pytest.mark.slow
 def test_legacy_store_migration(spark, tmp_path, ops_batch1):
     """Stores written by earlier engine revisions — unpartitioned
     accounts without the bucket column, posts partitions missing the
@@ -535,6 +541,7 @@ def test_heartbeat_fires_per_committed_round(spark, tmp_path):
     assert [b["batch_lo"] for b in beats2] == [0, 10]
 
 
+@pytest.mark.slow
 def test_accounts_merge_failure_aborts_round(spark, tmp_path, ops_batch1, monkeypatch):
     """The accounts merge runs in a worker thread concurrent with the
     posts chain; its failure must still fail the ROUND before the
@@ -632,4 +639,73 @@ def test_process_batch_type_counts_matches_probe(spark, tmp_path, ops_batch1):
     for sub in ("posts", "accounts"):
         assert rows("a", sub) == rows("b", sub), (
             f"{sub} diverged between probe and type_counts paths"
+        )
+
+
+def test_run_vote_bucket_fold_matches_probe(spark, ops_batch1):
+    """r14: run() folds the vote path's distinct-bucket collect into
+    the same batch-stats aggregate that already carries the per-type
+    counts.  The folded expression (from_json on the raw op payload)
+    must produce exactly the bucket set the probe path computes from
+    classify's extracted columns — same surrogate key, same xxhash64,
+    same pmod."""
+    from chain_sync_spark.functions.hashing import surrogate_id
+    from chain_sync_spark.sync.classify import VOTE_SCHEMA, classify
+    from chain_sync_spark.sync.engine import N_INDEX_BUCKETS
+
+    vp = F.from_json("op", VOTE_SCHEMA)
+    folded = set(
+        ops_batch1.agg(
+            F.collect_set(
+                F.when(
+                    F.col("op_type") == "vote",
+                    F.pmod(
+                        F.xxhash64(surrogate_id(vp["author"], vp["permlink"])),
+                        F.lit(N_INDEX_BUCKETS),
+                    ).cast("int"),
+                )
+            ).alias("b")
+        ).first()["b"]
+    )
+    votes = classify(ops_batch1)["vote"]
+    probe = {
+        r["b"]
+        for r in votes.select(
+            F.pmod(
+                F.xxhash64(surrogate_id("author", "permlink")),
+                F.lit(N_INDEX_BUCKETS),
+            )
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert folded == probe and folded
+
+
+def test_process_batch_vote_buckets_matches_probe(spark, tmp_path, ops_batch1):
+    """r14: process_batch skips the vote-path distinct+collect job
+    when handed the batch's bucket set.  Both paths must produce
+    byte-identical stores — including when the handed set is the
+    FULL bucket range (a superset never drops an update: the probe
+    filter is an optimization, membership decides nothing)."""
+    from chain_sync_spark.sync.engine import N_INDEX_BUCKETS
+
+    a = SyncEngine(spark, str(tmp_path / "a"))
+    a.process_batch(ops_batch1)  # probe path (no buckets handed)
+    b = SyncEngine(spark, str(tmp_path / "b"))
+    b.process_batch(
+        ops_batch1,
+        type_counts={"comment": 4, "vote": 4},
+        vote_buckets=list(range(N_INDEX_BUCKETS)),
+    )
+
+    def rows(store, sub):
+        df = spark.read.parquet(f"{tmp_path}/{store}/{sub}")
+        return sorted(repr(r) for r in df.select(sorted(df.columns)).collect())
+
+    for sub in ("posts", "accounts"):
+        assert rows("a", sub) == rows("b", sub), (
+            f"{sub} diverged between probe and handed-bucket paths"
         )
