@@ -392,7 +392,6 @@ def neardup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_new", is_new)
         .withColumn("sig", sk.minhash_sigs(F.col("sh"), N_MINHASH))
     )
-    sigs = shingled
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -405,7 +404,7 @@ def neardup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = sigs.select(
+    bands = shingled.select(
         "doc_id", "is_new", F.posexplode(F.array(*band_cols)).alias("band_idx", "bkey")
     )
     probe = bands.filter(F.col("is_new")).alias("b")
@@ -1706,7 +1705,7 @@ def bpe_apply_merges(
     standard word-cache trick, so the per-merge pass is
     vocabulary-sized at any corpus scale.
 
-    SCOPE CONTRACT: with >= 2*{BPE_CHECKPOINT_EVERY} merges the
+    SCOPE CONTRACT: with >= {BPE_CHECKPOINT_EVERY} merges the
     returned relation is built on scope-pooled checkpoint blocks —
     consume it before the next release_caches() (the next query's
     start), the same lifetime every scoped persist in this package
@@ -1717,15 +1716,19 @@ def bpe_apply_merges(
     syms = words.withColumn("s", _word_chars(F.col(word_col)))
     for i, (l, r) in enumerate(merges):
         syms = syms.withColumn("s", _apply_merge(F.col("s"), l, r))
-        # checkpoint only when at least another CHECKPOINT_EVERY folds
-        # REMAIN: an eager mid-loop checkpoint is a full vocabulary
-        # materialization at DataFrame-CONSTRUCTION time, and for the
-        # frozen 12-merge path the old `i + 1 < len(merges)` condition
-        # paid one (construct_hot 7.3 s in the r14 baseline) to save a
-        # 4-fold tail — the whole 12-fold chain evaluates fine in one
-        # lazy plan (r14 A/B; the bounded-depth guarantee stays:
-        # plan depth <= 2*BPE_CHECKPOINT_EVERY - 1 folds).
-        if (i + 1) % BPE_CHECKPOINT_EVERY == 0 and len(merges) - (i + 1) >= BPE_CHECKPOINT_EVERY:
+        # EAGER checkpoint, the r12-certified shape.  An r14 attempt
+        # to skip the checkpoint when < CHECKPOINT_EVERY folds remain
+        # (so the frozen 12-merge path built fully lazily) moved the
+        # whole 12-fold chain into EVERY action: warm noop write
+        # ~2 s -> ~21 s in the full bench, both AQE arms — the chained
+        # fold evaluated in one projection is far more expensive than
+        # the per-block pieces (codegen-size fallback), and with no
+        # blocks each action re-pays it.  A lazy (eager=False)
+        # checkpoint just shifts the same materialization into the
+        # first timed action because the scope pool frees blocks at
+        # every query open.  Reverted; measured r14, do not re-try
+        # without per-action evidence.
+        if (i + 1) % BPE_CHECKPOINT_EVERY == 0 and i + 1 < len(merges):
             # scope-pooled: blocks free at the next release_caches
             syms = _scoped_checkpoint(syms)
     return syms

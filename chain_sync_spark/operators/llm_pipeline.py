@@ -1071,16 +1071,11 @@ def embedding_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nrm rides through the shuffle exchange (computed once per row at
     # shuffle write — CollapseProject cannot cross an Exchange), so the
     # per-candidate-pair work is just the dot + one division
-    bucketed = emb.withColumn("bucket", lsh_bucket("e")).withColumn(
-        "nrm", sk.l2norm(F.col("e"))
+    bucketed = _scoped_persist(
+        emb.withColumn("bucket", lsh_bucket("e")).withColumn(
+            "nrm", sk.l2norm(F.col("e"))
+        )
     )
-    # NOT pinned (r13-opt continuation, measured): both self-join
-    # sides recompute scan+bucket+nrm, but the recompute is cheap
-    # per-row and overlaps on idle cores — a _scoped_persist A/B read
-    # cold consistently ~25% better yet warm MIXED at matched probes
-    # (base [1.27, 1.25, 0.86] vs pinned [1.56, 0.88, 0.77]), below
-    # the land-it bar the signed-MinHash pin cleared.  At cluster
-    # scale the duplicated SCAN is the cost — revisit with real I/O.
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(

@@ -1272,12 +1272,16 @@ def _rebuild_after_cut(d: DataFrame, cut_hits: DataFrame) -> DataFrame:
     # right trade — bounded at {SD_N}× the cut-hit count, duplicated
     # text only — recorded as an optimization-round-2 candidate in
     # OPTIMIZATION_r13.md rather than landed against the measurement.
-    covered = cut_hits.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(SD_N - 1))
-        ).alias("pos"),
-    ).distinct()
+    from chain_sync_spark.operators.llm_pipeline import _scoped_persist
+
+    covered = _scoped_persist(
+        cut_hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SD_N - 1))
+            ).alias("pos"),
+        ).distinct()
+    )
     cut_per_doc = covered.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("cut_tokens")
     )

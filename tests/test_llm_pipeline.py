@@ -1418,29 +1418,70 @@ def test_minhash_band_family_pins_signed_relation(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    for fn in (
-        neardup_minhash_bands,
-        neardup_containment_pairs,
-        corpus_ops.neardup_incremental_minhash,
-    ):
-        df = fn(spark, sf)
-        assert _SCOPED_CACHES, f"{fn.__name__}: no scoped pin taken"
-        assert "sig" in _SCOPED_CACHES[-1].columns, (
-            f"{fn.__name__}: pin sits below the signature fold"
-        )
-        # formatted mode prints each physical node's detail ONCE
-        # (cache-subtree echoes share their details), so the fold
-        # count is the number of distinct fold-computing nodes: 1 =
-        # the cache build only; 2 = a consumer recomputes it outside
-        # (the before shape, plans/r13/*_before.txt)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+    try:
+        for fn in (
+            neardup_minhash_bands,
+            neardup_containment_pairs,
+            corpus_ops.neardup_incremental_minhash,
+        ):
+            df = fn(spark, sf)
+            assert _SCOPED_CACHES, f"{fn.__name__}: no scoped pin taken"
+            pinned = _SCOPED_CACHES[-1]
+            assert "sig" in pinned.columns, (
+                f"{fn.__name__}: pin sits below the signature fold"
+            )
+            fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
-        )
-        n_folds = plan.count("aggregate(transform(sh")
-        assert n_folds <= 1, (
-            f"{fn.__name__}: signature fold planned {n_folds}x outside"
-            " the cache"
-        )
-    release_caches()
+            # guard the substring probe against a silent rename of the
+            # shingle column: the PINNED relation's own plan must show
+            # the fold at least once, or the counts below are vacuous
+            pin_plan = pinned._jdf.queryExecution().explainString(fmt)
+            assert pin_plan.count("aggregate(transform(sh") >= 1, (
+                f"{fn.__name__}: fold probe matches nothing — shingle"
+                " column renamed? update the substring"
+            )
+            # formatted mode prints each physical node's detail ONCE
+            # (cache-subtree echoes share their details), so the fold
+            # count is the number of distinct fold-computing nodes: 1 =
+            # the cache build only; 2 = a consumer recomputes it outside
+            # (the before shape, plans/r13/*_before.txt)
+            plan = df._jdf.queryExecution().explainString(fmt)
+            n_folds = plan.count("aggregate(transform(sh")
+            assert n_folds <= 1, (
+                f"{fn.__name__}: signature fold planned {n_folds}x outside"
+                " the cache"
+            )
+    finally:
+        release_caches()
+
+
+def test_r14_pins_read_cached_relations(spark):
+    """Structural evidence for the two pins landed in optimization
+    round 2 (plans/r14/*_{before,after}.txt): dedup_span_cut /
+    dedup_incremental_spans consume the `covered` positions relation
+    from ONE pinned build (both the cut-count aggregate and the
+    anti-join rebuild side), and embedding_ann_lsh_pairs reads the
+    bucketed+normed embedding relation on both self-join sides.
+    Unpinned, each consumer re-ran the build chain (0
+    InMemoryTableScan in the before plans)."""
+    from chain_sync_spark.operators import llm_pipeline as lp
+    from chain_sync_spark.operators import pipeline_extras as px
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        for fn, min_scans in (
+            (px.dedup_span_cut, 2),
+            (px.dedup_incremental_spans, 2),
+            (lp.embedding_ann_lsh_pairs, 2),
+        ):
+            df = fn(spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n = plan.count("InMemoryTableScan")
+            assert n >= min_scans, (
+                f"{fn.__name__}: expected >= {min_scans} InMemoryTableScan"
+                f" consumers of the pinned relation, saw {n}"
+            )
+            lp.release_caches()
+    finally:
+        lp.release_caches()

@@ -35,7 +35,13 @@ def main() -> None:
     spark = get_spark("ab-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
-    queries.update(pending_queries()[0])
+    for name, fn in pending_queries()[0].items():
+        if name in queries:
+            raise SystemExit(
+                f"staged query {name!r} shadows a registered query — "
+                "the A/B would silently time the pending variant"
+            )
+        queries[name] = fn
     out: dict[str, dict[str, float]] = {}
     for n in names:
         t0 = time.perf_counter()
